@@ -1,0 +1,161 @@
+"""Core relational surface: scan → filter → join → aggregate → top-k.
+
+These exercise the engine primitives behind SURVEY §2.2–§2.6 on the driver's
+TPC-H-ish tables: pushed-down filters/projections, broadcast vs shuffle joins
+(Catalyst decides; small dims broadcast), hash aggregation with partial
+(map-side) combine, and deterministic top-k.
+
+Exactness: all money aggregates run through integer cents
+(functions/determinism.py) so Spark's partial-agg order and DuckDB's
+single-node order produce bit-identical results — see that module's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import cents
+from ..sources.readers import load_table
+from .registry import query
+
+# -- q1: pricing summary (TPC-H Q1 shape; SURVEY A5 metric aggregation) ------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+  SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+  SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+  SUM(CAST(round((((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 100), 0) AS BIGINT)) / 100.0 AS sum_charge,
+  (SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0) / COUNT(*) AS avg_qty,
+  (SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0) / COUNT(*) AS avg_price,
+  (SUM(CAST(round(l_discount * 10000, 0) AS BIGINT)) / 10000.0) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = l.l_extendedprice * (1 - l.l_discount)
+    charge = disc_price * (1 + l.l_tax)
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents(l.l_quantity)) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(cents(l.l_extendedprice)) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(cents(disc_price)) / F.lit(100.0)).alias("sum_disc_price"),
+            (F.sum(cents(charge)) / F.lit(100.0)).alias("sum_charge"),
+            ((F.sum(cents(l.l_quantity)) / F.lit(100.0)) / F.count(F.lit(1))).alias("avg_qty"),
+            ((F.sum(cents(l.l_extendedprice)) / F.lit(100.0)) / F.count(F.lit(1))).alias("avg_price"),
+            ((F.sum(cents(l.l_discount, 10000)) / F.lit(10000.0)) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# -- q3: shipping-priority top-k (join + agg + deterministic LIMIT) ----------
+
+_Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue_cents = F.sum(cents(l.l_extendedprice * (1 - l.l_discount)))
+    # customer is the small side at any SF ratio -> broadcast it into orders;
+    # orders⋈lineitem shuffles on the join key (the natural key at scale).
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_cents.alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("revenue_cents") / F.lit(100.0)).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+# -- q5: region revenue rollup (5-way join; broadcast dims) ------------------
+
+_Q5_ORACLE = """
+SELECT
+  n_name,
+  SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+GROUP BY n_name
+"""
+
+
+@query("q5_region_revenue", _Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    # dims are tiny at every SF -> broadcast all three; lineitem never shuffles
+    # for the join (only for the final small agg, which AQE coalesces).
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(cents(l.l_extendedprice * (1 - l.l_discount))) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# -- q_orders_per_status: simplest scan+agg smoke -----------------------------
+
+_ORDERS_STATUS_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("q_orders_per_status", _ORDERS_STATUS_ORACLE)
+def q_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents(o.o_totalprice)) / F.lit(100.0)).alias("total_price"),
+    )

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the engine.
+
+One session, all state in DataFrames (SURVEY §7).  Local testing runs
+``local[N]``; the confs below are the ones that matter at cluster scale too:
+AQE for runtime re-planning/skew joins, Arrow for every pandas-UDF boundary,
+and a shuffle-partition count sized for the test scale factors (the driver's
+sf0.1 has ~600k-row lineitem; 32 partitions keeps per-task state small while
+using all local cores — at 100 TB you'd let AQE coalesce from a few thousand).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Return (or create) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (bench contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SDI_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SDI_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,91 @@
+"""Sources (SURVEY §2.1 S1–S8).
+
+The driver's synthetic tables are parquet; the reference's instance data is
+CSV read with every cell a string and columns realigned to the declared schema
+(``Stable Schema Matching/prompt/InstanceDataHandler.py:122-123,188-217``).
+Both paths are provided:
+
+* ``load_table``/``load_tables`` — parquet scans of the test tables.  Filters
+  and projections applied downstream push into these scans (Catalyst handles
+  PushedFilters/ReadSchema; verified in tests/test_plans.py).
+* ``read_instance_csv`` — the reference's untyped-CSV semantics: all-string
+  read, rename drift columns, drop surrogate ``row_id``, add missing schema
+  columns as NULL, realign to schema order (S3).
+* ``register_views`` — one temp view per table, the Spark analogue of the
+  reference's ATTACHed SQLite namespaces
+  (``Schema Mapping/DatabaseUtils/DatabaseManager.py:97-116``, S8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one test table. Column pruning + predicate pushdown
+    happen at this scan when the caller selects/filters downstream."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, namespace: str = "", names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
+    """Create ``{namespace}_{table}`` (or bare-named) temp views — the engine's
+    replacement for SQLite ATTACH namespaces (S8).  Re-registration is the
+    "reset" operation: views are lazy over immutable parquet, so re-attaching
+    is free (the reference re-imports data between evaluations,
+    ``DatabaseManager.py:133-143``)."""
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        view = f"{namespace}_{name}" if namespace else name
+        df.createOrReplaceTempView(view)
+        out[view] = df
+    return out
+
+
+def read_instance_csv(
+    spark: SparkSession,
+    path: str,
+    schema_cols: list[str],
+    renames: Mapping[str, str] | None = None,
+    drop_cols: Iterable[str] = ("row_id",),
+) -> DataFrame:
+    """Untyped instance-data CSV read with the reference's realignment
+    semantics (S3, ``InstanceDataHandler.py:104-410``):
+
+    every cell a string (no inferSchema), drift columns renamed, surrogate
+    ``row_id`` dropped, columns missing from the file added as NULL, and the
+    result projected in declared-schema order.
+    """
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    if renames:
+        df = df.withColumnsRenamed(dict(renames))
+    for c in drop_cols:
+        if c in df.columns:
+            df = df.drop(c)
+    present = set(df.columns)
+    return df.select(
+        [
+            (F.col(c) if c in present else F.lit(None).cast("string")).alias(c)
+            for c in schema_cols
+        ]
+    )

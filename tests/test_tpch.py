@@ -1,0 +1,21 @@
+"""Oracle-parity tests for the core relational queries (driver t2, locally)."""
+
+import pytest
+
+from conftest import assert_oracle_match
+
+CORE = ["q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue", "q_orders_per_status"]
+
+
+@pytest.mark.parametrize("name", CORE)
+def test_oracle_parity(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
+
+
+def test_q1_rows(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r.l_returnflag for r in rows} <= {"A", "N", "R"}
