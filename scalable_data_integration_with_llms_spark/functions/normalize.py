@@ -15,7 +15,7 @@ def normalize_colname(col: Column | str) -> Column:
     lowercase, strip spaces/parens/dashes to underscores, collapse repeats."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
-    c = F.regexp_replace(c, r"[ \-()]+", "_")
+    c = F.regexp_replace(c, "[ ()-]+", "_")  # dash last: literal in Java regex and RE2
     c = F.regexp_replace(c, r"_+", "_")
     return F.regexp_replace(c, r"^_|_$", "")
 

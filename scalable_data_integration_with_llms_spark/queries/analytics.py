@@ -1,1 +1,205 @@
-"""Placeholder — populated in later milestones."""
+"""Analytics surface: frequency counts, majority vote, seeded/weighted
+sampling, surrogate keys, JSON extraction, time-window rollups, scalar
+normalization (SURVEY §2.4 A1–A4, §2.5 W1–W2, §2.8 F1/F2/F6/F13, §2.9 U3).
+
+Every query here is oracle-checked: the md5-randomness and exact-arithmetic
+discipline (functions/determinism.py) makes seeded sampling reproducible in
+DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import cents
+from ..functions.normalize import normalize_colname, option_letter, truncate_values
+from ..operators.sampling import most_frequent, random_sample, weighted_sample
+from ..operators.surrogate import map_pk_dim
+from ..sources.readers import load_table
+from .registry import query
+
+TWO_60_SQL = "1152921504606846976.0"  # 2^60, exactly representable
+
+# -- A1: frequency count ------------------------------------------------------
+
+_VALUE_COUNTS_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_value_counts", _VALUE_COUNTS_ORACLE)
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# -- A2: top-n most frequent per group ---------------------------------------
+
+_TOP_FREQUENT_ORACLE = """
+SELECT p_brand, p_type, cnt, freq_rank FROM (
+  SELECT p_brand, p_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY COUNT(*) DESC, p_type ASC) AS freq_rank
+  FROM part
+  GROUP BY p_brand, p_type
+) WHERE freq_rank <= 3
+"""
+
+
+@query("q_top_frequent", _TOP_FREQUENT_ORACLE)
+def q_top_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return most_frequent(p, "p_type", 3, partition_by=["p_brand"]).select(
+        "p_brand", "p_type", "cnt", "freq_rank"
+    )
+
+
+# -- A3: majority vote (keep all values tied at max, per key) ----------------
+
+_MAJORITY_ORACLE = """
+SELECT user_id, event_type, cnt FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         MAX(COUNT(*)) OVER (PARTITION BY user_id) AS max_cnt
+  FROM events
+  GROUP BY user_id, event_type
+) WHERE cnt = max_cnt
+"""
+
+
+@query("q_majority_vote", _MAJORITY_ORACLE)
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors eval_ensemble.py:70-88: count votes per (key, candidate);
+    keep every candidate tied at the per-key max."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    win = W.partitionBy("user_id")
+    return (
+        counts.withColumn("max_cnt", F.max("cnt").over(win))
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .select("user_id", "event_type", "cnt")
+    )
+
+
+# -- seeded random sample (InstanceDataHandler `random` sampler) -------------
+
+_SEEDED_SAMPLE_ORACLE = """
+SELECT o_orderkey, sample_rank FROM (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (ORDER BY md5('42:' || o_orderkey)) AS sample_rank
+  FROM orders
+) WHERE sample_rank <= 20
+"""
+
+
+@query("q_seeded_sample", _SEEDED_SAMPLE_ORACLE)
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return random_sample(o, 20, 42, ["o_orderkey"]).select("o_orderkey", "sample_rank")
+
+
+# -- seeded weighted sample (A-ES reservoir key u^(1/w)) ---------------------
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT p_partkey, sample_rank FROM (
+  SELECT p_partkey,
+         ROW_NUMBER() OVER (
+           ORDER BY pow(('0x' || substr(md5('7:' || p_partkey), 1, 15))::BIGINT / {TWO_60_SQL},
+                        1.0 / p_retailprice) DESC,
+                    p_partkey ASC) AS sample_rank
+  FROM part
+) WHERE sample_rank <= 15
+"""
+
+
+@query("q_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return weighted_sample(p, 15, 7, F.col("p_retailprice"), ["p_partkey"]).select(
+        "p_partkey", "sample_rank"
+    )
+
+
+# -- U3: map_pk surrogate keys (rank-by-value contract) ----------------------
+
+_SURROGATE_ORACLE = """
+SELECT c_mktsegment, DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS pk_id
+FROM (SELECT DISTINCT c_mktsegment FROM customer)
+"""
+
+
+@query("q_surrogate_keys", _SURROGATE_ORACLE)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return map_pk_dim(c, "c_mktsegment").select("c_mktsegment", "pk_id")
+
+
+# -- F3/F4: JSON extraction + aggregation ------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       COUNT(json_extract(props, '$.k')) AS n_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_json_props", _JSON_ORACLE)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+# -- time-window rollup (batch twin of the streaming path) -------------------
+
+_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_events_hourly", _HOURLY_ORACLE)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value", 10000)) / F.lit(10000.0)).alias("sum_value"),
+        )
+    )
+
+
+# -- F1/F2/F6/F13: scalar normalization chain --------------------------------
+
+_NORMALIZE_ORACLE = """
+SELECT p_partkey,
+       regexp_replace(regexp_replace(regexp_replace(lower(p_type), '[ ()-]+', '_', 'g'),
+                                     '_+', '_', 'g'),
+                      '^_|_$', '', 'g') AS norm_type,
+       CASE WHEN length(p_name) > 15 THEN substr(p_name, 1, 15) || '...' ELSE p_name END AS short_name,
+       chr(65 + (p_size % 26)) AS size_letter
+FROM part
+"""
+
+
+@query("q_normalize_chain", _NORMALIZE_ORACLE)
+def q_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        normalize_colname("p_type").alias("norm_type"),
+        truncate_values("p_name", 15).alias("short_name"),
+        option_letter(F.col("p_size") % 26).alias("size_letter"),
+    )

@@ -39,7 +39,17 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one test table. Column pruning + predicate pushdown
-    happen at this scan when the caller selects/filters downstream."""
+    happen at this scan when the caller selects/filters downstream.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark cannot
+    read natively — read nanos as long and convert to a microsecond
+    timestamp (truncation, matching what DuckDB/Arrow readers produce).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer div — double division would lose precision above 2^53 ns
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
