@@ -1,1 +1,272 @@
-"""Placeholder — populated in later milestones."""
+"""Schema-matching pipeline surface: candidate generation → mock-LLM scoring
+→ preference ranking → bidirectional merge → top-k → seed ensembles → stable
+matching (SURVEY §3.1–§3.2 end-to-end, operators J1/J3/W1/W2/SO1-SO3/A3/U2/U6).
+
+Oracle strategy: the matching cases are driver-side constants
+(catalog/cases.py), rendered as a VALUES relation for DuckDB; both engines
+compute levenshtein-based milli-scores with identical integer arithmetic, so
+the full pipeline — including seed-perturbed ensembles via md5 randomness —
+hash-matches.  Stable matching itself is iterative (applyInPandas) and is the
+one rows-only entry here; its semantics are pinned by unit fixtures instead
+(tests/test_stable_matching.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog.cases import case_catalog_df, cases_values_sql
+from ..functions.determinism import det_rand
+from ..llm.boundary import mock_score_candidates
+from ..operators.candidates import (
+    NO_MATCH,
+    bidirectional_merge,
+    generate_candidates,
+    rank_preferences,
+)
+from ..operators.ensembles import ensemble_intersection, ensemble_majority, ensemble_union
+from ..operators.stable_matching import stable_match
+from .registry import query
+
+ENSEMBLE_SEEDS = [7564, 268799, 87849]  # reference seed list, ask_StableMatcher.py:254
+
+# ---------------------------------------------------------------------------
+# shared oracle CTEs
+# ---------------------------------------------------------------------------
+
+_STRIP = "regexp_replace({c}, '^[a-z]_', '')"
+_SUPER = (
+    "CASE WHEN regexp_matches({t}, '^(int|bigint|smallint|tinyint|serial)') THEN 'INTEGER' "
+    "WHEN regexp_matches({t}, '^(float|real|double|numeric|decimal)') THEN 'DOUBLE' "
+    "ELSE 'TEXT' END"
+)
+
+
+def _base_cte() -> str:
+    score_expr = (
+        "CASE WHEN candidate_attr = 'none of the options' THEN 100000 "
+        "ELSE CAST(round((1.0 / (1.0 + levenshtein("
+        + _STRIP.format(c="query_attr")
+        + ", "
+        + _STRIP.format(c="candidate_attr")
+        + ")) + CASE WHEN "
+        + _SUPER.format(t="query_type")
+        + " = "
+        + _SUPER.format(t="candidate_type")
+        + " THEN 0.25 ELSE 0 END) * 1000000, 0) AS BIGINT) END"
+    )
+    return f"""
+WITH catalog AS (SELECT * FROM {cases_values_sql()}),
+src AS (SELECT case_id, col_name AS s_attr, col_type AS s_type FROM catalog WHERE side = 'source'),
+tgt AS (SELECT case_id, col_name AS t_attr, col_type AS t_type FROM catalog WHERE side = 'target'),
+pairs AS (SELECT src.case_id, s_attr, s_type, t_attr, t_type FROM src JOIN tgt ON src.case_id = tgt.case_id),
+cand AS (
+  SELECT case_id, 'n_to_one' AS side, t_attr AS query_attr, t_type AS query_type,
+         s_attr AS candidate_attr, s_type AS candidate_type FROM pairs
+  UNION ALL
+  SELECT case_id, 'one_to_n', s_attr, s_type, t_attr, t_type FROM pairs
+  UNION ALL
+  SELECT DISTINCT case_id, 'n_to_one', t_attr, t_type, 'none of the options', '' FROM tgt
+  UNION ALL
+  SELECT DISTINCT case_id, 'one_to_n', s_attr, s_type, 'none of the options', '' FROM src
+),
+scored AS (SELECT cand.*, {score_expr} AS score_milli FROM cand),
+ranked AS (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY case_id, side, query_attr
+                            ORDER BY score_milli DESC, candidate_attr ASC) AS rank,
+         score_milli / SUM(score_milli) OVER (PARTITION BY case_id, side, query_attr) AS score
+  FROM scored
+),
+fwd AS (SELECT case_id, candidate_attr AS src, query_attr AS tgt, score_milli AS fwd_milli
+        FROM scored WHERE side = 'n_to_one' AND candidate_attr <> 'none of the options'),
+bwd AS (SELECT case_id, query_attr AS src, candidate_attr AS tgt, score_milli AS bwd_milli
+        FROM scored WHERE side = 'one_to_n' AND candidate_attr <> 'none of the options'),
+merged AS (
+  SELECT COALESCE(fwd.case_id, bwd.case_id) AS case_id,
+         COALESCE(fwd.src, bwd.src) AS src,
+         COALESCE(fwd.tgt, bwd.tgt) AS tgt,
+         COALESCE(fwd_milli, 0) AS fwd_milli,
+         COALESCE(bwd_milli, 0) AS bwd_milli
+  FROM fwd FULL OUTER JOIN bwd
+    ON fwd.case_id = bwd.case_id AND fwd.src = bwd.src AND fwd.tgt = bwd.tgt
+)
+"""
+
+
+def _spark_preferences(spark: SparkSession) -> DataFrame:
+    catalog = case_catalog_df(spark).withColumnRenamed("col_type", "col_type")
+    cands = generate_candidates(
+        catalog.select("case_id", "side", "col_name", "col_type")
+    )
+    return rank_preferences(mock_score_candidates(cands))
+
+
+# -- J1: candidate generation ------------------------------------------------
+
+_CANDIDATES_ORACLE = _base_cte() + """
+SELECT case_id, side, query_attr, candidate_attr FROM cand
+"""
+
+
+@query("q_match_candidates", _CANDIDATES_ORACLE)
+def q_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = generate_candidates(case_catalog_df(spark))
+    return cands.select("case_id", "side", "query_attr", "candidate_attr")
+
+
+# -- U2 + W1: mock-LLM scoring and preference ranking ------------------------
+
+_SCORES_ORACLE = _base_cte() + """
+SELECT case_id, side, query_attr, candidate_attr, score_milli, rank, score FROM ranked
+"""
+
+
+@query("q_mock_match_scores", _SCORES_ORACLE)
+def q_mock_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_preferences(spark).select(
+        "case_id", "side", "query_attr", "candidate_attr", "score_milli", "rank", "score"
+    )
+
+
+# -- J3: bidirectional merge (multiply + avg) --------------------------------
+
+_BIDIR_ORACLE = _base_cte() + """
+SELECT case_id, src, tgt, fwd_milli, bwd_milli,
+       (fwd_milli * bwd_milli) / 1000000000000.0 AS score
+FROM merged
+WHERE (fwd_milli * bwd_milli) / 1000000000000.0 <> 0
+"""
+
+
+@query("q_bidirectional_scores", _BIDIR_ORACLE)
+def q_bidirectional_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bidirectional_merge(_spark_preferences(spark), agg="multiply")
+
+
+# -- W2: top-k alignments per target attribute -------------------------------
+
+_TOPK_ORACLE = _base_cte() + """
+SELECT case_id, src, tgt, score, rank FROM (
+  SELECT case_id, src, tgt,
+         (fwd_milli + bwd_milli) / 2000000.0 AS score,
+         ROW_NUMBER() OVER (PARTITION BY case_id, tgt
+                            ORDER BY (fwd_milli + bwd_milli) / 2000000.0 DESC, src ASC, tgt ASC) AS rank
+  FROM merged
+  WHERE (fwd_milli + bwd_milli) / 2000000.0 <> 0
+) WHERE rank <= 2
+"""
+
+
+@query("q_topk_alignments", _TOPK_ORACLE)
+def q_topk_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candidates import top_k_per_query
+
+    merged = bidirectional_merge(_spark_preferences(spark), agg="avg")
+    return top_k_per_query(merged, 2).select("case_id", "src", "tgt", "score", "rank")
+
+
+# -- seed-run ensembles (SO1/SO2/A3) -----------------------------------------
+# Seed runs are simulated by deterministically dropping ~15% of candidates per
+# seed (md5 randomness), mirroring how seed-varied prompts change answers.
+
+_SEEDS_SQL = ", ".join(f"({s})" for s in ENSEMBLE_SEEDS)
+
+
+def _runs_cte() -> str:
+    return _base_cte() + f""",
+seeds AS (SELECT * FROM (VALUES {_SEEDS_SQL}) AS s(seed)),
+perturbed AS (
+  SELECT seed, scored.* FROM scored CROSS JOIN seeds
+  WHERE side = 'n_to_one' AND candidate_attr <> 'none of the options'
+    AND ('0x' || substr(md5(seed || ':' || case_id || ':' || query_attr || ':' || candidate_attr), 1, 15))::BIGINT
+        / 1152921504606846976.0 >= 0.15
+),
+runs AS (
+  SELECT seed, case_id, candidate_attr AS src, query_attr AS tgt FROM (
+    SELECT perturbed.*,
+           ROW_NUMBER() OVER (PARTITION BY seed, case_id, query_attr
+                              ORDER BY score_milli DESC, candidate_attr ASC) AS rk
+    FROM perturbed
+  ) WHERE rk = 1
+)
+"""
+
+
+def _spark_runs(spark: SparkSession) -> DataFrame:
+    prefs = _spark_preferences(spark)
+    seeds = spark.createDataFrame([(s,) for s in ENSEMBLE_SEEDS], "seed int")
+    perturbed = (
+        prefs.filter((F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH))
+        .crossJoin(F.broadcast(seeds))
+        .filter(
+            det_rand_str("seed", "case_id", "query_attr", "candidate_attr") >= 0.15
+        )
+    )
+    win = W.partitionBy("seed", "case_id", "query_attr").orderBy(
+        F.desc("score_milli"), F.asc("candidate_attr")
+    )
+    return (
+        perturbed.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("seed", "case_id", F.col("candidate_attr").alias("src"), F.col("query_attr").alias("tgt"))
+    )
+
+
+def det_rand_str(seed_col: str, *key_cols: str):
+    """det_rand variant where the seed is a column, matching the oracle's
+    ``seed || ':' || ...`` key layout."""
+    key = F.concat_ws(":", F.col(seed_col), *[F.col(c) for c in key_cols])
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        / F.lit(1152921504606846976.0)
+    ).cast("double")
+
+
+_UNION_ORACLE = _runs_cte() + "SELECT DISTINCT case_id, src, tgt FROM runs"
+
+
+@query("q_ensemble_union", _UNION_ORACLE)
+def q_ensemble_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensemble_union(_spark_runs(spark))
+
+
+_INTERSECTION_ORACLE = _runs_cte() + f"""
+SELECT case_id, src, tgt FROM (
+  SELECT case_id, src, tgt, COUNT(*) AS n
+  FROM (SELECT DISTINCT seed, case_id, src, tgt FROM runs)
+  GROUP BY case_id, src, tgt
+) WHERE n = {len(ENSEMBLE_SEEDS)}
+"""
+
+
+@query("q_ensemble_intersection", _INTERSECTION_ORACLE)
+def q_ensemble_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensemble_intersection(_spark_runs(spark), len(ENSEMBLE_SEEDS))
+
+
+_MAJORITY_ORACLE = _runs_cte() + """
+SELECT case_id, src, tgt, votes FROM (
+  SELECT case_id, src, tgt, COUNT(*) AS votes,
+         MAX(COUNT(*)) OVER (PARTITION BY case_id, tgt) AS max_votes
+  FROM runs
+  GROUP BY case_id, src, tgt
+) WHERE votes = max_votes
+"""
+
+
+@query("q_ensemble_majority", _MAJORITY_ORACLE)
+def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensemble_majority(_spark_runs(spark))
+
+
+# -- U6: stable matching (iterative; rows-only check) ------------------------
+
+
+@query("q_stable_matching")
+def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale–Shapley rounds over the mock preferences.  Not SQL-expressible
+    (iterative propose/displace loop) — correctness pinned by unit fixtures
+    against hand-computed matchings instead (tests/test_stable_matching.py)."""
+    return stable_match(_spark_preferences(spark), top_k=5)
