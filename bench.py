@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers every engine subsystem: relational core (q1/q3/q5),
+windows/rollups (events), the matching pipeline incl. the mapInPandas LLM
+boundary and applyInPandas stable matching, dedup (shingle join, MinHash,
+SimHash), similarity search, text analysis, sessionization, and the
+streaming drain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_events_hourly",
+    "q_majority_vote",
+    "q_mock_match_scores",
+    "q_bidirectional_scores",
+    "q_stable_matching",
+    "q_alignment_prf1",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_minhash_signatures",
+    "q_simhash",
+    "q_text_quality",
+    "q_langid",
+    "q_cosine_topk",
+    "q_ann_ivf",
+    "q_sessionization",
+    "q_stream_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.session import get_spark
+
+    spark = get_spark("sdi-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest SF (not timed)
+    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Text-analysis functions for training-data pipelines (BASELINE.json north
+star: language-ID, quality scoring, token counting, fingerprinting).
+
+All JVM-side column expressions (whole-stage codegen); the n-gram heuristics
+use md5-stable arithmetic so every score is oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword marker lists for the language-ID heuristic.  A real pipeline ships
+# per-language n-gram profiles; the heuristic structure (per-language marker
+# hit counts → argmax) is what matters and is identical at any scale.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "is"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (U4's tokenizer-free budget proxy)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, " ")))
+
+
+def word_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def marker_hits(text: Column | str, markers: list[str]) -> Column:
+    """Number of tokens that are language markers — exact integer count via
+    array intersection over the token list."""
+    toks = word_tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: token count, char count, mean word length,
+    distinct-token ratio, stopword ratio.  Ratios are exact int/int
+    divisions."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = word_tokens(c)
+    n_toks = token_count(c)
+    n_chars = F.length(c)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = marker_hits(c, LANG_MARKERS["en"])
+    return {
+        "n_tokens": n_toks,
+        "n_chars": n_chars,
+        # chars excluding separators / tokens — same formula both engines
+        "mean_word_len": (n_chars - (n_toks - 1)) / n_toks,
+        "distinct_ratio": n_distinct / n_toks,
+        "stopword_ratio": n_stop / n_toks,
+    }
+
+
+def fingerprint(text: Column | str, prefix_len: int = 16) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized text (first
+    ``prefix_len`` hex chars) — the rolling-hash stand-in, identical in any
+    engine."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(c), " +", " ")
+    return F.substring(F.md5(norm), 1, prefix_len)

@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale training-data pipelines
+(BASELINE.json north star; additive beyond the reference — SURVEY §7 step 11).
+
+All variants are pure DataFrame plans (no Python UDFs in the hot path) and
+deterministic via md5-derived hashing, so each has a DuckDB oracle.
+
+Scale design notes (100 TB):
+
+* exact: one shuffle on the content hash; canonical representative = min id
+  (no window needed — groupBy min).
+* shingle/Jaccard: explode → distinct → self-equi-join on shingle.  The
+  classic skew killer is a stop-shingle appearing in millions of docs; the
+  ``max_df`` cap drops shingles above a document-frequency bound *before*
+  the join (standard MinHash-pipeline practice), bounding join fan-out.
+* MinHash-LSH: P permutations × B bands; the band signature is a hash of the
+  per-band minhash vector, so candidate generation is a groupBy on
+  (band, signature) — shuffle keys are uniformly distributed by construction.
+* SimHash: per-token hashes aggregated into per-bit sums — one groupBy per
+  doc, fingerprint comparison is cheap bit arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_key(text: Column | str) -> Column:
+    """Canonical content hash for exact dedup (md5 of raw text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content with the canonical (min) id
+    and the duplicate count.  ``groupBy`` gets map-side combine; no window."""
+    return (
+        df.select(F.col(id_col), content_key(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built from ``split`` + index ``transform`` — JVM-side, no UDF: shingle i
+    joins words[i .. i+n-1] for i in 0 .. len-n.
+    """
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs from a distinct (doc, shingle) frame:
+    self-join on shingle (doc_a < doc_b), intersection counts, then
+    jaccard = |∩| / (|a| + |b| − |∩|) ≥ threshold.
+
+    ``max_df`` drops shingles shared by more than that many docs before the
+    join — the skew guard that keeps fan-out bounded at corpus scale.
+    """
+    if max_df is not None:
+        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        shingles = shingles.join(
+            freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def _hash60(*cols: Column) -> Column:
+    """60-bit integer hash of the concatenated key — the cross-engine hash
+    primitive (functions/determinism.py)."""
+    return F.conv(F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_perm: int = 12, n_bands: int = 4
+) -> DataFrame:
+    """MinHash band signatures: (doc, band, signature).
+
+    Each "permutation" p hashes shingles with a distinct salt; the minimum per
+    (doc, p) is the signature component.  Bands of ``n_perm / n_bands`` rows
+    are collapsed to one md5 signature string, so LSH candidate generation is
+    a single groupBy on (band, signature).
+    """
+    rows_per_band = n_perm // n_bands
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p")
+    hashed = shingles.select("doc", perms, "shingle").withColumn(
+        "h", _hash60(F.col("p"), F.col("shingle"))
+    )
+    minh = hashed.groupBy("doc", "p").agg(F.min("h").alias("minh"))
+    banded = minh.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
+    # deterministic band vector: struct-sorted by p, rendered "p:minh|..."
+    sig = F.md5(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "minh")).cast(
+                    "array<struct<p:int,minh:bigint>>"
+                )),
+                lambda s: F.concat_ws(":", s["p"], s["minh"]),
+            ),
+        )
+    )
+    return banded.groupBy("doc", "band").agg(sig.alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Docs sharing any band signature: (doc_a, doc_b, n_shared_bands)."""
+    a = signatures.select(F.col("doc").alias("doc_a"), "band", "signature")
+    b = signatures.select(F.col("doc").alias("doc_b"), "band", "signature")
+    return (
+        a.join(b, ["band", "signature"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprints: per-token 60-bit hashes, per-bit signed sums,
+    sign → bit.  (doc, simhash)."""
+    tokens = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", _hash60(F.col("tok")))
+    bit_sums = tokens.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc", fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,152 @@
+"""Evaluation metrics layer (SURVEY §2.4 A5–A9/A12/A13, §2.3 J4, §2.7 SO6).
+
+Reference formulas mirrored exactly:
+
+* ``eval/eval_utils.py:477-502`` (``compute_prf1e``): guarded P/R/F1,
+  TN from unaligned-and-unmapped target columns, accuracy = (tp+tn)/N,
+  accuracy2 = (tp+tn)/(tp+tn+fp+fn), effort = (3·fn+fp)/|gold|.
+* ``Schema Mapping/AnalysisUtils/AnaylsisUtils.py:9-28`` (``compute_prf1``):
+  the all-zero case returns 1.0 for all three.
+* ``eval/eval_utils.py:9-21``: MRR with 0 for lists containing no gold pair.
+* ``eval/eval_dataset.py:451-471``: multi-run mean ± 95% z-CI.
+
+Exactness discipline: counts are exact bigints; every mean over doubles is
+re-expressed as (exact integer sum) / scale / n, and sample variance uses the
+sum / sum-of-squares identity over integer-scaled values so both engines run
+the same double ops on identical integers (see functions/determinism.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PAIR = ["case_id", "src", "tgt"]
+
+
+def confusion_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """J4: per-case TP/FP/FN from predicted vs gold alignment sets
+    (``eval/eval_dataset.py:336-341``).  Set semantics: inputs deduped;
+    cases present in either side appear (outer on case universe)."""
+    p = pred.select(*_PAIR).distinct()
+    g = gold.select(*_PAIR).distinct()
+    tp = p.join(g, _PAIR, "left_semi").groupBy("case_id").agg(F.count(F.lit(1)).alias("tp"))
+    fp = p.join(g, _PAIR, "left_anti").groupBy("case_id").agg(F.count(F.lit(1)).alias("fp"))
+    fn = g.join(p, _PAIR, "left_anti").groupBy("case_id").agg(F.count(F.lit(1)).alias("fn"))
+    cases = p.select("case_id").union(g.select("case_id")).distinct()
+    return (
+        cases.join(tp, "case_id", "left")
+        .join(fp, "case_id", "left")
+        .join(fn, "case_id", "left")
+        .fillna(0, ["tp", "fp", "fn"])
+    )
+
+
+def _guarded_div(num: Column, den: Column) -> Column:
+    return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
+
+def prf1_columns(df: DataFrame, all_zero_is_perfect: bool = False) -> DataFrame:
+    """A9: precision/recall/F1(/effort-ready) columns over tp/fp/fn counts.
+
+    ``all_zero_is_perfect`` selects the Schema-Mapping variant
+    (``AnaylsisUtils.py:9-13``: tp+fn+fp == 0 ⇒ 1.0/1.0/1.0).
+    """
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = _guarded_div(tp, tp + fp)
+    recall = _guarded_div(tp, tp + fn)
+    f1 = F.when(
+        (precision + recall) == 0, F.lit(0.0)
+    ).otherwise((2.0 * recall * precision) / (recall + precision))
+    if all_zero_is_perfect:
+        zero = (tp + fp + fn) == 0
+        precision = F.when(zero, F.lit(1.0)).otherwise(precision)
+        recall = F.when(zero, F.lit(1.0)).otherwise(recall)
+        f1 = F.when(zero, F.lit(1.0)).otherwise(f1)
+    return (
+        df.withColumn("precision", precision)
+        .withColumn("recall", recall)
+        .withColumn("f1", f1)
+    )
+
+
+def tn_counts(pred: DataFrame, gold: DataFrame, target_cols: DataFrame) -> DataFrame:
+    """SO6: TN = target columns neither gold-aligned nor predicted-mapped
+    (``eval_utils.py:466-474``).  ``target_cols``: (case_id, tgt)."""
+    unaligned = target_cols.join(gold.select("case_id", "tgt").distinct(), ["case_id", "tgt"], "left_anti")
+    tn = unaligned.join(pred.select("case_id", "tgt").distinct(), ["case_id", "tgt"], "left_anti")
+    return tn.groupBy("case_id").agg(F.count(F.lit(1)).alias("tn"))
+
+
+def mrr(preferences: DataFrame, gold: DataFrame) -> DataFrame:
+    """A8: per-case mean reciprocal rank over ranked n→1 preference lists
+    (``eval_utils.py:9-21``): 1/rank of the first gold pair per query attr,
+    0 for lists with none; averaged over query attrs.
+
+    Exactness: rr is kept as round(1e6/rank) (exact bigint), so the per-case
+    mean is (exact sum)/1e6/n — identical in any engine.
+    """
+    hits = (
+        preferences.join(
+            gold,
+            (preferences.case_id == gold.case_id)
+            & (preferences.query_attr == gold.tgt)
+            & (preferences.candidate_attr == gold.src),
+            "left_semi",
+        )
+        .groupBy("case_id", "query_attr")
+        .agg(F.min("rank").alias("first_gold_rank"))
+    )
+    lists = preferences.select("case_id", "query_attr").distinct()
+    rr_milli = F.coalesce(
+        F.round(F.lit(1_000_000.0) / F.col("first_gold_rank"), 0).cast("bigint"), F.lit(0)
+    )
+    return (
+        lists.join(hits, ["case_id", "query_attr"], "left")
+        .withColumn("rr_milli", rr_milli)
+        .groupBy("case_id")
+        .agg(((F.sum("rr_milli") / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mrr"))
+    )
+
+
+def mean_ci95(df: DataFrame, metric_milli: Column, group_cols: list[str], z: float = 1.96) -> DataFrame:
+    """A6: mean ± 95% z-CI across runs (``eval_dataset.py:451-471``) from an
+    integer-scaled metric.  Sample std via the sum/sum-of-squares identity on
+    exact bigint sums, so the double math is engine-identical:
+
+        std = sqrt((sumsq - sum²/n) / (n-1)) / SCALE
+    """
+    m = metric_milli.cast("bigint")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(m).alias("s"),
+        F.sum(m * m).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = (s / F.lit(1_000_000.0)) / n
+    var = (ss - (s * s) / n) / (n - 1) / F.lit(1_000_000.0) / F.lit(1_000_000.0)
+    std = F.sqrt(var)
+    return agg.select(
+        *group_cols,
+        n.alias("n_runs"),
+        mean.alias("mean_metric"),
+        std.alias("std_metric"),
+        (F.lit(z) * std / F.sqrt(n)).alias("ci95"),
+    )
+
+
+def pass_rate(df: DataFrame, metric: Column, args_cols: list[str], seed_col: str) -> DataFrame:
+    """A12: tests_passed = fraction of tests with metric ≥ 1, averaged per
+    (args, seed) then aggregated per args as mean-of-means and max
+    (``AnaylsisUtils.py:121-208``).  All ratios are exact int/int divisions.
+    """
+    passed = F.sum(F.when(metric >= 1.0, 1).otherwise(0))
+    per_seed = df.groupBy(*args_cols, seed_col).agg(
+        (passed / F.count(F.lit(1))).alias("pass_rate"),
+        passed.alias("n_passed"),
+        F.count(F.lit(1)).alias("n_tests"),
+    )
+    return per_seed.groupBy(*args_cols).agg(
+        ((F.sum("n_passed") * F.lit(1.0)) / F.sum("n_tests")).alias("mean_pass_rate"),
+        F.max("pass_rate").alias("max_pass_rate"),
+    )

@@ -1,0 +1,75 @@
+"""Row-set overlap evaluation (SURVEY §2.3 J5/J6, §2.7 SO5; reference
+``Schema Mapping/AnalysisUtils/Evaluator.py:126-238``).
+
+Differential testing of a predicted mapping against the gold mapping:
+per target table, over its *meaningful* columns,
+
+    FN rows = gold EXCEPT pred      (distinct semantics — SQLite set ops)
+    FP rows = pred EXCEPT gold
+    TP rows = pred INTERSECT gold
+
+Spark's ``EXCEPT``/``INTERSECT`` use the same distinct + null-safe-equality
+semantics as SQLite/DuckDB, verified against the oracle.  Join overlap (J6)
+executes the rule's multi-table join SQL against both namespaces and applies
+the same set algebra to the join results.
+
+Timeout sentinel (``Evaluator.py:141-151``): a timed-out predicted query
+scores FN = |gold rows|, FP = ∞.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.timeout import OK, ExecResult, run_with_timeout
+
+INF_FP = float("inf")
+
+
+@dataclass
+class OverlapCounts:
+    table: str
+    tp: int
+    fp: float  # float: ∞ sentinel on timeout
+    fn: int
+
+
+def table_overlap(gold: DataFrame, pred: DataFrame, meaningful_cols: list[str], table: str) -> OverlapCounts:
+    g = gold.select(*meaningful_cols)
+    p = pred.select(*meaningful_cols)
+    tp = p.intersect(g).count()  # INTERSECT DISTINCT
+    fp = p.subtract(g).count()  # EXCEPT DISTINCT
+    fn = g.subtract(p).count()
+    return OverlapCounts(table, tp, float(fp), fn)
+
+
+def timed_table_overlap(
+    spark: SparkSession,
+    gold: DataFrame,
+    pred: DataFrame,
+    meaningful_cols: list[str],
+    table: str,
+    timeout_s: float = 30.0,
+) -> OverlapCounts:
+    """Overlap with the reference's timeout sentinel semantics."""
+    res: ExecResult = run_with_timeout(
+        spark, lambda: table_overlap(gold, pred, meaningful_cols, table), timeout_s
+    )
+    if res.status == OK:
+        return res.value
+    gold_rows = gold.select(*meaningful_cols).distinct().count()
+    return OverlapCounts(table, 0, INF_FP, gold_rows)
+
+
+def overlap_counts_df(spark: SparkSession, counts: list[OverlapCounts]) -> DataFrame:
+    """Counts + the Schema-Mapping P/R/F1 (all-zero ⇒ 1.0) as a DataFrame."""
+    from .metrics import prf1_columns
+
+    df = spark.createDataFrame(
+        [(c.table, c.tp, c.fp, c.fn) for c in counts],
+        "table_name string, tp bigint, fp double, fn bigint",
+    )
+    return prf1_columns(df, all_zero_is_perfect=True)

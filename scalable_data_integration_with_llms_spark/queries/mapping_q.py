@@ -1,1 +1,118 @@
-"""Placeholder — populated in later milestones."""
+"""Schema-Mapping execution surface (SURVEY §3.3): a full differential
+evaluation — simulated LLM SQL script (code fences, inadmissible statements,
+bare table names) → admission → namespace qualification → Spark SQL execution
+into twin namespaces → EXCEPT/INTERSECT overlap → P/R/F1.
+
+The oracle reproduces the final row-set algebra directly over the base
+tables, so this checks the whole execution path end-to-end, not just the
+counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.mapping_engine import MappingEngine, MappingScenario
+from ..sources.readers import load_table
+from .registry import query
+
+_GOLD_SQL = """
+INSERT INTO cust_orders
+SELECT c_name, o_orderkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey;
+INSERT INTO big_orders
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000;
+"""
+
+# Simulated LLM response: prose + fenced SQL + statements the admission rules
+# must drop (CREATE of a target table) + systematic errors (extra filter on
+# cust_orders -> FN; looser filter on big_orders -> FP).
+_PREDICTED_RESPONSE = """
+Here is the mapping you asked for:
+
+```sql
+CREATE TABLE cust_orders (c_name TEXT);
+INSERT INTO cust_orders
+SELECT c_name, o_orderkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 50000;
+INSERT INTO big_orders
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000;
+```
+
+Hope this helps!
+"""
+
+_JOIN_SQL = "SELECT c_name, o_orderkey FROM cust_orders JOIN big_orders USING (o_orderkey)"
+
+
+def _prf1_sql(tp: str, fp: str, fn: str) -> str:
+    p = f"CASE WHEN {tp} + {fp} = 0 THEN 0.0 ELSE {tp} / ({tp} + {fp}) END"
+    r = f"CASE WHEN {tp} + {fn} = 0 THEN 0.0 ELSE {tp} / ({tp} + {fn}) END"
+    return f"""
+  CASE WHEN {tp} + {fp} + {fn} = 0 THEN 1.0 ELSE {p} END AS precision,
+  CASE WHEN {tp} + {fp} + {fn} = 0 THEN 1.0 ELSE {r} END AS recall,
+  CASE WHEN {tp} + {fp} + {fn} = 0 THEN 1.0
+       WHEN ({p}) + ({r}) = 0 THEN 0.0
+       ELSE (2.0 * ({r}) * ({p})) / (({r}) + ({p})) END AS f1
+"""
+
+
+_MAPPING_ORACLE = f"""
+WITH gold_cust AS (
+  SELECT c_name, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+pred_cust AS (
+  SELECT c_name, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice > 50000
+),
+gold_big AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000),
+pred_big AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000),
+gold_join AS (SELECT c_name, o_orderkey FROM gold_cust JOIN gold_big USING (o_orderkey)),
+pred_join AS (SELECT c_name, o_orderkey FROM pred_cust JOIN pred_big USING (o_orderkey)),
+counts AS (
+  SELECT 'cust_orders' AS table_name,
+         (SELECT COUNT(*) FROM (SELECT * FROM pred_cust INTERSECT SELECT * FROM gold_cust)) AS tp,
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM pred_cust EXCEPT SELECT * FROM gold_cust)) AS DOUBLE) AS fp,
+         (SELECT COUNT(*) FROM (SELECT * FROM gold_cust EXCEPT SELECT * FROM pred_cust)) AS fn
+  UNION ALL
+  SELECT 'big_orders',
+         (SELECT COUNT(*) FROM (SELECT * FROM pred_big INTERSECT SELECT * FROM gold_big)),
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM pred_big EXCEPT SELECT * FROM gold_big)) AS DOUBLE),
+         (SELECT COUNT(*) FROM (SELECT * FROM gold_big EXCEPT SELECT * FROM pred_big))
+  UNION ALL
+  SELECT '__join__',
+         (SELECT COUNT(*) FROM (SELECT * FROM pred_join INTERSECT SELECT * FROM gold_join)),
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM pred_join EXCEPT SELECT * FROM gold_join)) AS DOUBLE),
+         (SELECT COUNT(*) FROM (SELECT * FROM gold_join EXCEPT SELECT * FROM pred_join))
+)
+SELECT table_name, tp, fp, fn, {_prf1_sql("tp", "fp", "fn")}
+FROM counts
+"""
+
+
+@query("q_mapping_overlap", _MAPPING_ORACLE)
+def q_mapping_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scenario = MappingScenario(
+        source_tables={
+            "orders": load_table(spark, sf_dir, "orders"),
+            "customer": load_table(spark, sf_dir, "customer"),
+        },
+        target_tables={
+            "cust_orders": "c_name string, o_orderkey bigint, o_totalprice double",
+            "big_orders": "o_orderkey bigint, o_totalprice double",
+        },
+        gold_sql=_GOLD_SQL,
+        meaningful_cols={
+            "cust_orders": ["c_name", "o_orderkey", "o_totalprice"],
+            "big_orders": ["o_orderkey", "o_totalprice"],
+        },
+        join_overlap_sql=_JOIN_SQL,
+    )
+    engine = MappingEngine(spark, scenario)
+    result = engine.evaluate(_PREDICTED_RESPONSE)
+    from ..operators.overlap import overlap_counts_df
+
+    return overlap_counts_df(spark, result.counts)

@@ -1,1 +1,322 @@
-"""Placeholder — populated in later milestones."""
+"""Metrics surface (SURVEY §2.4): the full P/R/F1/accuracy/effort stack, MRR,
+multi-run CI, pass rates, coverage, and the constraint audit — each as an
+oracle-checked query over the deterministic matching pipeline or base tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog.cases import case_catalog_df, gold_alignments_df, gold_values_sql
+from ..catalog.schema_catalog import testdata_catalog
+from ..operators.audit import audit_relation
+from ..operators.candidates import NO_MATCH, bidirectional_merge
+from ..operators.metrics import confusion_counts, mean_ci95, mrr, pass_rate, prf1_columns, tn_counts
+from ..sources.readers import load_table
+from .matching import _base_cte, _runs_cte, _spark_preferences, _spark_runs
+from .registry import query
+
+
+def _predicted_top1(spark: SparkSession) -> DataFrame:
+    """Deterministic predicted alignments: best avg-merged candidate per
+    (case, target attr)."""
+    merged = bidirectional_merge(_spark_preferences(spark), agg="avg")
+    win = W.partitionBy("case_id", "tgt").orderBy(F.desc("score"), F.asc("src"))
+    return (
+        merged.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("case_id", "src", "tgt")
+    )
+
+
+_PRED_CTE = """,
+pred AS (
+  SELECT case_id, src, tgt FROM (
+    SELECT case_id, src, tgt,
+           ROW_NUMBER() OVER (PARTITION BY case_id, tgt
+                              ORDER BY (fwd_milli + bwd_milli) / 2000000.0 DESC, src ASC) AS rk
+    FROM merged
+    WHERE (fwd_milli + bwd_milli) / 2000000.0 <> 0
+  ) WHERE rk = 1
+),
+gold AS (SELECT * FROM {gold_values})
+""".format
+
+# -- A9 + J4 + SO6: the full per-case metric stack ---------------------------
+
+_PRF1_ORACLE = _base_cte() + _PRED_CTE(gold_values=gold_values_sql()) + """,
+counts AS (
+  SELECT cases.case_id,
+         COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
+  FROM (SELECT DISTINCT case_id FROM catalog) cases
+  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT DISTINCT * FROM pred INTERSECT SELECT DISTINCT * FROM gold) GROUP BY case_id) t USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT DISTINCT * FROM pred EXCEPT SELECT DISTINCT * FROM gold) GROUP BY case_id) f USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT DISTINCT * FROM gold EXCEPT SELECT DISTINCT * FROM pred) GROUP BY case_id) n USING (case_id)
+),
+tns AS (
+  SELECT tc.case_id, COUNT(*) AS tn FROM
+    (SELECT case_id, col_name AS tgt FROM catalog WHERE side = 'target') tc
+  LEFT JOIN (SELECT DISTINCT case_id, tgt FROM gold) g ON tc.case_id = g.case_id AND tc.tgt = g.tgt
+  LEFT JOIN (SELECT DISTINCT case_id, tgt FROM pred) p ON tc.case_id = p.case_id AND tc.tgt = p.tgt
+  WHERE g.tgt IS NULL AND p.tgt IS NULL
+  GROUP BY tc.case_id
+),
+sizes AS (
+  SELECT case_id,
+         SUM(CASE WHEN side = 'target' THEN 1 ELSE 0 END) AS n_target
+  FROM catalog GROUP BY case_id
+),
+gold_sizes AS (SELECT case_id, COUNT(*) AS n_gold FROM gold GROUP BY case_id)
+SELECT counts.case_id, tp, fp, fn, COALESCE(tn, 0) AS tn,
+       CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+       CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+       CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+               + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END) = 0 THEN 0.0
+            ELSE (2.0 * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+                      * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END))
+               / ((CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+                + (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)) END AS f1,
+       (tp + COALESCE(tn, 0)) / n_target AS accuracy,
+       (tp + COALESCE(tn, 0)) / (tp + COALESCE(tn, 0) + fp + fn) AS accuracy2,
+       (3 * fn + fp) / n_gold AS effort
+FROM counts
+LEFT JOIN tns USING (case_id)
+JOIN sizes USING (case_id)
+JOIN gold_sizes USING (case_id)
+"""
+
+
+@query("q_alignment_prf1", _PRF1_ORACLE)
+def q_alignment_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _predicted_top1(spark)
+    gold = gold_alignments_df(spark)
+    catalog = case_catalog_df(spark)
+    target_cols = catalog.filter(F.col("side") == "target").select(
+        "case_id", F.col("col_name").alias("tgt")
+    )
+    counts = confusion_counts(pred, gold)
+    scored = prf1_columns(counts)
+    tn = tn_counts(pred, gold, target_cols)
+    sizes = target_cols.groupBy("case_id").agg(F.count(F.lit(1)).alias("n_target"))
+    gold_sizes = gold.groupBy("case_id").agg(F.count(F.lit(1)).alias("n_gold"))
+    tp, fp, fn, tn_c = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return (
+        scored.join(tn, "case_id", "left")
+        .fillna(0, ["tn"])
+        .join(sizes, "case_id")
+        .join(gold_sizes, "case_id")
+        .select(
+            "case_id", "tp", "fp", "fn", "tn", "precision", "recall", "f1",
+            ((tp + tn_c) / F.col("n_target")).alias("accuracy"),
+            ((tp + tn_c) / (tp + tn_c + fp + fn)).alias("accuracy2"),
+            ((3 * fn + fp) / F.col("n_gold")).alias("effort"),
+        )
+    )
+
+
+# -- A8: mean reciprocal rank ------------------------------------------------
+
+_MRR_ORACLE = _base_cte() + f""",
+gold AS (SELECT * FROM {gold_values_sql()}),
+hits AS (
+  SELECT r.case_id, r.query_attr, MIN(r.rank) AS first_gold_rank
+  FROM ranked r JOIN gold g
+    ON r.case_id = g.case_id AND r.query_attr = g.tgt AND r.candidate_attr = g.src
+  WHERE r.side = 'n_to_one'
+  GROUP BY r.case_id, r.query_attr
+),
+lists AS (SELECT DISTINCT case_id, query_attr FROM ranked WHERE side = 'n_to_one')
+SELECT case_id,
+       (SUM(COALESCE(CAST(round(1000000.0 / first_gold_rank, 0) AS BIGINT), 0)) / 1000000.0)
+         / COUNT(*) AS mrr
+FROM lists LEFT JOIN hits USING (case_id, query_attr)
+GROUP BY case_id
+"""
+
+
+@query("q_mrr", _MRR_ORACLE)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    return mrr(prefs, gold_alignments_df(spark))
+
+
+# -- A6: multi-run mean ± 95% CI over seed runs ------------------------------
+
+_CI_ORACLE = _runs_cte() + f""",
+gold AS (SELECT * FROM {gold_values_sql()}),
+per_case AS (
+  SELECT s.seed, s.case_id,
+         COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
+  FROM (SELECT DISTINCT seed, case_id FROM runs) s
+  LEFT JOIN (SELECT seed, case_id, COUNT(*) AS tp FROM runs JOIN gold USING (case_id, src, tgt) GROUP BY seed, case_id) t USING (seed, case_id)
+  LEFT JOIN (SELECT seed, runs.case_id, COUNT(*) AS fp FROM runs LEFT JOIN gold USING (case_id, src, tgt) WHERE gold.src IS NULL GROUP BY seed, runs.case_id) f USING (seed, case_id)
+  LEFT JOIN (SELECT sd.seed AS seed, gold.case_id AS case_id, COUNT(*) AS fn
+             FROM gold CROSS JOIN (SELECT DISTINCT seed FROM runs) sd
+             LEFT JOIN runs ON runs.seed = sd.seed AND runs.case_id = gold.case_id AND runs.src = gold.src AND runs.tgt = gold.tgt
+             WHERE runs.src IS NULL GROUP BY sd.seed, gold.case_id) n USING (seed, case_id)
+),
+f1s AS (
+  SELECT seed, case_id,
+         CAST(round((CASE WHEN (CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp/(tp+fp) END)
+                            + (CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END) = 0 THEN 0.0
+                     ELSE (2.0 * (CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END)
+                               * (CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp/(tp+fp) END))
+                        / ((CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END)
+                         + (CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp/(tp+fp) END)) END) * 1000000, 0) AS BIGINT) AS f1_milli
+  FROM per_case
+)
+SELECT seed, COUNT(*) AS n_runs,
+       (SUM(f1_milli) / 1000000.0) / COUNT(*) AS mean_metric,
+       sqrt((SUM(f1_milli * f1_milli) - (SUM(f1_milli) * SUM(f1_milli)) / COUNT(*)) / (COUNT(*) - 1) / 1000000.0 / 1000000.0) AS std_metric,
+       1.96 * sqrt((SUM(f1_milli * f1_milli) - (SUM(f1_milli) * SUM(f1_milli)) / COUNT(*)) / (COUNT(*) - 1) / 1000000.0 / 1000000.0) / sqrt(COUNT(*)) AS ci95
+FROM f1s GROUP BY seed
+"""
+
+
+@query("q_metric_ci", _CI_ORACLE)
+def q_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = _spark_runs(spark)
+    gold = gold_alignments_df(spark)
+    p = runs.select("seed", "case_id", "src", "tgt")
+    g = gold.select("case_id", "src", "tgt")
+    tp = p.join(g, ["case_id", "src", "tgt"], "left_semi").groupBy("seed", "case_id").agg(F.count(F.lit(1)).alias("tp"))
+    fp = p.join(g, ["case_id", "src", "tgt"], "left_anti").groupBy("seed", "case_id").agg(F.count(F.lit(1)).alias("fp"))
+    seeds = p.select("seed").distinct()
+    fn = (
+        g.crossJoin(seeds)
+        .join(p, ["seed", "case_id", "src", "tgt"], "left_anti")
+        .groupBy("seed", "case_id")
+        .agg(F.count(F.lit(1)).alias("fn"))
+    )
+    per_case = (
+        p.select("seed", "case_id").distinct()
+        .join(tp, ["seed", "case_id"], "left")
+        .join(fp, ["seed", "case_id"], "left")
+        .join(fn, ["seed", "case_id"], "left")
+        .fillna(0, ["tp", "fp", "fn"])
+    )
+    f1 = prf1_columns(per_case).withColumn(
+        "f1_milli", F.round(F.col("f1") * 1_000_000, 0).cast("bigint")
+    )
+    return mean_ci95(f1, F.col("f1_milli"), ["seed"])
+
+
+# -- A12: pass rates ---------------------------------------------------------
+
+_PASS_ORACLE = """
+SELECT o_orderpriority,
+       (SUM(n_passed) * 1.0) / SUM(n_tests) AS mean_pass_rate,
+       MAX(pass_rate) AS max_pass_rate
+FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) / COUNT(*) AS pass_rate,
+         SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS n_passed,
+         COUNT(*) AS n_tests
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_pass_rate", _PASS_ORACLE)
+def q_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    metric = F.when(F.col("o_totalprice") >= 150000, F.lit(1.0)).otherwise(F.lit(0.0))
+    return pass_rate(o, metric, ["o_orderpriority"], "o_orderstatus")
+
+
+# -- A13 + P3: coverage ratio ------------------------------------------------
+
+_COVERAGE_ORACLE = _base_cte() + """
+SELECT case_id,
+       SUM(CASE WHEN src <> 'null' THEN 1 ELSE 0 END) / COUNT(*) AS coverage,
+       SUM(CASE WHEN src <> 'null' THEN 1 ELSE 0 END) AS n_aligned
+FROM (
+  SELECT case_id, query_attr AS tgt,
+         CASE WHEN candidate_attr = 'none of the options' THEN 'null' ELSE candidate_attr END AS src
+  FROM ranked WHERE side = 'n_to_one' AND rank = 1
+)
+GROUP BY case_id
+"""
+
+
+@query("q_coverage", _COVERAGE_ORACLE)
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed top-1 view with 'null' no-match markers (P3 remove_nulls +
+    A13 coverage, eval_utils.py:459-508)."""
+    prefs = _spark_preferences(spark)
+    parsed = (
+        prefs.filter((F.col("side") == "n_to_one") & (F.col("rank") == 1))
+        .select(
+            "case_id",
+            F.when(F.col("candidate_attr") == NO_MATCH, F.lit("null"))
+            .otherwise(F.col("candidate_attr"))
+            .alias("src"),
+        )
+    )
+    aligned = F.sum(F.when(F.col("src") != "null", 1).otherwise(0))
+    return parsed.groupBy("case_id").agg(
+        (aligned / F.count(F.lit(1))).alias("coverage"),
+        aligned.alias("n_aligned"),
+    )
+
+
+# -- A11: constraint audit ---------------------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT 'customer' AS table_name, 'not_null' AS check_name, 'c_name' AS col_name,
+       SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS violations FROM customer
+UNION ALL
+SELECT 'customer', 'integer_parse', 'c_nationkey',
+       SUM(CASE WHEN c_nationkey IS NOT NULL AND NOT regexp_matches(CAST(c_nationkey AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) FROM customer
+UNION ALL
+SELECT 'customer', 'text_size', 'c_mktsegment',
+       SUM(CASE WHEN length(c_mktsegment) > 10 THEN 1 ELSE 0 END) FROM customer
+UNION ALL
+SELECT 'customer', 'integer_parse', 'c_custkey',
+       SUM(CASE WHEN c_custkey IS NOT NULL AND NOT regexp_matches(CAST(c_custkey AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) FROM customer
+UNION ALL
+SELECT 'customer', 'unique_pk', 'c_custkey',
+       COALESCE(SUM(cnt - 1), 0) FROM (SELECT c_custkey, COUNT(*) AS cnt FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem', 'integer_parse', 'l_orderkey',
+       SUM(CASE WHEN l_orderkey IS NOT NULL AND NOT regexp_matches(CAST(l_orderkey AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'integer_parse', 'l_linenumber',
+       SUM(CASE WHEN l_linenumber IS NOT NULL AND NOT regexp_matches(CAST(l_linenumber AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'unique_pk', 'l_orderkey,l_linenumber',
+       COALESCE(SUM(cnt - 1), 0) FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)
+"""
+
+
+@query("q_constraint_audit", _AUDIT_ORACLE)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = testdata_catalog()
+    cust_rel = cat.rel("customer")
+    # audit the same checks the oracle declares: one NOT NULL, one INTEGER,
+    # one TEXT-size, plus PK uniqueness on customer and lineitem
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..catalog.schema_catalog import Attribute, Relation
+
+    audit_rel = Relation(
+        "customer",
+        [
+            Attribute("c_name", "varchar(25)", nullable=False),
+            Attribute("c_nationkey", "integer"),
+            Attribute("c_mktsegment", "varchar(10)", size=10),
+            Attribute("c_custkey", "bigint", is_pk=True),
+        ],
+    )
+    li_rel = Relation(
+        "lineitem",
+        [
+            Attribute("l_orderkey", "bigint", is_pk=True),
+            Attribute("l_linenumber", "integer", is_pk=True),
+        ],
+    )
+    return audit_relation(spark, cust, audit_rel).unionByName(
+        audit_relation(spark, li, li_rel)
+    )

@@ -1,1 +1,60 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search surface over ``embeddings``: exact brute-force cosine
+top-k and the IVF-partitioned approximate path.  Dot products are bit-identical
+to DuckDB's list_dot_product on DOUBLE[] (sequential fold), so results are
+oracle-checked with no tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk, ivf_topk
+from ..sources.readers import load_table
+from .registry import query
+
+_N_QUERIES = 8
+_K = 5
+
+_COS_EXPR = (
+    "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+)
+
+_TOPK_ORACLE = f"""
+SELECT query_id, neighbor_id, cos_sim, sim_rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_EXPR} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS sim_rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+) WHERE sim_rank <= {_K}
+"""
+
+
+@query("q_cosine_topk", _TOPK_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(queries, emb, _K)
+
+
+_IVF_ORACLE = f"""
+SELECT query_id, neighbor_id, cos_sim, sim_rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_EXPR} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS sim_rank
+  FROM embeddings q JOIN embeddings c ON q.label = c.label
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+) WHERE sim_rank <= {_K}
+"""
+
+
+@query("q_ann_ivf", _IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(queries, emb, _K)

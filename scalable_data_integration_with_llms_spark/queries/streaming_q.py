@@ -1,1 +1,81 @@
-"""Placeholder — populated in later milestones."""
+"""Streaming surface: the hourly rollup executed as a real Structured
+Streaming query (availableNow → memory sink) checked against the batch SQL
+oracle, plus batch sessionization (the lag-gap formulation whose streaming
+twin is applyInPandasWithState — tests/test_streaming.py covers the stateful
+variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from ..streaming.events import hourly_rollup, read_event_stream, run_to_memory
+from .registry import query
+
+_STREAM_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q_stream_hourly", _STREAM_HOURLY_ORACLE)
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    rollup = hourly_rollup(stream)
+    return run_to_memory(spark, rollup, "sdi_stream_hourly")
+
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("q_sessionization", _SESSION_ORACLE)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch formulation; 30-minute inactivity
+    gap).  The streaming twin keys the same logic by user via
+    applyInPandasWithState."""
+    e = load_table(spark, sf_dir, "events")
+    order_win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision — a seconds cast would truncate sub-second gaps
+    # and disagree with the oracle's INTERVAL comparison
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(order_win)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(order_win.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

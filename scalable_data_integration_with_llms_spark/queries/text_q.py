@@ -1,1 +1,124 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis surface over ``documents``: quality features, language ID,
+token budgeting with CI, fingerprints (BASELINE.json north star; SURVEY A7/A14
+for the token/cost statistics shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_MARKERS, fingerprint, marker_hits, quality_features, token_count
+from ..operators.metrics import mean_ci95
+from ..sources.readers import load_table
+from .registry import query
+
+# -- quality features ---------------------------------------------------------
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       (length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) AS mean_word_len,
+       len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS distinct_ratio,
+       len(list_filter(string_split(text, ' '), t -> t IN ('the', 'and', 'of', 'a', 'is'))) / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+@query("q_text_quality", _QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_chars"].alias("n_chars"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+# -- language identification --------------------------------------------------
+
+_LANG_ORDER = ["en", "es", "de", "fr", "zh"]
+
+
+def _lang_case_sql() -> str:
+    # deterministic argmax: first language (in _LANG_ORDER) with the max hits
+    hits = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
+        for lang in _LANG_ORDER
+    }
+    greatest = f"greatest({', '.join(hits[lang] for lang in _LANG_ORDER)})"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = {greatest} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"CASE {whens} END"
+
+
+_LANGID_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_correct,
+       SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) / COUNT(*) AS lang_accuracy
+FROM (SELECT lang, {_lang_case_sql()} AS predicted FROM documents)
+GROUP BY lang
+"""
+
+
+@query("q_langid", _LANGID_ORACLE)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language ID: per-language marker hit counts → first
+    max-hit language in fixed precedence order."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {lang: marker_hits("text", LANG_MARKERS[lang]) for lang in _LANG_ORDER}
+    best = F.greatest(*[hits[lang] for lang in _LANG_ORDER])
+    predicted = F.when(hits[_LANG_ORDER[0]] == best, _LANG_ORDER[0])
+    for lang in _LANG_ORDER[1:]:
+        predicted = predicted.when(hits[lang] == best, lang)
+    correct = F.sum(F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0))
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            correct.alias("n_correct"),
+            (correct / F.count(F.lit(1))).alias("lang_accuracy"),
+        )
+    )
+
+
+# -- token budgeting with CI (A7/A14 shape) -----------------------------------
+
+_TOKEN_ORACLE = """
+SELECT source, COUNT(*) AS n_runs,
+       (SUM(tok_milli) / 1000000.0) / COUNT(*) AS mean_metric,
+       sqrt((SUM(tok_milli * tok_milli) - (SUM(tok_milli) * SUM(tok_milli)) / COUNT(*)) / (COUNT(*) - 1) / 1000000.0 / 1000000.0) AS std_metric,
+       1.96 * sqrt((SUM(tok_milli * tok_milli) - (SUM(tok_milli) * SUM(tok_milli)) / COUNT(*)) / (COUNT(*) - 1) / 1000000.0 / 1000000.0) / sqrt(COUNT(*)) AS ci95
+FROM (SELECT source, len(string_split(text, ' ')) * 1000000 AS tok_milli FROM documents)
+GROUP BY source
+"""
+
+
+@query("q_token_stats", _TOKEN_ORACLE)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_tokens = d.withColumn("tok_milli", token_count("text").cast("bigint") * 1_000_000)
+    return mean_ci95(with_tokens, F.col("tok_milli"), ["source"])
+
+
+# -- document fingerprints ----------------------------------------------------
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, lang,
+       substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16) AS fp
+FROM documents
+"""
+
+
+@query("q_doc_fingerprint", _FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", fingerprint("text").alias("fp"))

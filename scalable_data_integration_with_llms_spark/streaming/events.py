@@ -1,0 +1,84 @@
+"""Structured Streaming event path (SURVEY §2.10 — additive; the reference
+is batch-only, so correctness parity is defined against the batch twin of
+each streaming aggregation).
+
+Design: ``readStream`` over the events parquet directory → watermark →
+windowed aggregation → sink.  Tests and the driver contract run with the
+``availableNow`` trigger and a memory sink in complete mode, which drains the
+source and yields the same result as the batch query — giving streaming a
+real DuckDB-oracle check.  ``foreachBatch`` would feed the same DataFrames
+into the batch matching operators for incremental matching (SURVEY §7
+step 11).
+
+At scale: the hourly rollup is a streaming shuffle keyed by (window,
+event_type); the watermark bounds state; ``applyInPandasWithState``
+sessionization keys state by user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.determinism import cents
+
+# events parquet carries nanosecond timestamps; the stream reads them as
+# long (nanosAsLong) and converts, matching sources/readers.py.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event type; watermark bounds state for
+    late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value", 10000)) / F.lit(10000.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into a
+    memory sink; return the result table as a batch DataFrame."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

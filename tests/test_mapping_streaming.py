@@ -1,0 +1,80 @@
+"""Oracle parity + unit coverage for the mapping engine and streaming path."""
+
+import pytest
+
+from conftest import assert_oracle_match
+
+NAMES = ["q_mapping_overlap", "q_stream_hourly", "q_sessionization"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
+
+
+def test_sql_rewrite_rules():
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import prepare_response
+
+    response = """
+Sure! ```sql
+CREATE SCHEMA foo;
+CREATE TABLE tgt_t (a INT);
+DROP TABLE tgt_t;
+INSERT INTO tgt_t SELECT a FROM src_t;
+SELECT * FROM both_t;
+EXPLAIN SELECT 1;
+```"""
+    stmts = prepare_response(response, {"src_t", "both_t"}, {"tgt_t", "both_t"})
+    reasons = [s.ignore_reason for s in stmts]
+    assert "CREATE SCHEMA" in reasons[0]
+    assert "CREATE tgt_t" in reasons[1]
+    assert "DROP tgt_t" in reasons[2]
+    assert stmts[3].admitted
+    assert "pred_tgt_t" in stmts[3].sql and "source_src_t" in stmts[3].sql
+    assert stmts[4].admitted
+    assert "both_t" in stmts[4].sql and "pred_both_t" not in stmts[4].sql  # ambiguous -> untouched
+    assert not stmts[5].admitted  # stray statement
+
+
+def test_timeout_classification(spark):
+    from scalable_data_integration_with_llms_spark.plans.timeout import ERROR, OK, run_with_timeout
+
+    ok = run_with_timeout(spark, lambda: spark.sql("SELECT 1").collect(), 30.0)
+    assert ok.status == OK
+    err = run_with_timeout(spark, lambda: spark.sql("SELECT * FROM missing_xyz").collect(), 30.0)
+    assert err.status == ERROR
+
+
+def test_timeout_sentinel(spark):
+    """Timed-out predicted query scores FN=|gold|, FP=∞ (Evaluator.py:141-151)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from scalable_data_integration_with_llms_spark.operators.overlap import INF_FP, timed_table_overlap
+
+    gold = spark.range(5).toDF("k")
+
+    @F.udf(LongType())
+    def slow_identity(x):
+        import time
+
+        time.sleep(5)
+        return x
+
+    # slowness lives inside Spark tasks, where job-group cancel can reach it
+    pred = spark.range(5).select(slow_identity("id").alias("k"))
+    res = timed_table_overlap(spark, gold, pred, ["k"], "t", timeout_s=1.0)
+    assert res.fp == INF_FP
+    assert res.fn == 5
+    assert res.tp == 0
+
+
+def test_stream_matches_batch(spark):
+    """availableNow-drained streaming rollup == batch rollup (same rows)."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    stream_rows = sorted(
+        map(str, QUERIES["q_stream_hourly"](spark, "/root/testdata/sf0.001").collect())
+    )
+    batch = QUERIES["q_events_hourly"](spark, "/root/testdata/sf0.001")
+    assert len(stream_rows) == batch.count()

@@ -1,0 +1,76 @@
+"""Oracle parity for the training-data pipeline surfaces (dedup, text,
+similarity) + behavioral unit tests on planted duplicates."""
+
+import pytest
+
+from conftest import assert_oracle_match
+
+NAMES = [
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_minhash_signatures",
+    "q_simhash",
+    "q_text_quality",
+    "q_langid",
+    "q_token_stats",
+    "q_doc_fingerprint",
+    "q_cosine_topk",
+    "q_ann_ivf",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
+
+
+@pytest.fixture()
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different content about spark query engines and parquet files"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(spark, dup_docs):
+    from scalable_data_integration_with_llms_spark.operators.dedup import exact_dedup_groups
+
+    groups = {r.canonical_id: r.n_copies for r in exact_dedup_groups(dup_docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1,2 identical
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_jaccard_finds_near_dups(spark, dup_docs):
+    from scalable_data_integration_with_llms_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    sh = word_shingles(dup_docs, "doc_id", "text", n=3)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(sh, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_lsh_candidates_cover_exact_dups(spark, dup_docs):
+    from scalable_data_integration_with_llms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(dup_docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, n_perm=12, n_bands=4)
+    cands = {(r.doc_a, r.doc_b): r.n_shared_bands for r in lsh_candidate_pairs(sigs).collect()}
+    assert cands[(1, 2)] == 4  # identical docs share every band
+    assert not any(4 in p for p in cands)
+
+
+def test_simhash_close_for_near_dups(spark, dup_docs):
+    from scalable_data_integration_with_llms_spark.operators.dedup import simhash
+
+    fps = {r.doc: r.simhash for r in simhash(dup_docs, "doc_id", "text", bits=16).collect()}
+    assert fps[1] == fps[2]
+    hamming_13 = bin(fps[1] ^ fps[3]).count("1")
+    hamming_14 = bin(fps[1] ^ fps[4]).count("1")
+    assert hamming_13 < hamming_14
