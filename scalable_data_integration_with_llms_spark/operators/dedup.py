@@ -77,6 +77,10 @@ def jaccard_pairs(
         shingles = shingles.join(
             freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
         )
+    # the shingle frame feeds three consumers (sizes + both join sides);
+    # persist it so the explode+distinct subtree runs once — at corpus scale
+    # this is the checkpoint you'd take before any self-join
+    shingles = shingles.persist()
     sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc").alias("doc_b"), "shingle")

@@ -24,21 +24,24 @@ from pyspark.sql import functions as F
 _PAIR = ["case_id", "src", "tgt"]
 
 
-def confusion_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
+def confusion_counts(pred: DataFrame, gold: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """J4: per-case TP/FP/FN from predicted vs gold alignment sets
     (``eval/eval_dataset.py:336-341``).  Set semantics: inputs deduped;
-    cases present in either side appear (outer on case universe)."""
-    p = pred.select(*_PAIR).distinct()
-    g = gold.select(*_PAIR).distinct()
-    tp = p.join(g, _PAIR, "left_semi").groupBy("case_id").agg(F.count(F.lit(1)).alias("tp"))
-    fp = p.join(g, _PAIR, "left_anti").groupBy("case_id").agg(F.count(F.lit(1)).alias("fp"))
-    fn = g.join(p, _PAIR, "left_anti").groupBy("case_id").agg(F.count(F.lit(1)).alias("fn"))
-    cases = p.select("case_id").union(g.select("case_id")).distinct()
-    return (
-        cases.join(tp, "case_id", "left")
-        .join(fp, "case_id", "left")
-        .join(fn, "case_id", "left")
-        .fillna(0, ["tp", "fp", "fn"])
+    cases present in either side appear.
+
+    Single full-outer join on the pair key + one aggregation — one shuffle
+    of the pair sets total, versus the naive semi/anti-join cascade (three
+    joins + three aggregations).  ``group_cols`` prepends extra run
+    dimensions (e.g. seed) carried by *both* inputs.
+    """
+    keys = (group_cols or []) + _PAIR
+    p = pred.select(*keys).distinct().withColumn("in_p", F.lit(1))
+    g = gold.select(*keys).distinct().withColumn("in_g", F.lit(1))
+    flags = p.join(g, keys, "full_outer")
+    return flags.groupBy(*(group_cols or []) + ["case_id"]).agg(
+        F.sum(F.when(F.col("in_p").isNotNull() & F.col("in_g").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("in_p").isNotNull() & F.col("in_g").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("in_p").isNull() & F.col("in_g").isNotNull(), 1).otherwise(0)).alias("fn"),
     )
 
 
@@ -72,10 +75,18 @@ def prf1_columns(df: DataFrame, all_zero_is_perfect: bool = False) -> DataFrame:
 
 def tn_counts(pred: DataFrame, gold: DataFrame, target_cols: DataFrame) -> DataFrame:
     """SO6: TN = target columns neither gold-aligned nor predicted-mapped
-    (``eval_utils.py:466-474``).  ``target_cols``: (case_id, tgt)."""
-    unaligned = target_cols.join(gold.select("case_id", "tgt").distinct(), ["case_id", "tgt"], "left_anti")
-    tn = unaligned.join(pred.select("case_id", "tgt").distinct(), ["case_id", "tgt"], "left_anti")
-    return tn.groupBy("case_id").agg(F.count(F.lit(1)).alias("tn"))
+    (``eval_utils.py:466-474``).  ``target_cols``: (case_id, tgt).
+
+    One anti-join against the unioned covered set instead of two chained
+    anti-joins."""
+    covered = (
+        gold.select("case_id", "tgt").union(pred.select("case_id", "tgt")).distinct()
+    )
+    return (
+        target_cols.join(covered, ["case_id", "tgt"], "left_anti")
+        .groupBy("case_id")
+        .agg(F.count(F.lit(1)).alias("tn"))
+    )
 
 
 def mrr(preferences: DataFrame, gold: DataFrame) -> DataFrame:

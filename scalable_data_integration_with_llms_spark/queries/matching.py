@@ -95,12 +95,25 @@ merged AS (
 """
 
 
+_PREFS_MEMO: dict[int, DataFrame] = {}
+
+
 def _spark_preferences(spark: SparkSession) -> DataFrame:
-    catalog = case_catalog_df(spark).withColumnRenamed("col_type", "col_type")
-    cands = generate_candidates(
-        catalog.select("case_id", "side", "col_name", "col_type")
-    )
-    return rank_preferences(mock_score_candidates(cands))
+    """Scored+ranked preference frame for the static matching cases.
+
+    Persisted and memoized per session: the frame feeds many downstream
+    consumers (both merge directions, ensembles, metrics), and without a
+    persist every consumer would re-run the mapInPandas scorer — the exact
+    recompute trap SURVEY §4 warns about for sampled/external-call frames.
+    """
+    key = id(spark._jsparkSession)
+    if key not in _PREFS_MEMO:
+        cands = generate_candidates(case_catalog_df(spark))
+        # coalesce: the case set is tiny; fewer persisted partitions means
+        # fewer scheduled tasks for every downstream consumer
+        prefs = rank_preferences(mock_score_candidates(cands)).coalesce(4).persist()
+        _PREFS_MEMO[key] = prefs
+    return _PREFS_MEMO[key]
 
 
 # -- J1: candidate generation ------------------------------------------------
@@ -194,7 +207,13 @@ runs AS (
 """
 
 
+_RUNS_MEMO: dict[int, DataFrame] = {}
+
+
 def _spark_runs(spark: SparkSession) -> DataFrame:
+    key = id(spark._jsparkSession)
+    if key in _RUNS_MEMO:
+        return _RUNS_MEMO[key]
     prefs = _spark_preferences(spark)
     seeds = spark.createDataFrame([(s,) for s in ENSEMBLE_SEEDS], "seed int")
     perturbed = (
@@ -207,11 +226,15 @@ def _spark_runs(spark: SparkSession) -> DataFrame:
     win = W.partitionBy("seed", "case_id", "query_attr").orderBy(
         F.desc("score_milli"), F.asc("candidate_attr")
     )
-    return (
+    runs = (
         perturbed.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") == 1)
         .select("seed", "case_id", F.col("candidate_attr").alias("src"), F.col("query_attr").alias("tgt"))
+        .coalesce(4)
+        .persist()
     )
+    _RUNS_MEMO[key] = runs
+    return runs
 
 
 def det_rand_str(seed_col: str, *key_cols: str):

@@ -179,23 +179,8 @@ def q_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = _spark_runs(spark)
     gold = gold_alignments_df(spark)
     p = runs.select("seed", "case_id", "src", "tgt")
-    g = gold.select("case_id", "src", "tgt")
-    tp = p.join(g, ["case_id", "src", "tgt"], "left_semi").groupBy("seed", "case_id").agg(F.count(F.lit(1)).alias("tp"))
-    fp = p.join(g, ["case_id", "src", "tgt"], "left_anti").groupBy("seed", "case_id").agg(F.count(F.lit(1)).alias("fp"))
-    seeds = p.select("seed").distinct()
-    fn = (
-        g.crossJoin(seeds)
-        .join(p, ["seed", "case_id", "src", "tgt"], "left_anti")
-        .groupBy("seed", "case_id")
-        .agg(F.count(F.lit(1)).alias("fn"))
-    )
-    per_case = (
-        p.select("seed", "case_id").distinct()
-        .join(tp, ["seed", "case_id"], "left")
-        .join(fp, ["seed", "case_id"], "left")
-        .join(fn, ["seed", "case_id"], "left")
-        .fillna(0, ["tp", "fp", "fn"])
-    )
+    g = gold.crossJoin(F.broadcast(p.select("seed").distinct()))
+    per_case = confusion_counts(p, g, group_cols=["seed"])
     f1 = prf1_columns(per_case).withColumn(
         "f1_milli", F.round(F.col("f1") * 1_000_000, 0).cast("bigint")
     )
