@@ -20,3 +20,4 @@ from . import text_q  # noqa: F401, E402
 from . import similarity_q  # noqa: F401, E402
 from . import streaming_q  # noqa: F401, E402
 from . import mapping_q  # noqa: F401, E402
+from . import reference_ops  # noqa: F401, E402

@@ -1,0 +1,408 @@
+"""Reference-operator surface, round 2 of coverage (SURVEY §2): response
+parsing + validation (F3–F5, P5, P8), MCQ scores, yes/no majority (A4),
+ICL example packing (U5) and selection (W4), gold-in-options (J7), dataset
+swap (S1), softmax normalization (F9), prompt assembly (§3.1 stages 5–7).
+
+Canned LLM responses (FIXTURES B6) are module constants rendered to VALUES
+for the oracle, like catalog/cases.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog.cases import (
+    case_catalog_df,
+    cases_values_sql,
+    gold_alignments_df,
+    gold_values_sql,
+)
+from ..functions.text import token_count
+from ..operators.validation import (
+    extract_matches_json,
+    parse_mcq_scores,
+    parse_pairs,
+    validate_mcq_list,
+    validate_pairs,
+)
+from ..sources.readers import load_table
+from .matching import _base_cte, _spark_preferences
+from .registry import query
+
+_CASE1 = "tpch:CUSTOMER|tpch:SUPPLIER"
+
+# (case_id, attr, response) — JSON matches blocks incl. each error class
+JSON_RESPONSES = [
+    (_CASE1, "s_name", "Sure! {'matches': ['c_name, s_name', '<c_acctbal>, <s_acctbal>']} done."),
+    (_CASE1, "s_name", "{'matches': ['c_bogus, s_name']}"),
+    (_CASE1, "s_name", "{'matches': ['c_name, c_mktsegment']}"),
+    (_CASE1, "s_name", "{'matches': ['c_name, c_name']}"),
+    (_CASE1, "s_suppkey", "{'matches': ['source_table.c_custkey, target_table.s_suppkey']}"),
+]
+
+MCQ_RESPONSES = [
+    (_CASE1, "s_name", "Scores: (A): 85 (B): 70 (C): 10"),
+    (_CASE1, "s_acctbal", "(A): 5 (B): 95"),
+    (_CASE1, "s_nationkey", "no scores here"),
+]
+
+REFINED_RESPONSES = [
+    (_CASE1, "s_name", "Refined String List: ['c_name', 'c_acctbal']"),
+    (_CASE1, "s_name", "['c_name', 'c_bogus']"),
+    (_CASE1, "s_name", "Refined String List: ['c_name','c_acctbal','c_custkey','c_nationkey','c_mktsegment','c_name']"),
+    (_CASE1, "s_name", "no list at all"),
+]
+
+
+def _values(rows: list[tuple], cols: list[str]) -> str:
+    def lit(v) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    body = ",\n  ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES\n  {body}) AS t({', '.join(cols)})"
+
+
+# -- F3/F4/F5 + P5: parse + validate JSON matches -----------------------------
+
+_PARSE_ORACLE = f"""
+WITH catalog AS (SELECT * FROM {cases_values_sql()}),
+resp AS (SELECT * FROM {_values(JSON_RESPONSES, ['case_id', 'attr', 'response'])}),
+blocks AS (
+  SELECT case_id, attr,
+         CAST(replace(regexp_extract(response, '(\\{{[^}}]*matches[^}}]*\\}})', 1), '''', '"')::JSON
+              ->'$.matches' AS VARCHAR[]) AS matches
+  FROM resp
+),
+pairs AS (
+  SELECT case_id,
+         replace(lower(regexp_replace(trim(string_split(p, ',')[1]), '^<|>$', '', 'g')), 'source_table.', '') AS pair_src,
+         replace(lower(regexp_replace(trim(string_split(p, ',')[2]), '^<|>$', '', 'g')), 'target_table.', '') AS pair_tgt
+  FROM blocks, unnest(matches) AS u(p)
+),
+flags AS (
+  SELECT p.case_id, pair_src, pair_tgt,
+         EXISTS (SELECT 1 FROM catalog c WHERE c.case_id = p.case_id AND c.side = 'source' AND c.col_name = pair_src) AS s_in_s,
+         EXISTS (SELECT 1 FROM catalog c WHERE c.case_id = p.case_id AND c.side = 'target' AND c.col_name = pair_tgt) AS t_in_t,
+         EXISTS (SELECT 1 FROM catalog c WHERE c.case_id = p.case_id AND c.side = 'target' AND c.col_name = pair_src) AS s_in_t,
+         EXISTS (SELECT 1 FROM catalog c WHERE c.case_id = p.case_id AND c.side = 'source' AND c.col_name = pair_tgt) AS t_in_s
+  FROM pairs p
+)
+SELECT case_id, pair_src, pair_tgt,
+       CAST(s_in_s AND t_in_t AS INT) AS is_valid,
+       CASE WHEN s_in_s AND t_in_t THEN 0
+            ELSE CAST(NOT s_in_s AND NOT s_in_t AS INT) + CAST(NOT t_in_t AND NOT t_in_s AS INT) END AS invalid_attribute,
+       CAST(NOT (s_in_s AND t_in_t)
+            AND ((s_in_s AND t_in_s AND NOT t_in_t) OR (s_in_t AND t_in_t AND NOT s_in_s)) AS INT) AS same_schema,
+       CAST(NOT (s_in_s AND t_in_t)
+            AND ((s_in_s AND t_in_s AND NOT t_in_t) OR (s_in_t AND t_in_t AND NOT s_in_s))
+            AND pair_src = pair_tgt AS INT) AS same_attribute
+FROM flags
+"""
+
+
+@query("q_parse_matches_json", _PARSE_ORACLE)
+def q_parse_matches_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resp = spark.createDataFrame(JSON_RESPONSES, "case_id string, attr string, response string")
+    parsed = resp.withColumn("matches", extract_matches_json("response")).filter(
+        F.col("matches").isNotNull()
+    )
+    pairs = parse_pairs(parsed)
+    return validate_pairs(pairs, case_catalog_df(spark)).select(
+        "case_id", "pair_src", "pair_tgt", "is_valid", "invalid_attribute",
+        "same_schema", "same_attribute",
+    )
+
+
+# -- MCQ score extraction -----------------------------------------------------
+
+_MCQ_ORACLE = f"""
+WITH resp AS (SELECT * FROM {_values(MCQ_RESPONSES, ['case_id', 'attr', 'response'])})
+SELECT case_id, attr,
+       unnest(regexp_extract_all(response, '\\(([A-Z])\\): *([0-9]+)', 1)) AS option_letter,
+       unnest(regexp_extract_all(response, '\\(([A-Z])\\): *([0-9]+)', 2))::BIGINT AS mcq_score
+FROM resp
+"""
+
+
+@query("q_mcq_scores", _MCQ_ORACLE)
+def q_mcq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resp = spark.createDataFrame(MCQ_RESPONSES, "case_id string, attr string, response string")
+    return parse_mcq_scores(resp).select("case_id", "attr", "option_letter", "mcq_score")
+
+
+# -- P8: refined-list validation ----------------------------------------------
+
+_OPTIONS_SQL = f"""
+SELECT case_id, col_name AS option FROM {cases_values_sql()}
+WHERE side = 'source' AND case_id = '{_CASE1.replace("'", "''")}'
+"""
+
+_REFINED_ORACLE = f"""
+WITH resp AS (SELECT * FROM {_values(REFINED_RESPONSES, ['case_id', 'attr', 'response'])}),
+opts AS (SELECT case_id, list(option) AS opt_list FROM ({_OPTIONS_SQL}) GROUP BY case_id),
+parsed AS (
+  SELECT case_id, attr, response,
+         TRY_CAST(TRY_CAST(replace(
+           CASE WHEN contains(x, '[') AND contains(x, ']') THEN x ELSE '[' || x || ']' END,
+           '''', '"') AS JSON) AS VARCHAR[]) AS candidates
+  FROM (SELECT case_id, attr, response,
+               CASE WHEN contains(response, 'Refined String List:')
+                    THEN string_split(response, 'Refined String List:')[2]
+                    ELSE response END AS x
+        FROM resp)
+)
+SELECT p.case_id, attr, response,
+       COALESCE(CAST(candidates IS NOT NULL AND len(candidates) <= 5
+            AND len(list_filter(candidates, c -> NOT list_contains(opt_list, c))) = 0
+            AS INT), 0) AS accepted
+FROM parsed p LEFT JOIN opts o ON p.case_id = o.case_id
+"""
+
+
+@query("q_mcq_validation", _REFINED_ORACLE)
+def q_mcq_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resp = spark.createDataFrame(REFINED_RESPONSES, "case_id string, attr string, response string")
+    options = (
+        case_catalog_df(spark)
+        .filter((F.col("side") == "source") & (F.col("case_id") == _CASE1))
+        .select("case_id", F.col("col_name").alias("option"))
+    )
+    return validate_mcq_list(resp, options).select("case_id", "attr", "response", "accepted")
+
+
+# -- A4: yes/no majority ------------------------------------------------------
+
+_YESNO_ORACLE = """
+SELECT user_id,
+       SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS yes_count,
+       SUM(CASE WHEN value <= 0.5 THEN 1 ELSE 0 END) AS no_count,
+       CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)
+            > SUM(CASE WHEN value <= 0.5 THEN 1 ELSE 0 END) AS INT) AS accepted
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q_yes_no_majority", _YESNO_ORACLE)
+def q_yes_no_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaDa-style yes/no vote (eval_ensemble.py:92-115): value > 0.5 = yes."""
+    e = load_table(spark, sf_dir, "events")
+    yes = F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
+    no = F.sum(F.when(F.col("value") <= 0.5, 1).otherwise(0))
+    return e.groupBy("user_id").agg(
+        yes.alias("yes_count"),
+        no.alias("no_count"),
+        (yes > no).cast("int").alias("accepted"),
+    )
+
+
+# -- U5: greedy token-budget packing (cumulative-sum form) --------------------
+
+_PACKING_BUDGET = 2048
+_PACKING_ANS = 800  # max_ans_len for matching (SURVEY §6)
+
+_PACKING_ORACLE = f"""
+SELECT doc_id, lang, n_tokens, cum_tokens, pack_rank FROM (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS pack_rank
+  FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+) WHERE cum_tokens + {_PACKING_ANS} <= {_PACKING_BUDGET}
+"""
+
+
+@query("q_icl_packing", _PACKING_ORACLE)
+def q_icl_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy example packing while tokens + max_ans_len <= budget
+    (PromptICLTemplate.py:195-219) — the sequential greedy loop is exactly a
+    running-sum window, so it stays JVM-side instead of applyInPandas."""
+    d = load_table(spark, sf_dir, "documents")
+    win = W.partitionBy("lang").orderBy("doc_id")
+    toks = d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    return (
+        toks.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(win.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn("pack_rank", F.row_number().over(win))
+        .filter(F.col("cum_tokens") + _PACKING_ANS <= _PACKING_BUDGET)
+    )
+
+
+# -- W4: nearest-neighbor example selection -----------------------------------
+
+_SELECTION_ORACLE = _base_cte() + """,
+cov AS (
+  SELECT case_id,
+         SUM(CASE WHEN candidate_attr <> 'none of the options' AND rank = 1 THEN 1 ELSE 0 END)
+           / COUNT(DISTINCT query_attr) AS coverage
+  FROM ranked WHERE side = 'n_to_one'
+  GROUP BY case_id
+)
+SELECT case_id, example_case, cov_dist, nn_rank FROM (
+  SELECT a.case_id, b.case_id AS example_case,
+         abs(a.coverage - b.coverage) AS cov_dist,
+         ROW_NUMBER() OVER (PARTITION BY a.case_id
+                            ORDER BY abs(a.coverage - b.coverage) ASC, b.case_id ASC) AS nn_rank
+  FROM cov a JOIN cov b ON a.case_id <> b.case_id
+) WHERE nn_rank <= 2
+"""
+
+
+@query("q_example_selection", _SELECTION_ORACLE)
+def q_example_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank candidate ICL example cases by |coverage − target coverage|
+    (ExampleSelectorTemplate.py:117-146)."""
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    cov = prefs.groupBy("case_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("candidate_attr") != "none of the options") & (F.col("rank") == 1), 1
+                ).otherwise(0)
+            )
+            / F.countDistinct("query_attr")
+        ).alias("coverage")
+    )
+    a = cov.select(F.col("case_id"), F.col("coverage").alias("cov_a"))
+    b = cov.select(F.col("case_id").alias("example_case"), F.col("coverage").alias("cov_b"))
+    pairs = a.crossJoin(b).filter(F.col("case_id") != F.col("example_case"))
+    win = W.partitionBy("case_id").orderBy(F.asc("cov_dist"), F.asc("example_case"))
+    return (
+        pairs.withColumn("cov_dist", F.abs(F.col("cov_a") - F.col("cov_b")))
+        .withColumn("nn_rank", F.row_number().over(win))
+        .filter(F.col("nn_rank") <= 2)
+        .select("case_id", "example_case", "cov_dist", "nn_rank")
+    )
+
+
+# -- J7: gold-pair-in-options semi-join ---------------------------------------
+
+_IN_OPTIONS_ORACLE = _base_cte() + f""",
+gold AS (SELECT * FROM {gold_values_sql()})
+SELECT s.case_id, s.query_attr,
+       CAST(EXISTS (
+         SELECT 1 FROM gold g
+         WHERE g.case_id = s.case_id AND g.tgt = s.query_attr
+           AND g.src IN (SELECT candidate_attr FROM scored s2
+                         WHERE s2.case_id = s.case_id AND s2.side = 'n_to_one'
+                           AND s2.query_attr = s.query_attr)
+       ) AS INT) AS gold_in_options
+FROM (SELECT DISTINCT case_id, query_attr FROM scored WHERE side = 'n_to_one') s
+"""
+
+
+@query("q_gold_in_options", _IN_OPTIONS_ORACLE)
+def q_gold_in_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_in_the_options (eval_confidence_score.py:7-9)."""
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    gold = gold_alignments_df(spark)
+    hit = prefs.join(
+        gold,
+        (prefs.case_id == gold.case_id)
+        & (prefs.query_attr == gold.tgt)
+        & (prefs.candidate_attr == gold.src),
+        "left_semi",
+    ).select("case_id", "query_attr").distinct().withColumn("gold_in_options", F.lit(1))
+    lists = prefs.select("case_id", "query_attr").distinct()
+    return lists.join(hit, ["case_id", "query_attr"], "left").fillna(0, ["gold_in_options"])
+
+
+# -- S1: source/target swap (gold pairs reversed) -----------------------------
+
+_SWAP_ORACLE = f"""
+SELECT case_id, tgt AS src, src AS tgt, 1 AS swapped
+FROM {gold_values_sql()}
+"""
+
+
+@query("q_case_swap", _SWAP_ORACLE)
+def q_case_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset swap (utils/data_builder.py:26-43): swapping source/target
+    also reverses every gold pair — array(x[1], x[0]) over the pair list."""
+    gold = gold_alignments_df(spark)
+    return gold.select(
+        "case_id",
+        F.col("tgt").alias("src"),
+        F.col("src").alias("tgt"),
+        F.lit(1).alias("swapped"),
+    )
+
+
+# -- F9: softmax normalization ------------------------------------------------
+
+_SOFTMAX_ORACLE = _base_cte() + """
+SELECT case_id, side, query_attr, candidate_attr,
+       round(exp((score_milli - mx) / 1000000.0)
+             / SUM(exp((score_milli - mx) / 1000000.0))
+                 OVER (PARTITION BY case_id, side, query_attr), 9) AS softmax_score
+FROM (SELECT scored.*, MAX(score_milli) OVER (PARTITION BY case_id, side, query_attr) AS mx
+      FROM scored)
+"""
+
+
+@query("q_softmax_scores", _SOFTMAX_ORACLE)
+def q_softmax_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable softmax over candidate scores (llm_classes.py:167-176).
+    The exp-sum is the one double aggregate that cannot be integer-scaled;
+    rounded to 9 dp on both engines."""
+    prefs = _spark_preferences(spark)
+    win = W.partitionBy("case_id", "side", "query_attr")
+    mx = F.max("score_milli").over(win)
+    e = F.exp((F.col("score_milli") - mx) / F.lit(1_000_000.0))
+    return prefs.select(
+        "case_id", "side", "query_attr", "candidate_attr",
+        F.round(e / F.sum(e).over(win), 9).alias("softmax_score"),
+    )
+
+
+# -- §3.1 stages 5–7: prompt assembly -----------------------------------------
+
+_PROMPT_ORACLE = _base_cte() + """
+SELECT case_id, query_attr, prompt,
+       len(string_split(prompt, ' ')) AS n_tokens
+FROM (
+  SELECT case_id, query_attr,
+         'Match target ' || query_attr || ' (' || query_type || '). Options: '
+           || string_agg('(' || chr(CAST(64 + rank AS INT)) || ') ' || candidate_attr, ' ' ORDER BY rank)
+           || ' Answer:' AS prompt
+  FROM ranked WHERE side = 'n_to_one'
+  GROUP BY case_id, query_attr, query_type
+)
+"""
+
+
+@query("q_prompt_assembly", _PROMPT_ORACLE)
+def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCQ prompt strings: ranked options lettered A.. (F13), schema intro
+    (P1), token budget count (U4's whitespace proxy)."""
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    part = F.concat(
+        F.lit("("), F.char(F.col("rank") + 64), F.lit(") "), F.col("candidate_attr")
+    )
+    assembled = (
+        prefs.withColumn("part", part)
+        .groupBy("case_id", "query_attr", "query_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rank"), F.col("part").alias("part")))
+                    ),
+                    lambda s: s["part"],
+                ),
+                " ",
+            ).alias("options")
+        )
+    )
+    prompt = F.concat(
+        F.lit("Match target "), F.col("query_attr"), F.lit(" ("), F.col("query_type"),
+        F.lit("). Options: "), F.col("options"), F.lit(" Answer:"),
+    )
+    return assembled.select(
+        "case_id", "query_attr",
+        prompt.alias("prompt"),
+        token_count(prompt).alias("n_tokens"),
+    )
