@@ -108,3 +108,17 @@ FROM sums
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (north star): binary media column → mapInPandas
+    decode/frame-sample/feature-extract.  The codec is a deterministic fake
+    (no image libs in this container; operators/multimodal.py documents the
+    strict seam); the Spark-side schema, batching, and 1→N frame expansion
+    are real.  Rows-only: array<float> feature output."""
+    from ..operators.multimodal import attach_media, extract_features, fake_image_decoder
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media(d, "text", "doc_id")
+    return extract_features(media, decode_fn=fake_image_decoder, frames_per_item=2)

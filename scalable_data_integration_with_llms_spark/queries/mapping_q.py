@@ -116,3 +116,71 @@ def q_mapping_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.overlap import overlap_counts_df
 
     return overlap_counts_df(spark, result.counts)
+
+
+# -- P7: subsumed-mapping-rule removal ----------------------------------------
+
+_RULES = [
+    ("r1", ["orders"], ["t_orders"]),
+    ("r2", ["orders", "customer"], ["t_orders"]),          # subsumes r1
+    ("r3", ["orders", "customer"], ["t_orders", "t_cust"]),  # subsumes r1, r2
+    ("r4", ["lineitem"], ["t_lines"]),                      # independent
+    ("r5", ["lineitem"], ["t_lines"]),                      # duplicate of r4 -> kept (equal sets)
+]
+
+_RULES_SQL = ",\n  ".join(
+    "('" + r + "', [" + ", ".join(f"'{s}'" for s in srcs) + "], ["
+    + ", ".join(f"'{t}'" for t in tgts) + "])"
+    for r, srcs, tgts in _RULES
+)
+
+_SUBSUMED_ORACLE = f"""
+WITH rules AS (SELECT * FROM (VALUES
+  {_RULES_SQL}) AS t(rule_id, src_rels, tgt_rels))
+SELECT rule_id FROM rules a
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules b
+  WHERE b.rule_id <> a.rule_id
+    AND len(list_filter(a.src_rels, x -> NOT list_contains(b.src_rels, x))) = 0
+    AND len(list_filter(a.tgt_rels, x -> NOT list_contains(b.tgt_rels, x))) = 0
+    AND (NOT (len(list_filter(b.src_rels, x -> NOT list_contains(a.src_rels, x))) = 0
+              AND len(list_filter(b.tgt_rels, x -> NOT list_contains(a.tgt_rels, x))) = 0)
+         OR b.rule_id > a.rule_id)
+)
+"""
+
+
+@query("q_subsumed_rules", _SUBSUMED_ORACLE)
+def q_subsumed_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (MappingLoader.py:76-88): drop rules whose source+target relation
+    sets are subsets of another rule's.  The reference removes sequentially,
+    so equal-set duplicates keep only the later rule; the engine's
+    deterministic contract is rule-id order: a is removed when subsumed by a
+    strict superset, or by an equal-set rule with a greater id."""
+    from pyspark.sql import functions as F
+
+    rules = spark.createDataFrame(
+        _RULES, "rule_id string, src_rels array<string>, tgt_rels array<string>"
+    )
+    a = rules.alias("a")
+    b = rules.select(
+        F.col("rule_id").alias("b_id"),
+        F.col("src_rels").alias("b_src"),
+        F.col("tgt_rels").alias("b_tgt"),
+    )
+
+    def subset(x: str, y: str):
+        return F.size(F.array_except(F.col(x), F.col(y))) == 0
+
+    subsumed = a.join(
+        b,
+        (F.col("a.rule_id") != F.col("b_id"))
+        & subset("a.src_rels", "b_src")
+        & subset("a.tgt_rels", "b_tgt")
+        & (
+            ~(subset("b_src", "a.src_rels") & subset("b_tgt", "a.tgt_rels"))
+            | (F.col("b_id") > F.col("a.rule_id"))
+        ),
+        "left_semi",
+    )
+    return rules.join(subsumed, "rule_id", "left_anti").select("rule_id")

@@ -293,3 +293,13 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative propose/displace loop) — correctness pinned by unit fixtures
     against hand-computed matchings instead (tests/test_stable_matching.py)."""
     return stable_match(_spark_preferences(spark), top_k=5)
+
+
+@query("q_match_round2")
+def q_match_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 round-r extraction: the round-2 match set, shorter cases falling
+    back to their last round (ask_StableMatcher.py:374-447).  Rows-only,
+    like its stable-matching input."""
+    from ..operators.stable_matching import round_r
+
+    return round_r(stable_match(_spark_preferences(spark), top_k=5), 2)

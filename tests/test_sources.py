@@ -1,0 +1,149 @@
+"""Sources layer: CSV realignment semantics, XML loaders, sinks,
+multimodal plumbing."""
+
+import os
+
+import pytest
+
+SCHEMA_XML = """
+<schema name="demo">
+  <relation name="person">
+    <attribute name="id" type="int" nullable="false"/>
+    <attribute name="name" type="varchar(25)" size="25"/>
+    <attribute name="note" type="text" HasSemanticMeaning="false"/>
+    <primarykey><attr>id</attr></primarykey>
+  </relation>
+  <relation name="pet">
+    <attribute name="pid" type="int"/>
+    <attribute name="owner" type="int"/>
+    <foreignkey table="person"><from>owner</from><to>id</to></foreignkey>
+  </relation>
+</schema>
+"""
+
+MAPPING_XML = """
+<mappings>
+  <mapping id="m1">
+    <source><relation>person</relation></source>
+    <target><relation>t_person</relation></target>
+    <gold_sql>INSERT INTO t_person SELECT id, name FROM person</gold_sql>
+  </mapping>
+  <mapping id="m2">
+    <source><relation>person</relation><relation>pet</relation></source>
+    <target><relation>t_person</relation></target>
+    <gold_sql>INSERT INTO t_person SELECT id, name FROM person JOIN pet ON owner = id</gold_sql>
+    <select_sql>SELECT * FROM t_person</select_sql>
+  </mapping>
+</mappings>
+"""
+
+
+def test_csv_realignment(spark, tmp_path):
+    """S3 semantics: all-string read, rename drift, drop row_id, add missing
+    as NULL, project in schema order (InstanceDataHandler.py:104-410)."""
+    from scalable_data_integration_with_llms_spark.sources.readers import read_instance_csv
+
+    p = tmp_path / "inst.csv"
+    p.write_text("row_id,CustName,balance\n1,alice,10.5\n2,bob,\n")
+    df = read_instance_csv(
+        spark,
+        str(p),
+        schema_cols=["name", "balance", "segment"],
+        renames={"CustName": "name"},
+    )
+    assert df.columns == ["name", "balance", "segment"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    rows = {r.name: r for r in df.collect()}
+    assert rows["alice"].balance == "10.5"
+    assert rows["alice"].segment is None
+    assert rows["bob"].balance is None
+
+
+def test_schema_xml_loader():
+    from scalable_data_integration_with_llms_spark.sources.xml_loader import load_schema_xml
+
+    cat = load_schema_xml(SCHEMA_XML)
+    person = cat.rel("person")
+    assert person.pk == ["id"]
+    assert not person.attr("id").nullable
+    assert person.attr("name").size == 25
+    assert not person.attr("note").meaningful
+    assert person.meaningful == ["id", "name"]
+    assert cat.rel("pet").foreign_keys == [(("owner",), "person", ("id",))]
+
+
+def test_mapping_xml_loader_and_subsumption():
+    from scalable_data_integration_with_llms_spark.sources.xml_loader import (
+        load_mapping_xml,
+        remove_subsumed_rules,
+    )
+
+    rules = load_mapping_xml(MAPPING_XML)
+    assert [r.rule_id for r in rules] == ["m1", "m2"]
+    assert rules[1].join_overlap_sql == "SELECT * FROM t_person"
+    kept = remove_subsumed_rules(rules)
+    assert [r.rule_id for r in kept] == ["m2"]  # m1 ⊆ m2 on both sides
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from scalable_data_integration_with_llms_spark.sources.sinks import cached_parquet, report_markdown, write_result_envelope
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).toDF("k")
+
+    path = str(tmp_path / "cache.parquet")
+    a = cached_parquet(spark, path, build)
+    b = cached_parquet(spark, path, build)
+    assert a.count() == 5 and b.count() == 5
+    assert len(calls) == 1  # second read hits the cache
+
+    md = report_markdown(spark.createDataFrame([("x", 1)], "name string, n int"))
+    assert "name" in md and "x" in md
+
+    env_path = str(tmp_path / "out" / "results.json")
+    write_result_envelope(env_path, {"mode": "test"}, [{"f1": 1.0}], 1.23)
+    import json
+
+    with open(env_path) as f:
+        env = json.load(f)
+    assert env["config"]["mode"] == "test" and env["generation_time"] == 1.23
+
+
+def test_multimodal_plumbing(spark):
+    """Schema/batch-shape/1→N contract with the deterministic fake decoder;
+    strict decoder marks the codec seam."""
+    import numpy as np
+
+    from scalable_data_integration_with_llms_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+        fake_image_decoder,
+        strict_decoder,
+    )
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], "doc_id long, text string")
+    media = attach_media(docs, "text", "doc_id")
+    feats = extract_features(media, decode_fn=fake_image_decoder, frames_per_item=3)
+    rows = feats.collect()
+    assert len(rows) == 6  # 2 docs × 3 frames
+    r = rows[0]
+    assert len(r.feature) == 8
+    assert r.n_bytes == len("hello world")
+    # deterministic across runs
+    again = extract_features(media, decode_fn=fake_image_decoder, frames_per_item=3).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+    with pytest.raises(NotImplementedError):
+        strict_decoder(b"bytes", "image/png")
+
+
+def test_multimodal_query_registered(spark):
+    from scalable_data_integration_with_llms_spark.queries import ORACLES, QUERIES
+
+    assert "q_multimodal_features" in QUERIES
+    assert "q_multimodal_features" not in ORACLES  # rows-only by design
+    df = QUERIES["q_multimodal_features"](spark, "/root/testdata/sf0.001")
+    assert df.count() == 1000  # 500 docs × 2 frames
