@@ -27,7 +27,7 @@ from ..operators.validation import (
     validate_pairs,
 )
 from ..sources.readers import load_table
-from .matching import _base_cte, _spark_preferences
+from .matching import ENSEMBLE_SEEDS, _base_cte, _spark_preferences
 from .registry import query
 
 _CASE1 = "tpch:CUSTOMER|tpch:SUPPLIER"
@@ -405,4 +405,214 @@ def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case_id", "query_attr",
         prompt.alias("prompt"),
         token_count(prompt).alias("n_tokens"),
+    )
+
+
+# -- F3 view-mode parsing (golden-output oracle) ------------------------------
+
+VIEW_RESPONSES = [
+    (_CASE1, "all", "```sql\nCREATE VIEW supplier (s_suppkey, s_name) AS SELECT c_custkey, c_name FROM source_table;\n```"),
+    (_CASE1, "all", "CREATE VIEW supplier AS SELECT c_custkey AS s_suppkey, c_acctbal s_acctbal FROM customer;"),
+    (_CASE1, "all", "CREATE VIEW supplier AS SELECT source_table.c_name, c_nationkey FROM customer;"),
+    (_CASE1, "all", "no sql here"),
+]
+
+# hand-derived expected output (the verbose-regex parser is a Python UDF;
+# the oracle pins its golden behavior rather than reimplementing the regex)
+_VIEW_ORACLE = """
+SELECT * FROM (VALUES
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 'all', 'c_custkey', 's_suppkey', NULL),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 'all', 'c_name', 's_name', NULL),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 'all', 'c_custkey', 's_suppkey', NULL),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 'all', 'c_acctbal', 's_acctbal', NULL),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 'all', 'c_name', 'c_name', NULL),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 'all', 'c_nationkey', 'c_nationkey', NULL),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 'all', NULL, NULL, 'No CREATE VIEWs found')
+) AS t(case_id, attr, pair_src, pair_tgt, parse_error)
+"""
+
+
+@query("q_parse_create_view", _VIEW_ORACLE)
+def q_parse_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-mode alignment extraction (eval_utils.py:76-160) through the
+    mapInPandas parser; oracle = hand-derived golden rows."""
+    from ..operators.view_parse import parse_views
+
+    resp = spark.createDataFrame(VIEW_RESPONSES, "case_id string, attr string, response string")
+    return parse_views(resp)
+
+
+# -- F3 TaDa yes/no/unknown parsing -------------------------------------------
+
+TADA_RESPONSES = [
+    (_CASE1, "s_name", '{"yes": ["c_name, s_name"], "no": ["c_acctbal, s_name"], "unknown": []}'),
+    (_CASE1, "s_acctbal", "{'yes': ['c_acctbal, s_acctbal', 'c_custkey, s_acctbal'], 'no': [], 'unknown': ['c_name, s_acctbal']}"),
+    (_CASE1, "s_nationkey", "nothing to extract"),
+]
+
+_TADA_ORACLE = f"""
+WITH resp AS (SELECT * FROM {_values(TADA_RESPONSES, ['case_id', 'attr', 'response'])}),
+blocks AS (
+  SELECT case_id, attr,
+         TRY_CAST(TRY_CAST(replace(regexp_extract(response,
+             '(\\{{[^}}]*yes[^}}]*no[^}}]*\\}})', 1), '''', '"') AS JSON)
+           ->'$.yes' AS VARCHAR[]) AS yes_pairs
+  FROM resp
+)
+SELECT case_id, attr,
+       lower(trim(string_split(p, ',')[1])) AS pair_src,
+       lower(trim(string_split(p, ',')[2])) AS pair_tgt
+FROM blocks, unnest(yes_pairs) AS u(p)
+"""
+
+
+@query("q_parse_tada_yes", _TADA_ORACLE)
+def q_parse_tada_yes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaDa-mode parsing (eval_utils.py:96-103,175-181): extract the
+    {'yes': ...} block, quote-fix, keep the yes alignments."""
+    from pyspark.sql import types as T
+
+    resp = spark.createDataFrame(TADA_RESPONSES, "case_id string, attr string, response string")
+    block = F.regexp_extract("response", r"(\{[^}]*yes[^}]*no[^}]*\})", 1)
+    schema = T.StructType([T.StructField("yes", T.ArrayType(T.StringType()))])
+    parsed = resp.withColumn(
+        "yes_pairs", F.from_json(F.regexp_replace(block, "'", '"'), schema)["yes"]
+    ).filter(F.col("yes_pairs").isNotNull())
+    split = F.split(F.col("__p"), ",")
+    return (
+        parsed.withColumn("__p", F.explode("yes_pairs"))
+        .withColumn("pair_src", F.lower(F.trim(split[0])))
+        .withColumn("pair_tgt", F.lower(F.trim(split[1])))
+        .select("case_id", "attr", "pair_src", "pair_tgt")
+    )
+
+
+# -- SO3: ensemble disjoint ---------------------------------------------------
+
+from .matching import _runs_cte as __runs_cte  # noqa: E402
+
+_DISJOINT_ORACLE = __runs_cte() + f"""
+SELECT case_id, src, tgt FROM (SELECT DISTINCT case_id, src, tgt FROM runs)
+EXCEPT
+SELECT case_id, src, tgt FROM (
+  SELECT case_id, src, tgt, COUNT(*) AS n
+  FROM (SELECT DISTINCT seed, case_id, src, tgt FROM runs)
+  GROUP BY case_id, src, tgt
+) WHERE n = {len(ENSEMBLE_SEEDS)}
+"""
+
+
+@query("q_ensemble_disjoint", _DISJOINT_ORACLE)
+def q_ensemble_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3 (eval_ensemble.py:41-51): union − intersection across seed runs."""
+    from ..operators.ensembles import ensemble_disjoint
+    from .matching import _spark_runs
+
+    return ensemble_disjoint(_spark_runs(spark), len(ENSEMBLE_SEEDS))
+
+
+# -- §3.1 stage 4: prompts with sampled instance data -------------------------
+
+_SAMPLED_PROMPT_ORACLE = """
+WITH samples AS (
+  SELECT val, sample_rank FROM (
+    SELECT CAST(c_name AS VARCHAR) AS val,
+           ROW_NUMBER() OVER (ORDER BY md5('11:' || c_custkey)) AS sample_rank
+    FROM customer
+  ) WHERE sample_rank <= 3
+)
+SELECT 'tpch:CUSTOMER|tpch:SUPPLIER' AS case_id, 'c_name' AS col_name,
+       'Column c_name examples: ' || string_agg(val, ', ' ORDER BY sample_rank) AS col_prompt
+FROM samples
+"""
+
+
+@query("q_prompt_with_samples", _SAMPLED_PROMPT_ORACLE)
+def q_prompt_with_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-data sampling into prompt text (§3.1 stage 4,
+    InstanceDataHandler samplers feeding PromptReprTemplate): seeded sample
+    of real column values, folded into the per-column prompt fragment."""
+    from ..operators.sampling import random_sample
+
+    cust = load_table(spark, sf_dir, "customer")
+    sampled = random_sample(cust, 3, 11, ["c_custkey"]).select(
+        F.col("c_name").cast("string").alias("val"), "sample_rank"
+    )
+    frag = F.concat(
+        F.lit("Column c_name examples: "),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sample_rank", F.col("val").alias("val")))),
+                lambda s: s["val"],
+            ),
+            ", ",
+        ),
+    )
+    return sampled.agg(
+        F.lit(_CASE1).alias("case_id"),
+        F.lit("c_name").alias("col_name"),
+        frag.alias("col_prompt"),
+    )
+
+
+# -- W2 sweep + A5: metrics per k ---------------------------------------------
+
+from .matching import _base_cte as __base_cte  # noqa: E402
+
+_SWEEP_ORACLE = __base_cte() + f""",
+gold AS (SELECT * FROM {gold_values_sql()}),
+ranked_merge AS (
+  SELECT case_id, src, tgt,
+         ROW_NUMBER() OVER (PARTITION BY case_id, tgt
+                            ORDER BY (fwd_milli + bwd_milli) / 2000000.0 DESC, src ASC, tgt ASC) AS rank
+  FROM merged WHERE (fwd_milli + bwd_milli) / 2000000.0 <> 0
+),
+ks AS (SELECT unnest(range(1, 4)) AS k),
+counts AS (
+  SELECT k,
+         SUM(CASE WHEN g.src IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN g.src IS NULL THEN 1 ELSE 0 END) AS fp
+  FROM ranked_merge r CROSS JOIN ks
+  LEFT JOIN gold g ON g.case_id = r.case_id AND g.src = r.src AND g.tgt = r.tgt
+  WHERE r.rank <= k
+  GROUP BY k
+),
+gold_total AS (SELECT COUNT(*) AS n_gold FROM gold)
+SELECT k, tp, fp, n_gold - tp AS fn,
+       tp / (tp + fp) AS precision,
+       tp / n_gold AS recall
+FROM counts CROSS JOIN gold_total
+"""
+
+
+@query("q_topk_sweep", _SWEEP_ORACLE)
+def q_topk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k sweep (eval_MatchMaker.py:386-398 / ask_StableMatcher k=1..5):
+    corpus-level TP/FP/FN + P/R per k, computed in one pass over the ranked
+    alignments crossed with the k dimension."""
+    from ..operators.candidates import bidirectional_merge, top_k_per_query
+    from .matching import _spark_preferences
+
+    merged = bidirectional_merge(_spark_preferences(spark), agg="avg")
+    ranked = top_k_per_query(merged, 3)  # rank <= max k
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    gold = gold_alignments_df(spark)
+    n_gold = gold.count()
+    hits = ranked.join(
+        gold.withColumn("__hit", F.lit(1)), ["case_id", "src", "tgt"], "left"
+    )
+    return (
+        hits.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("fp"),
+        )
+        .select(
+            "k", "tp", "fp",
+            (F.lit(n_gold) - F.col("tp")).alias("fn"),
+            (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+            (F.col("tp") / F.lit(n_gold)).alias("recall"),
+        )
     )
