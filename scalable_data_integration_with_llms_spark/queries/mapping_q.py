@@ -137,15 +137,15 @@ _RULES_SQL = ",\n  ".join(
 _SUBSUMED_ORACLE = f"""
 WITH rules AS (SELECT * FROM (VALUES
   {_RULES_SQL}) AS t(rule_id, src_rels, tgt_rels))
-SELECT rule_id FROM rules a
-WHERE NOT EXISTS (
-  SELECT 1 FROM rules b
-  WHERE b.rule_id <> a.rule_id
-    AND len(list_filter(a.src_rels, x -> NOT list_contains(b.src_rels, x))) = 0
-    AND len(list_filter(a.tgt_rels, x -> NOT list_contains(b.tgt_rels, x))) = 0
-    AND (NOT (len(list_filter(b.src_rels, x -> NOT list_contains(a.src_rels, x))) = 0
-              AND len(list_filter(b.tgt_rels, x -> NOT list_contains(a.tgt_rels, x))) = 0)
-         OR b.rule_id > a.rule_id)
+SELECT rule_id FROM rules
+WHERE rule_id NOT IN (
+  SELECT DISTINCT a.rule_id
+  FROM rules a JOIN rules b
+    ON b.rule_id <> a.rule_id
+   AND list_has_all(b.src_rels, a.src_rels)
+   AND list_has_all(b.tgt_rels, a.tgt_rels)
+   AND (NOT (list_has_all(a.src_rels, b.src_rels) AND list_has_all(a.tgt_rels, b.tgt_rels))
+        OR b.rule_id > a.rule_id)
 )
 """
 

@@ -159,3 +159,56 @@ def q_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum(cents(o.o_totalprice)) / F.lit(100.0)).alias("total_price"),
     )
+
+
+# -- anti/semi joins + correlated subquery (Catalyst subquery planning) ------
+
+_NO_ORDERS_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("q_customers_without_orders", _NO_ORDERS_ORACLE)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left_anti join (Catalyst rewrites the correlated
+    subquery; the engine expresses it declaratively either way)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_BIG_SPENDERS_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@query("q_big_spenders", _BIG_SPENDERS_ORACLE)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ABOVE_AVG_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT (SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0)
+                             / COUNT(*) * 1.5 FROM orders)
+"""
+
+
+@query("q_above_avg_orders", _ABOVE_AVG_ORACLE)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate via Spark SQL (exact-cents average so the
+    threshold is engine-identical)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice > (SELECT (SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0)
+                                     / COUNT(*) * 1.5 FROM v_orders)
+        """
+    )

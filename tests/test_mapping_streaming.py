@@ -78,3 +78,7 @@ def test_stream_matches_batch(spark):
     )
     batch = QUERIES["q_events_hourly"](spark, "/root/testdata/sf0.001")
     assert len(stream_rows) == batch.count()
+
+
+def test_subsumed_rules_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_subsumed_rules")

@@ -19,3 +19,11 @@ def test_q1_rows(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {r.l_returnflag for r in rows} <= {"A", "N", "R"}
+
+
+SUBQ = ["q_customers_without_orders", "q_big_spenders", "q_above_avg_orders"]
+
+
+@pytest.mark.parametrize("name", SUBQ)
+def test_subquery_parity(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
