@@ -120,12 +120,21 @@ def mrr(preferences: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
-def mean_ci95(df: DataFrame, metric_milli: Column, group_cols: list[str], z: float = 1.96) -> DataFrame:
+def mean_ci95(
+    df: DataFrame,
+    metric_milli: Column,
+    group_cols: list[str],
+    z: float = 1.96,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
     """A6: mean ± 95% z-CI across runs (``eval_dataset.py:451-471``) from an
     integer-scaled metric.  Sample std via the sum/sum-of-squares identity on
     exact bigint sums, so the double math is engine-identical:
 
         std = sqrt((sumsq - sum²/n) / (n-1)) / SCALE
+
+    Pick ``scale`` so that n·(metric·scale)² stays inside int64 — already-
+    integer metrics (token counts) pass scale=1.
     """
     m = metric_milli.cast("bigint")
     agg = df.groupBy(*group_cols).agg(
@@ -134,8 +143,8 @@ def mean_ci95(df: DataFrame, metric_milli: Column, group_cols: list[str], z: flo
         F.sum(m * m).alias("ss"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
-    mean = (s / F.lit(1_000_000.0)) / n
-    var = (ss - (s * s) / n) / (n - 1) / F.lit(1_000_000.0) / F.lit(1_000_000.0)
+    mean = (s / F.lit(scale)) / n
+    var = (ss - (s * s) / n) / (n - 1) / F.lit(scale) / F.lit(scale)
     std = F.sqrt(var)
     return agg.select(
         *group_cols,

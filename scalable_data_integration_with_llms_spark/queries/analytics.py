@@ -203,3 +203,26 @@ def q_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         truncate_values("p_name", 15).alias("short_name"),
         option_letter(F.col("p_size") % 26).alias("size_letter"),
     )
+
+
+# -- A5 multi-dimensional aggregation via CUBE (grouping sets) ---------------
+
+_CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("q_orders_cube", _CUBE_ORACLE)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5's repeated dimensional groupings as one GROUPING SETS pass
+    (SURVEY §2.4 note): cube over (priority, status) replaces the
+    reference's per-dimension groupBy loops with a single shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents(o.o_totalprice)) / F.lit(100.0)).alias("total_price"),
+    )

@@ -108,9 +108,11 @@ def _spark_preferences(spark: SparkSession) -> DataFrame:
     """
     key = id(spark._jsparkSession)
     if key not in _PREFS_MEMO:
-        cands = generate_candidates(case_catalog_df(spark))
-        # coalesce: the case set is tiny; fewer persisted partitions means
-        # fewer scheduled tasks for every downstream consumer
+        # coalesce(1) before the Python boundary: the static case set is a
+        # few hundred rows, and one Arrow batch through one Python worker
+        # beats spinning a worker per partition; coalesce again after the
+        # ranking shuffle so every consumer schedules few tasks
+        cands = generate_candidates(case_catalog_df(spark)).coalesce(1)
         prefs = rank_preferences(mock_score_candidates(cands)).coalesce(4).persist()
         _PREFS_MEMO[key] = prefs
     return _PREFS_MEMO[key]

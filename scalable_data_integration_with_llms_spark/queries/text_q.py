@@ -94,10 +94,10 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_ORACLE = """
 SELECT source, COUNT(*) AS n_runs,
-       (SUM(tok_milli) / 1000000.0) / COUNT(*) AS mean_metric,
-       sqrt((SUM(tok_milli * tok_milli) - (SUM(tok_milli) * SUM(tok_milli)) / COUNT(*)) / (COUNT(*) - 1) / 1000000.0 / 1000000.0) AS std_metric,
-       1.96 * sqrt((SUM(tok_milli * tok_milli) - (SUM(tok_milli) * SUM(tok_milli)) / COUNT(*)) / (COUNT(*) - 1) / 1000000.0 / 1000000.0) / sqrt(COUNT(*)) AS ci95
-FROM (SELECT source, len(string_split(text, ' ')) * 1000000 AS tok_milli FROM documents)
+       (SUM(tok) / 1.0) / COUNT(*) AS mean_metric,
+       sqrt((SUM(tok * tok) - (SUM(tok) * SUM(tok)) / COUNT(*)) / (COUNT(*) - 1) / 1.0 / 1.0) AS std_metric,
+       1.96 * sqrt((SUM(tok * tok) - (SUM(tok) * SUM(tok)) / COUNT(*)) / (COUNT(*) - 1) / 1.0 / 1.0) / sqrt(COUNT(*)) AS ci95
+FROM (SELECT source, len(string_split(text, ' ')) AS tok FROM documents)
 GROUP BY source
 """
 
@@ -105,8 +105,10 @@ GROUP BY source
 @query("q_token_stats", _TOKEN_ORACLE)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    with_tokens = d.withColumn("tok_milli", token_count("text").cast("bigint") * 1_000_000)
-    return mean_ci95(with_tokens, F.col("tok_milli"), ["source"])
+    # token counts are already integers: scale=1 keeps sum-of-squares well
+    # inside int64 at any corpus size
+    with_tokens = d.withColumn("tok", token_count("text").cast("bigint"))
+    return mean_ci95(with_tokens, F.col("tok"), ["source"], scale=1.0)
 
 
 # -- document fingerprints ----------------------------------------------------

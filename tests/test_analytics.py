@@ -31,3 +31,7 @@ def test_sampling_stable_across_partitions(spark):
     a = {r.o_orderkey for r in random_sample(o, 20, 42, ["o_orderkey"]).collect()}
     b = {r.o_orderkey for r in random_sample(o.repartition(13), 20, 42, ["o_orderkey"]).collect()}
     assert a == b
+
+
+def test_orders_cube_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_orders_cube")
