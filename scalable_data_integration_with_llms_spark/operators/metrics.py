@@ -155,6 +155,51 @@ def mean_ci95(
     )
 
 
+# two-sided 95% Student-t critical values by degrees of freedom (standard
+# published table); > 30 falls back to the normal z.  The reference uses
+# scipy's t-ppf (computational_eval.py:17-29); the engine inlines the table
+# to stay dependency-free.
+_T95 = {
+    1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447, 7: 2.365,
+    8: 2.306, 9: 2.262, 10: 2.228, 11: 2.201, 12: 2.179, 13: 2.160,
+    14: 2.145, 15: 2.131, 16: 2.120, 17: 2.110, 18: 2.101, 19: 2.093,
+    20: 2.086, 21: 2.080, 22: 2.074, 23: 2.069, 24: 2.064, 25: 2.060,
+    26: 2.056, 27: 2.052, 28: 2.048, 29: 2.045, 30: 2.042,
+}
+
+
+def t_quantile_95(dof: int) -> float:
+    """Two-sided 95% t critical value (A7, ``computational_eval.py:17-29``)."""
+    if dof <= 0:
+        return float("nan")
+    return _T95.get(dof, 1.96)
+
+
+def mean_ci95_t(
+    df: DataFrame,
+    metric: Column,
+    group_cols: list[str],
+    scale: float = 1.0,
+) -> DataFrame:
+    """A7: mean ± 95% *t*-CI (small-sample form the reference uses for
+    token/time cost stats).  The t multiplier depends on the group's n, so
+    it's applied via a broadcast-joined critical-value table — still fully
+    distributed and oracle-exact."""
+    base = mean_ci95(df, metric, group_cols, z=1.0, scale=scale)
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(n + 1, t_quantile_95(n)) for n in range(1, 201)], "n_runs int, t_crit double"
+    )
+    joined = base.join(F.broadcast(tdf), "n_runs", "left")
+    return joined.select(
+        *group_cols,
+        "n_runs",
+        "mean_metric",
+        "std_metric",
+        (F.coalesce(F.col("t_crit"), F.lit(1.96)) * F.col("ci95")).alias("ci95_t"),
+    )
+
+
 def pass_rate(df: DataFrame, metric: Column, args_cols: list[str], seed_col: str) -> DataFrame:
     """A12: tests_passed = fraction of tests with metric ≥ 1, averaged per
     (args, seed) then aggregated per args as mean-of-means and max

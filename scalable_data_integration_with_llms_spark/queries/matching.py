@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog.cases import case_catalog_df, cases_values_sql
+from ..catalog.cases import case_catalog_df, cases_values_sql, gold_values_sql
 from ..functions.determinism import det_rand
 from ..llm.boundary import mock_score_candidates
 from ..operators.candidates import (
@@ -305,3 +305,20 @@ def q_match_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stable_matching import round_r
 
     return round_r(stable_match(_spark_preferences(spark), top_k=5), 2)
+
+
+_GOLD_FILTER_ORACLE = _runs_cte() + f""",
+gold AS (SELECT * FROM {gold_values_sql()})
+SELECT DISTINCT runs.case_id, runs.src, runs.tgt
+FROM runs JOIN gold USING (case_id, src, tgt)
+"""
+
+
+@query("q_ensemble_gold_filter", _GOLD_FILTER_ORACLE)
+def q_ensemble_gold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO4 (eval_ensemble.py:119-126): ensemble union ∩ gold — the oracle
+    upper bound."""
+    from ..catalog.cases import gold_alignments_df
+    from ..operators.ensembles import gold_filter
+
+    return gold_filter(_spark_runs(spark), gold_alignments_df(spark))

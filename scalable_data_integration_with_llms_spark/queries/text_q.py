@@ -124,3 +124,38 @@ FROM documents
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", fingerprint("text").alias("fp"))
+
+
+# -- A7: token cost stats with Student-t CI -----------------------------------
+
+def _t_values_sql() -> str:
+    from ..operators.metrics import _T95
+
+    rows = ", ".join(f"({n + 1}, {t})" for n, t in ((d, v) for d, v in _T95.items()))
+    return f"(VALUES {rows}) AS tt(n_runs, t_crit)"
+
+
+_TOKEN_T_ORACLE = f"""
+WITH base AS (
+  SELECT source, COUNT(*) AS n_runs,
+         (SUM(tok) / 1.0) / COUNT(*) AS mean_metric,
+         sqrt((SUM(tok * tok) - (SUM(tok) * SUM(tok)) / COUNT(*)) / (COUNT(*) - 1) / 1.0 / 1.0) AS std_metric,
+         1.0 * sqrt((SUM(tok * tok) - (SUM(tok) * SUM(tok)) / COUNT(*)) / (COUNT(*) - 1) / 1.0 / 1.0) / sqrt(COUNT(*)) AS sem
+  FROM (SELECT source, len(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source
+)
+SELECT source, base.n_runs, mean_metric, std_metric,
+       COALESCE(t_crit, 1.96) * sem AS ci95_t
+FROM base LEFT JOIN {_t_values_sql()} ON base.n_runs = tt.n_runs
+"""
+
+
+@query("q_token_stats_t", _TOKEN_T_ORACLE)
+def q_token_stats_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (computational_eval.py:11-63): mean tokens with the reference's
+    small-sample Student-t confidence interval."""
+    from ..operators.metrics import mean_ci95_t
+
+    d = load_table(spark, sf_dir, "documents")
+    with_tokens = d.withColumn("tok", token_count("text").cast("bigint"))
+    return mean_ci95_t(with_tokens, F.col("tok"), ["source"], scale=1.0)

@@ -36,3 +36,11 @@ def test_prf1_guards(spark):
     rows = {r.case_id: r for r in prf1_columns(df).collect()}
     assert rows["c1"].precision == 0.0 and rows["c1"].recall == 0.0 and rows["c1"].f1 == 0.0
     assert rows["c2"].precision == 0.0 and rows["c2"].f1 == 0.0
+
+
+def test_token_stats_t_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_token_stats_t")
+
+
+def test_gold_filter_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_ensemble_gold_filter")
