@@ -289,12 +289,326 @@ def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- U6: stable matching (iterative; rows-only check) ------------------------
 
 
-@query("q_stable_matching")
+
+_STABLE_GOLDEN_ORACLE = """
+SELECT * FROM (VALUES
+  ('tpch:CUSTOMER|noisy:CUST', 1, 'c_acctbal', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 1, 'c_custkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 1, 'c_mktsegment', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 1, 'c_name', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 1, 'c_nationkey', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_acctbal', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_acctbal', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_custkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_custkey', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_mktsegment', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_mktsegment', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_name', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_name', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_nationkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 2, 'c_nationkey', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_acctbal', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_acctbal', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_acctbal', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_custkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_custkey', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_custkey', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_mktsegment', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_mktsegment', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_mktsegment', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_name', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_name', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_name', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_nationkey', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_nationkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 3, 'c_nationkey', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_acctbal', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_acctbal', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_acctbal', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_acctbal', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_custkey', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_custkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_custkey', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_custkey', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_mktsegment', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_mktsegment', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_mktsegment', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_mktsegment', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_name', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_name', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_name', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_nationkey', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_nationkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_nationkey', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 4, 'c_nationkey', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_acctbal', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_acctbal', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_acctbal', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_acctbal', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_acctbal', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_custkey', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_custkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_custkey', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_custkey', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_custkey', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_mktsegment', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_mktsegment', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_mktsegment', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_mktsegment', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_name', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_name', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_name', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_name', 'segment'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_nationkey', 'acct_balance'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_nationkey', 'cust_id'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_nationkey', 'cust_nm'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_nationkey', 'nation_code'),
+  ('tpch:CUSTOMER|noisy:CUST', 5, 'c_nationkey', 'segment'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 1, 'c_acctbal', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 1, 'c_custkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 1, 'c_name', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 1, 'c_nationkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_acctbal', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_acctbal', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_custkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_custkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_name', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_name', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_nationkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 2, 'c_nationkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_acctbal', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_acctbal', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_acctbal', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_custkey', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_custkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_custkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_mktsegment', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_name', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_name', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_name', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_nationkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 3, 'c_nationkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_acctbal', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_acctbal', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_acctbal', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_acctbal', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_custkey', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_custkey', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_custkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_custkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_mktsegment', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_name', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_name', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_name', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_name', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_nationkey', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_nationkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 4, 'c_nationkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_acctbal', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_acctbal', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_acctbal', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_acctbal', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_custkey', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_custkey', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_custkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_custkey', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_mktsegment', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_mktsegment', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_name', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_name', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_name', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_name', 's_suppkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_nationkey', 's_acctbal'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_nationkey', 's_name'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_nationkey', 's_nationkey'),
+  ('tpch:CUSTOMER|tpch:SUPPLIER', 5, 'c_nationkey', 's_suppkey'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 1, 'event_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 1, 'event_type', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 1, 'props', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 1, 'ts', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 1, 'user_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 1, 'value', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'event_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'event_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'event_type', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'event_type', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'props', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'props', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'ts', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'ts', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'user_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'user_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'value', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 2, 'value', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'event_id', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'event_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'event_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'event_type', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'event_type', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'event_type', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'props', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'props', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'props', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'ts', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'ts', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'ts', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'user_id', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'user_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'user_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'value', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'value', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 3, 'value', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_id', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_id', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_type', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_type', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_type', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'event_type', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'props', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'props', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'props', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'props', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'ts', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'ts', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'ts', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'ts', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'user_id', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'user_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'user_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'value', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'value', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'value', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 4, 'value', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_id', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_id', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_id', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_type', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_type', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_type', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'event_type', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'props', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'props', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'props', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'props', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'props', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'ts', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'ts', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'ts', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'ts', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'ts', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'user_id', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'user_id', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'user_id', 'kind'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'user_id', 'uid'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'value', 'amount'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'value', 'event_time'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'value', 'evt_id'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'value', 'payload_json'),
+  ('tpch:EVENTS|noisy:EVENT_LOG', 5, 'value', 'uid'),
+  ('tpch:ORDERS|tpch:LINEITEM', 1, 'o_custkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 1, 'o_orderdate', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 1, 'o_orderkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 1, 'o_orderpriority', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 1, 'o_orderstatus', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 1, 'o_totalprice', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_custkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_custkey', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderdate', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderdate', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderpriority', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderpriority', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderstatus', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_orderstatus', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_totalprice', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 2, 'o_totalprice', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_custkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_custkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_custkey', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderdate', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderdate', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderdate', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderkey', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderpriority', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderpriority', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderpriority', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderstatus', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderstatus', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_orderstatus', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_totalprice', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 3, 'o_totalprice', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_custkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_custkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_custkey', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_custkey', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderdate', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderdate', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderdate', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderdate', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderkey', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderkey', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderpriority', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderpriority', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderpriority', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderpriority', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderstatus', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderstatus', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderstatus', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_orderstatus', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_totalprice', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 4, 'o_totalprice', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_custkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_custkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_custkey', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_custkey', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_custkey', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderdate', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderdate', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderdate', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderdate', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderdate', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderkey', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderkey', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderkey', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderkey', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderkey', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderpriority', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderpriority', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderpriority', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderpriority', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderpriority', 'l_suppkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderstatus', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderstatus', 'l_orderkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderstatus', 'l_partkey'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderstatus', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_orderstatus', 'l_shipdate'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_totalprice', 'l_extendedprice'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_totalprice', 'l_quantity'),
+  ('tpch:ORDERS|tpch:LINEITEM', 5, 'o_totalprice', 'l_suppkey')) AS t(case_id, round, src, tgt)
+"""
+
+
+@query("q_stable_matching", _STABLE_GOLDEN_ORACLE)
 def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gale–Shapley rounds over the mock preferences.  Not SQL-expressible
-    (iterative propose/displace loop) — correctness pinned by unit fixtures
-    against hand-computed matchings instead (tests/test_stable_matching.py)."""
-    return stable_match(_spark_preferences(spark), top_k=5)
+    """Gale–Shapley rounds over the mock preferences.  The iterative
+    propose/displace loop is not SQL-expressible, so the oracle pins the
+    golden output (sanity-anchored: round 1 of the customer|supplier case is
+    exactly its gold mapping, and the low-overlap orders|lineitem case pairs
+    only the orderkeys); the algorithm's semantics are separately pinned by
+    unit fixtures (tests/test_stable_matching.py) and hypothesis property
+    tests (tests/test_matching_properties.py)."""
+    return stable_match(_spark_preferences(spark), top_k=5).withColumn(
+        "round", F.col("round").cast("int")
+    )
 
 
 @query("q_match_round2")

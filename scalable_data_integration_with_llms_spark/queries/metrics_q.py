@@ -305,3 +305,51 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit_relation(spark, cust, audit_rel).unionByName(
         audit_relation(spark, li, li_rel)
     )
+
+
+# -- A5 §5.5: category-sliced metric reporting --------------------------------
+
+_BY_CATEGORY_ORACLE = _PRF1_ORACLE.replace(
+    "SELECT counts.case_id, tp, fp, fn, COALESCE(tn, 0) AS tn,", "SELECT"
+).replace(
+    "FROM counts\nLEFT JOIN tns USING (case_id)\nJOIN sizes USING (case_id)\nJOIN gold_sizes USING (case_id)",
+    "FROM counts\nLEFT JOIN tns USING (case_id)\nJOIN sizes USING (case_id)\nJOIN gold_sizes USING (case_id)",
+)
+
+_BY_CATEGORY_ORACLE = _PRF1_ORACLE.replace("\nFROM counts", ",\n       n_target\nFROM counts") + """
+"""
+_BY_CATEGORY_ORACLE = f"""
+WITH percase AS ({_BY_CATEGORY_ORACLE})
+SELECT CASE WHEN n_target >= 6 THEN 'wide' ELSE 'narrow' END AS size_bucket,
+       COUNT(*) AS n_cases,
+       (SUM(CAST(round(f1 * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_f1,
+       (SUM(CAST(round(recall * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_recall
+FROM percase
+GROUP BY 1
+"""
+
+
+@query("q_metrics_by_category", _BY_CATEGORY_ORACLE)
+def q_metrics_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-sliced metric reporting (eval_dataset.py:587-612 groupings):
+    per-case PRF1 rolled up by a dataset dimension (schema width bucket),
+    exact via milli-scaled means."""
+    percase = q_alignment_prf1(spark, sf_dir)
+    catalog = case_catalog_df(spark)
+    sizes = (
+        catalog.filter(F.col("side") == "target")
+        .groupBy("case_id")
+        .agg(F.count(F.lit(1)).alias("n_target"))
+    )
+    bucket = F.when(F.col("n_target") >= 6, "wide").otherwise("narrow")
+    milli = lambda c: F.round(F.col(c) * 1_000_000, 0).cast("bigint")  # noqa: E731
+    return (
+        percase.join(sizes, "case_id")
+        .withColumn("size_bucket", bucket)
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_cases"),
+            ((F.sum(milli("f1")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_f1"),
+            ((F.sum(milli("recall")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_recall"),
+        )
+    )

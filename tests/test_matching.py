@@ -55,3 +55,7 @@ def test_stable_matching_rows(spark):
         tgt_uses = Counter(t for _, t in delta)
         assert not src_uses or max(src_uses.values()) == 1
         assert not tgt_uses or max(tgt_uses.values()) == 1
+
+
+def test_stable_matching_golden_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_stable_matching")

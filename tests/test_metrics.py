@@ -44,3 +44,7 @@ def test_token_stats_t_parity(spark, duck):
 
 def test_gold_filter_parity(spark, duck):
     assert_oracle_match(spark, duck, "q_ensemble_gold_filter")
+
+
+def test_metrics_by_category_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_metrics_by_category")
