@@ -73,14 +73,20 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-marker language ID: per-language marker hit counts → first
     max-hit language in fixed precedence order."""
     d = load_table(spark, sf_dir, "documents")
-    hits = {lang: marker_hits("text", LANG_MARKERS[lang]) for lang in _LANG_ORDER}
-    best = F.greatest(*[hits[lang] for lang in _LANG_ORDER])
-    predicted = F.when(hits[_LANG_ORDER[0]] == best, _LANG_ORDER[0])
+    # materialize each language's hit count once (column aliases) before the
+    # argmax — inlining the token-filter expression into greatest() + every
+    # CASE arm multiplies the generated code ~10x and the per-row work ~2x
+    with_hits = d.select(
+        "lang",
+        *[marker_hits("text", LANG_MARKERS[lang]).alias(f"h_{lang}") for lang in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in _LANG_ORDER])
+    predicted = F.when(F.col(f"h_{_LANG_ORDER[0]}") == best, _LANG_ORDER[0])
     for lang in _LANG_ORDER[1:]:
-        predicted = predicted.when(hits[lang] == best, lang)
+        predicted = predicted.when(F.col(f"h_{lang}") == best, lang)
     correct = F.sum(F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0))
     return (
-        d.select("lang", predicted.alias("predicted"))
+        with_hits.select("lang", predicted.alias("predicted"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
