@@ -7,6 +7,7 @@ DuckDB SQL).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     exact_dedup_groups,
@@ -122,3 +123,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_media(d, "text", "doc_id")
     return extract_features(media, decode_fn=fake_image_decoder, frames_per_item=2)
+
+
+# -- the production dedup flow: LSH candidates -> exact-Jaccard verify --------
+
+_LSH_VERIFIED_ORACLE = _SHINGLE_CTE + """,
+perms AS (SELECT unnest(range(0, 12)) AS p),
+hashed AS (SELECT doc, p, ('0x' || substr(md5(p || ':' || shingle), 1, 15))::BIGINT AS h
+           FROM s CROSS JOIN perms),
+minh AS (SELECT doc, p, MIN(h) AS minh FROM hashed GROUP BY doc, p),
+banded AS (SELECT doc, CAST(p // 3 AS INT) AS band, p, minh FROM minh),
+sigs AS (SELECT doc, band, md5(string_agg(p || ':' || minh, '|' ORDER BY p)) AS signature
+         FROM banded GROUP BY doc, band),
+cands AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared_bands
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.signature = b.signature AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_shared_bands, COUNT(*) AS inter
+  FROM cands c JOIN s sa ON sa.doc = c.doc_a JOIN s sb ON sb.doc = c.doc_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, n_shared_bands,
+       inter / (x.sz + y.sz - inter) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+WHERE inter / (x.sz + y.sz - inter) >= 0.7
+"""
+
+
+@query("q_lsh_verified_pairs", _LSH_VERIFIED_ORACLE)
+def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup pipeline a training-data run uses: MinHash
+    band signatures -> LSH candidate pairs (groupBy on (band, signature), no
+    all-pairs join) -> exact shingle-Jaccard verification of candidates
+    only.  At corpus scale the verify join touches just the candidate set,
+    not the corpus square."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3).persist()
+    sigs = minhash_signatures(sh, n_perm=12, n_bands=4)
+    from ..operators.dedup import lsh_candidate_pairs
+
+    cands = lsh_candidate_pairs(sigs)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sx = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sy = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
+    )

@@ -58,3 +58,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(queries, emb, _K)
+
+
+# -- embedding-cosine near-dup pairs (dedup family, north star) --------------
+
+_NEAR_DUP_TAU = 0.92
+
+_NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_COS_EXPR.replace('q.', 'a.').replace('c.', 'b.')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_EXPR.replace('q.', 'a.').replace('c.', 'b.')} >= {_NEAR_DUP_TAU}
+"""
+
+
+@query("q_embedding_near_dup", _NEAR_DUP_ORACLE)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-restricted to the same
+    coarse partition (label) so the candidate set is an equi-join, not a
+    cross join — the scale path for embedding dedup."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
+    )

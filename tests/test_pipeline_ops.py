@@ -74,3 +74,11 @@ def test_simhash_close_for_near_dups(spark, dup_docs):
     hamming_13 = bin(fps[1] ^ fps[3]).count("1")
     hamming_14 = bin(fps[1] ^ fps[4]).count("1")
     assert hamming_13 < hamming_14
+
+
+ROUND2 = ["q_embedding_near_dup", "q_lsh_verified_pairs"]
+
+
+@pytest.mark.parametrize("name", ROUND2)
+def test_oracle_parity_round2(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
