@@ -611,11 +611,21 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_match_round2")
+_ROUND2_ORACLE = f"""
+WITH m AS ({_STABLE_GOLDEN_ORACLE}),
+last AS (SELECT case_id, MAX(round) AS max_round FROM m GROUP BY case_id)
+SELECT m.case_id, src, tgt
+FROM m JOIN last USING (case_id)
+WHERE round = LEAST(2, max_round)
+"""
+
+
+@query("q_match_round2", _ROUND2_ORACLE)
 def q_match_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 round-r extraction: the round-2 match set, shorter cases falling
-    back to their last round (ask_StableMatcher.py:374-447).  Rows-only,
-    like its stable-matching input."""
+    back to their last round (ask_StableMatcher.py:374-447).  The oracle
+    derives the same extraction in SQL from the pinned stable-matching
+    rounds, so W3's pad-with-last semantics are independently checked."""
     from ..operators.stable_matching import round_r
 
     return round_r(stable_match(_spark_preferences(spark), top_k=5), 2)

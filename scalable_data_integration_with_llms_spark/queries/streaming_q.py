@@ -79,3 +79,33 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query("q_sessionization_stream")
+def q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState keyed by
+    user) drained with availableNow.  Rows-only by design: a bounded drain
+    emits only sessions *closed by a later event* — each user's final open
+    session stays in state awaiting more data, so the batch query is a
+    strict superset (equality on closed sessions is asserted in
+    tests/test_streaming_state.py)."""
+    import tempfile
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.sessions import sessionize_stream
+
+    stream = read_event_stream(spark, sf_dir)
+    sessions = sessionize_stream(stream, gap_minutes=_SESSION_GAP_MIN)
+    for q in spark.streams.active:
+        if q.name == "sdi_sessions_q":
+            q.stop()
+    query_handle = (
+        sessions.writeStream.format("memory")
+        .queryName("sdi_sessions_q")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_sess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query_handle.awaitTermination()
+    return spark.table("sdi_sessions_q")
