@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
     "q_events_hourly",
     "q_majority_vote",
     "q_mock_match_scores",

@@ -212,3 +212,148 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      / COUNT(*) * 1.5 FROM v_orders)
         """
     )
+
+
+# -- q7: volume shipping between nation pairs by year -------------------------
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", _Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    # orders⋈lineitem is the one fact-fact shuffle; every dim broadcasts
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(cents(l.l_extendedprice * (1 - l.l_discount))) / F.lit(100.0)).alias("revenue"))
+    )
+
+
+# -- q9: profit by nation and year (retail-price cost proxy) ------------------
+
+_Q9_ORACLE = """
+SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+       SUM(CAST(round((((l_extendedprice * (1 - l_discount)) - ((p_retailprice * 0.1) * l_quantity)) * 100), 0) AS BIGINT)) / 100.0 AS profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+@query("q9_profit", _Q9_ORACLE)
+def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape with a retail-price cost proxy (the synthetic schema
+    has no partsupp); amount computed per-row then exact-cents summed."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    amount = (l.l_extendedprice * (1 - l.l_discount)) - ((p.p_retailprice * 0.1) * l.l_quantity)
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(cents(amount)) / F.lit(100.0)).alias("profit"))
+    )
+
+
+# -- q10: top returned-revenue customers --------------------------------------
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_revenue", _Q10_ORACLE)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev_cents = F.sum(cents(l.l_extendedprice * (1 - l.l_discount)))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev_cents.alias("rc"))
+        .orderBy(F.desc("rc"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", (F.col("rc") / F.lit(100.0)).alias("revenue"))
+    )
+
+
+# -- q14: promo revenue share -------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT
+  (SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)
+            ELSE 0 END) * 100.0)
+  / SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) AS promo_revenue_pct,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@query("q14_promo_share", _Q14_ORACLE)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio on exact cents: promo revenue share."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rc = cents(l.l_extendedprice * (1 - l.l_discount))
+    promo = F.sum(F.when(p.p_type == "PROMO", rc).otherwise(F.lit(0)))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            ((promo * F.lit(100.0)) / F.sum(rc)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -27,3 +27,11 @@ SUBQ = ["q_customers_without_orders", "q_big_spenders", "q_above_avg_orders"]
 @pytest.mark.parametrize("name", SUBQ)
 def test_subquery_parity(spark, duck, name):
     assert_oracle_match(spark, duck, name)
+
+
+MORE = ["q7_volume_shipping", "q9_profit", "q10_returned_revenue", "q14_promo_share"]
+
+
+@pytest.mark.parametrize("name", MORE)
+def test_more_tpch_parity(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
