@@ -28,7 +28,7 @@ CREATE/DROP over simple identifiers) are exactly what the regex path handles.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 try:  # pragma: no cover - environment-dependent upgrade path
     import sqlglot  # noqa: F401

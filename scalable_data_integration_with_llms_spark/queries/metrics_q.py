@@ -309,17 +309,13 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- A5 §5.5: category-sliced metric reporting --------------------------------
 
-_BY_CATEGORY_ORACLE = _PRF1_ORACLE.replace(
-    "SELECT counts.case_id, tp, fp, fn, COALESCE(tn, 0) AS tn,", "SELECT"
-).replace(
-    "FROM counts\nLEFT JOIN tns USING (case_id)\nJOIN sizes USING (case_id)\nJOIN gold_sizes USING (case_id)",
-    "FROM counts\nLEFT JOIN tns USING (case_id)\nJOIN sizes USING (case_id)\nJOIN gold_sizes USING (case_id)",
+# the per-case oracle, re-exposing n_target so the rollup can bucket on it
+_BY_CATEGORY_PERCASE = _PRF1_ORACLE.replace(
+    "\nFROM counts", ",\n       n_target\nFROM counts"
 )
 
-_BY_CATEGORY_ORACLE = _PRF1_ORACLE.replace("\nFROM counts", ",\n       n_target\nFROM counts") + """
-"""
 _BY_CATEGORY_ORACLE = f"""
-WITH percase AS ({_BY_CATEGORY_ORACLE})
+WITH percase AS ({_BY_CATEGORY_PERCASE})
 SELECT CASE WHEN n_target >= 6 THEN 'wide' ELSE 'narrow' END AS size_bucket,
        COUNT(*) AS n_cases,
        (SUM(CAST(round(f1 * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_f1,
