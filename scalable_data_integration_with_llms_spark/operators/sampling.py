@@ -69,3 +69,13 @@ def seeded_shuffle(df: DataFrame, seed: int, key_cols: list[str],
     ``utils/data_builder.py:21-24``): a stable permutation index per group."""
     win = W.partitionBy(*(partition_by or [])).orderBy(det_shuffle_key(seed, *key_cols))
     return df.withColumn("shuffle_pos", F.row_number().over(win))
+
+
+def unique_value_sample(df: DataFrame, value_col: str, n: int, seed: int,
+                        partition_by: list[str] | None = None) -> DataFrame:
+    """Column-wise `random_unique` sampler (``InstanceDataHandler.py:455-470``,
+    ``PromptBuilder`` ColumnWise): distinct values of one column, seeded
+    n-sample.  The distinct runs before the sample, so heavy duplication
+    collapses ahead of ranking."""
+    distinct = df.select(*(partition_by or []), value_col).distinct()
+    return random_sample(distinct, n, seed, [value_col], partition_by=partition_by)

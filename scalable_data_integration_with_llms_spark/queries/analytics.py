@@ -226,3 +226,26 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum(cents(o.o_totalprice)) / F.lit(100.0)).alias("total_price"),
     )
+
+
+# -- ColumnWise random_unique sampler ----------------------------------------
+
+_UNIQUE_SAMPLE_ORACLE = """
+SELECT o_orderpriority, sample_rank FROM (
+  SELECT o_orderpriority,
+         ROW_NUMBER() OVER (ORDER BY md5('9:' || o_orderpriority)) AS sample_rank
+  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+) WHERE sample_rank <= 3
+"""
+
+
+@query("q_unique_value_sample", _UNIQUE_SAMPLE_ORACLE)
+def q_unique_value_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnWise `random_unique`: distinct column values, seeded sample
+    (InstanceDataHandler.py:455-470)."""
+    from ..operators.sampling import unique_value_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    return unique_value_sample(o, "o_orderpriority", 3, 9).select(
+        "o_orderpriority", "sample_rank"
+    )

@@ -35,3 +35,7 @@ def test_sampling_stable_across_partitions(spark):
 
 def test_orders_cube_parity(spark, duck):
     assert_oracle_match(spark, duck, "q_orders_cube")
+
+
+def test_unique_value_sample_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_unique_value_sample")
