@@ -249,3 +249,99 @@ def q_unique_value_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unique_value_sample(o, "o_orderpriority", 3, 9).select(
         "o_orderpriority", "sample_rank"
     )
+
+
+# -- exact percentiles (order statistics; additive profiling surface) --------
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("q_price_percentiles", _PERCENTILE_ORACLE)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont` bit-for-bit on identical inputs; verified)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# -- lead/lag + rolling window analytics -------------------------------------
+
+_ACTIVITY_ORACLE = """
+SELECT event_id, user_id,
+       (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) AS gap_us,
+       SUM(CAST(round(value * 10000, 0) AS BIGINT))
+         OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 10000.0 AS rolling3_value,
+       ROW_NUMBER() OVER w AS event_seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("q_user_activity_windows", _ACTIVITY_ORACLE)
+def q_user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frames the reference never needed (SURVEY §2.5 notes their
+    absence) but any event pipeline does: lag gap, rolling 3-event exact
+    sum, per-user sequence number."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        (
+            F.sum(cents("value", 10000)).over(w.rowsBetween(-2, 0)) / F.lit(10000.0)
+        ).alias("rolling3_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+# -- table profiling (data-quality surface for pipeline ingestion) -----------
+
+_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col_name,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+"""
+
+
+@query("q_profile_orders", _PROFILE_ORACLE)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate, cardinality, range) — the ingestion
+    health check a training-data pipeline runs before anything else.  One
+    scan per profiled column set; exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    return profile("o_custkey").unionByName(profile("o_totalprice"))

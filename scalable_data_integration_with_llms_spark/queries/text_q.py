@@ -165,3 +165,41 @@ def q_token_stats_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_tokens = d.withColumn("tok", token_count("text").cast("bigint"))
     return mean_ci95_t(with_tokens, F.col("tok"), ["source"], scale=1.0)
+
+
+# -- corpus n-gram frequency table -------------------------------------------
+
+_TOP_BIGRAMS_ORACLE = """
+SELECT bigram, cnt, bigram_rank FROM (
+  SELECT bigram, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram ASC) AS bigram_rank
+  FROM (
+    SELECT ws[i] || ' ' || ws[i+1] AS bigram
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+         unnest(range(1, len(ws))) AS t(i)
+  )
+  GROUP BY bigram
+) WHERE bigram_rank <= 20
+"""
+
+
+@query("q_top_bigrams", _TOP_BIGRAMS_ORACLE)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (LM-statistics shape): explode word
+    bigrams, hash-aggregate with map-side combine, deterministic top-20."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(-1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = W.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("bigram_rank", F.row_number().over(win))
+        .filter(F.col("bigram_rank") <= 20)
+    )

@@ -39,3 +39,15 @@ def test_orders_cube_parity(spark, duck):
 
 def test_unique_value_sample_parity(spark, duck):
     assert_oracle_match(spark, duck, "q_unique_value_sample")
+
+
+MORE_ANALYTICS = ["q_price_percentiles", "q_user_activity_windows", "q_profile_orders"]
+
+
+@pytest.mark.parametrize("name", MORE_ANALYTICS)
+def test_more_analytics_parity(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
+
+
+def test_top_bigrams_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_top_bigrams")
