@@ -646,3 +646,34 @@ def q_ensemble_gold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ensembles import gold_filter
 
     return gold_filter(_spark_runs(spark), gold_alignments_df(spark))
+
+
+# -- SURVEY §7 hard part 5: filtered_preferences reconstruction ---------------
+# The reference's postprocess_confidence_scores.py is absent from the repo;
+# its consumers (ask_StableMatcher.py:79-97) define the semantics: a raw MCQ
+# preference list is truncated at the "none of the options" entry — only
+# candidates the model ranked ABOVE the no-match option survive.
+
+_FILTERED_PREFS_ORACLE = _base_cte() + """
+SELECT r.case_id, r.side, r.query_attr, r.candidate_attr, r.score_milli, r.rank
+FROM ranked r
+JOIN (SELECT case_id, side, query_attr, rank AS nm_rank
+      FROM ranked WHERE candidate_attr = 'none of the options') nm
+  ON r.case_id = nm.case_id AND r.side = nm.side AND r.query_attr = nm.query_attr
+WHERE r.rank < nm.nm_rank
+"""
+
+
+@query("q_filtered_preferences", _FILTERED_PREFS_ORACLE)
+def q_filtered_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filtered_preferences (reconstructed): truncate each ranked list at
+    the no-match terminator (ask_StableMatcher.py:88-92)."""
+    prefs = _spark_preferences(spark)
+    nm = prefs.filter(F.col("candidate_attr") == NO_MATCH).select(
+        "case_id", "side", "query_attr", F.col("rank").alias("nm_rank")
+    )
+    return (
+        prefs.join(nm, ["case_id", "side", "query_attr"])
+        .filter(F.col("rank") < F.col("nm_rank"))
+        .select("case_id", "side", "query_attr", "candidate_attr", "score_milli", "rank")
+    )

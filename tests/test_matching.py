@@ -59,3 +59,17 @@ def test_stable_matching_rows(spark):
 
 def test_stable_matching_golden_parity(spark, duck):
     assert_oracle_match(spark, duck, "q_stable_matching")
+
+
+def test_filtered_preferences_parity(spark, duck):
+    assert_oracle_match(spark, duck, "q_filtered_preferences")
+
+
+def test_filtered_preferences_terminator_semantics(spark):
+    """Everything at or below the no-match option is dropped."""
+    from pyspark.sql import functions as F
+
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    out = QUERIES["q_filtered_preferences"](spark, "x")
+    assert out.filter(F.col("candidate_attr") == "none of the options").count() == 0

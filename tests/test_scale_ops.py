@@ -53,3 +53,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned layout + partition pruning: the filter must reach
+    PartitionFilters, not scan all partitions (SCALE.md relational-core)."""
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_day")
+    e.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("day") == "2024-01-01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert df.count() > 0
