@@ -357,3 +357,393 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# -- q4: order-priority counting via EXISTS (fact-fact semi join) ------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_priority_exists", _Q4_ORACLE)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left_semi join. Both sides are facts, so the
+    semi join shuffles on l_orderkey/o_orderkey — but the date filter prunes
+    orders first and the returnflag filter prunes lineitem before the
+    exchange, so the shuffled volume is a fraction of either table. The
+    lineitem side projects only l_orderkey (column pruning reaches the scan)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# -- q6: forecast revenue (pure scan: every predicate pushes to parquet) -----
+
+_Q6_ORACLE = """
+SELECT
+  SUM(CAST(round(((l_extendedprice * l_discount) * 100), 0) AS BIGINT)) / 100.0 AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: no join, no wide shuffle — the whole query is a scan
+    with pushed filters + a global agg. At 100 TB this is the pattern whose
+    cost is pure I/O; the plan must show PushedFilters on all three columns
+    and a 4-column ReadSchema."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(l.l_extendedprice * l.l_discount)) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# -- q12: priority mix by line status (conditional counts after fact join) ---
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@query("q12_priority_by_status", _Q12_ORACLE)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_shipmode -> l_linestatus on this schema): one
+    fact-fact equi-join on the order key with the date filter pruning
+    lineitem before the exchange; the agg is two conditional counts with
+    map-side partials."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# -- q13: customer order-count distribution (outer join + double agg) --------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("q13_order_distribution", _Q13_ORACLE)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with an extra join-side predicate
+    (COUNT counts only matched rows), then a second aggregation over the
+    first's output. The first agg shuffles on c_custkey; the second input is
+    |customers| rows, which AQE coalesces to a few partitions."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# -- q18: large-quantity orders (pre-aggregate before the join) --------------
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@query("q18_large_orders", _Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape. Scale strategy: aggregate lineitem per order FIRST
+    (one shuffle over the fact, map-side partials), filter to the rare
+    > 250-quantity orders, and only then join the two small survivors to
+    orders and customer — never join full lineitem to orders. The final
+    groupBy is a no-op re-key over already-unique orders and stays cheap."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg((F.sum(cents(l.l_quantity)) / F.lit(100.0)).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+# -- q19: disjunctive multi-range predicate (OR of conjunctions) -------------
+
+_Q19_ORACLE = """
+SELECT
+  SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q19_disjunctive_filter", _Q19_ORACLE)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive ranges spanning both
+    join sides. Catalyst pushes the single-side implications through the
+    join: part gets `p_brand IN (...)`-style derived filters, lineitem gets
+    the quantity envelope — so both scans prune before the broadcast join
+    evaluates the full OR."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 50) & qty.between(20, 30))
+    )
+    return joined.filter(pred).agg(
+        (F.sum(cents(l.l_extendedprice * (1 - l.l_discount))) / F.lit(100.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# -- q2 shape: cheapest part per brand (argmin with deterministic tiebreak) --
+
+_Q2_ORACLE = """
+SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rn
+  FROM part
+) WHERE rn = 1
+"""
+
+
+@query("q2_min_cost_part", _Q2_ORACLE)
+def q2_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-min shape (no partsupp on this schema): argmin
+    per group via a ranking window with a p_partkey tiebreak so the answer
+    is unique. One shuffle on p_brand; at scale this is the standard
+    'latest/cheapest record per key' pattern."""
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# -- q11 shape: groups above a fraction of the global total ------------------
+
+_Q11_ORACLE = """
+WITH g AS (
+  SELECT p_type,
+         SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) AS rc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+)
+SELECT p_type, rc / 100.0 AS type_revenue
+FROM g
+WHERE rc > (SELECT SUM(rc) * 0.16 FROM g)
+"""
+
+
+@query("q11_important_types", _Q11_ORACLE)
+def q11_important_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING above a scalar fraction of the global sum.
+    The grouped frame is computed ONCE and reused for both the threshold and
+    the output (vs the textbook double-scan); the global total is a 1-row
+    broadcast cross join. Threshold compares in integer-cents domain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    g = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(cents(l.l_extendedprice * (1 - l.l_discount))).alias("rc"))
+    )
+    total = g.agg((F.sum("rc") * F.lit(0.16)).alias("threshold"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .filter(F.col("rc") > F.col("threshold"))
+        .select("p_type", (F.col("rc") / F.lit(100.0)).alias("type_revenue"))
+    )
+
+
+# -- q15 shape: top revenue supplier(s), ties kept ---------------------------
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) AS rc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rc / 100.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rc = (SELECT MAX(rc) FROM rev)
+"""
+
+
+@query("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-over-aggregate with ties kept (= max, not
+    LIMIT 1). rev is |suppliers| rows after one fact shuffle; the max is a
+    1-row broadcast; supplier joins broadcast. Integer-cents revenue makes
+    the tie comparison exact."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(cents(l.l_extendedprice * (1 - l.l_discount))).alias("rc"))
+    mx = rev.agg(F.max("rc").alias("max_rc"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rc") == F.col("max_rc"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("rc") / F.lit(100.0)).alias("total_revenue"))
+    )
+
+
+# -- q21 shape: sole failing supplier in multi-supplier orders ---------------
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@query("q21_sole_failing_supplier", _Q21_ORACLE)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape. The textbook EXISTS + NOT EXISTS pair would self-join
+    lineitem twice; at 100 TB that is three fact shuffles. Rewrite: one
+    per-order aggregate (distinct suppliers, distinct RETURNED suppliers) —
+    the EXISTS is `n_supp > 1`, the NOT EXISTS is `n_ret_supp = 1` (l1 itself
+    is returned, so 'no OTHER returned supplier' means exactly one). One
+    shuffle over lineitem + one key join replaces both correlated scans."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ordstats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_ret_supp"),
+    )
+    eligible = ordstats.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)).select("l_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    r_lines = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        r_lines.join(eligible, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# -- q22 shape: rich customers with no orders, by nation ---------------------
+
+_Q22_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT (SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@query("q22_idle_rich_customers", _Q22_ORACLE)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (average POSITIVE balance,
+    exact cents) + NOT EXISTS anti join + grouped rollup. The threshold is a
+    1-row broadcast; the anti join shuffles only the filtered-down customer
+    side against orders' projected key column."""
+    c = load_table(spark, sf_dir, "customer")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(((F.sum(cents(c.c_acctbal)) / F.lit(100.0)) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(cents(F.col("c_acctbal"))) / F.lit(100.0)).alias("total_acctbal"),
+        )
+    )

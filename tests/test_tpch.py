@@ -29,7 +29,23 @@ def test_subquery_parity(spark, duck, name):
     assert_oracle_match(spark, duck, name)
 
 
-MORE = ["q7_volume_shipping", "q9_profit", "q10_returned_revenue", "q14_promo_share"]
+MORE = [
+    "q7_volume_shipping",
+    "q9_profit",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q2_min_cost_part",
+    "q11_important_types",
+    "q15_top_supplier",
+    "q21_sole_failing_supplier",
+    "q22_idle_rich_customers",
+]
 
 
 @pytest.mark.parametrize("name", MORE)
