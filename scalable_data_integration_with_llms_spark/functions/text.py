@@ -60,6 +60,25 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs that parse
+# identically in Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+# space-prefixed letter runs, digit runs, and other-symbol runs.  No
+# lookahead (RE2 has none) and no \p classes (byte/codepoint drift).
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization (U4's second budget proxy): splits into
+    word/number/symbol/contraction pieces the way GPT-2's pre-tokenizer
+    does, entirely JVM-side via ``regexp_extract_all``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def hf_token_count(model_name: str = "gpt2"):
     """U4 real path: a pandas UDF counting tokens with a HuggingFace
     tokenizer broadcast per executor (``PromptICLTemplate.py:24-25``).

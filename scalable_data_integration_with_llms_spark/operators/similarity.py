@@ -111,3 +111,94 @@ def ivf_topk(
         scored.withColumn("sim_rank", F.row_number().over(win))
         .filter(F.col("sim_rank") <= k)
     )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (cosine) LSH bucket per vector: bit p of the bucket
+    id is the sign of the projection onto a Rademacher (±1) hyperplane whose
+    components derive from md5(p ':' i) — deterministic in any engine, any
+    partitioning (functions/determinism.py discipline).
+
+    Exactness: components quantize to integers (round(x·1e7)) before the
+    projection, so the per-plane sum is order-independent BIGINT arithmetic —
+    no float-summation-order drift, and no nested higher-order functions
+    (observed in Spark 4.1: six transform-in-zip_with-in-aggregate towers in
+    one projection evaluate incorrectly; the exploded integer form sidesteps
+    the miscompile and is plan-shape independent).
+
+    At 100 TB: posexplode is a map-side expand (dim × n_planes rows per
+    vector) feeding a two-stage hash agg keyed on the vector id — one
+    shuffle, partial combine does most of the reduction map-side.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(
+        F.col(id_col),
+        "i",
+        F.round(F.col("x").cast("double") * F.lit(1e7), 0).cast("bigint").alias("xi"),
+    )
+    planes = ex.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("p"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj = (
+        ex.join(F.broadcast(planes))
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("xi") * sign).alias("s"))
+    )
+    bucket = proj.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+    return df.join(bucket, id_col).select(F.col(id_col), F.col(vec_col), "bucket")
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH bucketing: candidates limited to
+    the query's bucket (equi-join on the bucket id), then exact cosine +
+    window top-k — the cosine twin of ``ivf_topk`` with a computed, rather
+    than learned, coarse partition."""
+    from pyspark.sql import Window as W
+
+    sigs = hyperplane_signature(df, n_planes, id_col, vec_col)
+    q = sigs.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    c = sigs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("sim_rank", F.row_number().over(win)).filter(
+        F.col("sim_rank") <= k
+    )

@@ -88,3 +88,74 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
     )
+
+
+# -- hyperplane-LSH signatures + bucketed ANN --------------------------------
+
+_LSH_PLANE_CTE = """
+WITH planes AS (SELECT unnest(range(0, 6)) AS p),
+ex AS (
+  SELECT vec_id, t.i - 1 AS i,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e7, 0) AS BIGINT) AS xi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+proj AS (
+  SELECT vec_id, p,
+         SUM(xi * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 1))::INT % 2 = 0
+                   THEN 1 ELSE -1 END)) AS s
+  FROM ex CROSS JOIN planes
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+
+_LSH_SIG_ORACLE = _LSH_PLANE_CTE + """
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM buckets GROUP BY bucket
+"""
+
+
+@query("q_lsh_hyperplane_buckets", _LSH_SIG_ORACLE)
+def q_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram of the cosine-LSH signatures (exact parity on every
+    signature bit via the md5-Rademacher hyperplanes)."""
+    from ..operators.similarity import hyperplane_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        hyperplane_signature(e, n_planes=6)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+_LSH_TOPK_ORACLE = _LSH_PLANE_CTE + """,
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+scored AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         list_dot_product(qv.ve, cv.ve)
+           / (sqrt(list_dot_product(qv.ve, qv.ve)) * sqrt(list_dot_product(cv.ve, cv.ve))) AS cos_sim
+  FROM buckets qb JOIN buckets cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+  JOIN v qv ON qb.vec_id = qv.vec_id
+  JOIN v cv ON cb.vec_id = cv.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, sim_rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS sim_rank
+  FROM scored
+) WHERE sim_rank <= 5
+"""
+
+
+@query("q_ann_lsh", _LSH_TOPK_ORACLE)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH buckets: equi-join on the computed bucket id
+    instead of the IVF label — the all-computed scale path (no learned
+    centroids needed)."""
+    from ..operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, k=5, n_planes=6)

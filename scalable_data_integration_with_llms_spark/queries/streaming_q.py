@@ -109,3 +109,53 @@ def q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query_handle.awaitTermination()
     return spark.table("sdi_sessions_q")
+
+
+# -- stream-static enrichment join -------------------------------------------
+
+_STREAM_ENRICHED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q_stream_enriched", _STREAM_ENRICHED_ORACLE)
+def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (Spark broadcasts the static side into every
+    micro-batch — no stream-side shuffle for the join), then a watermarked
+    hourly window per market segment.  Oracle = the batch twin, so the
+    drained stream is value-checked, not just row-counted."""
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    stream = read_event_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    rolled = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 10000, 0).cast("bigint")) / F.lit(10000.0)).alias("sum_value"),
+            # exact distinct via collect_set (bounded: users per segment-hour
+            # is small); at 100 TB swap for approx_count_distinct
+            F.collect_set("user_id").alias("user_set"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+            F.size("user_set").alias("n_users"),
+        )
+    )
+    return run_to_memory(spark, rolled, "sdi_stream_enriched")

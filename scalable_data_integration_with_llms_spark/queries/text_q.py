@@ -203,3 +203,33 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("bigram_rank", F.row_number().over(win))
         .filter(F.col("bigram_rank") <= 20)
     )
+
+
+# -- BPE-ish token budgeting (whitespace proxy vs pre-tokenizer counts) ------
+
+_BPE_TOKEN_ORACLE = """
+SELECT source,
+       SUM(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END) AS total_ws_tokens,
+       SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS total_bpe_tokens,
+       SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) * 1.0 / COUNT(*) AS avg_bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+
+@query("q_bpe_token_stats", _BPE_TOKEN_ORACLE)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with the BPE-style pre-tokenizer (SURVEY A14/U4): the
+    regex runs inside whole-stage codegen, so per-document counting costs one
+    scan with map-side partial aggregation — no Python, no shuffle of text."""
+    from ..functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    bpe = bpe_ish_token_count("text")
+    return d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("total_ws_tokens"),
+        F.sum(bpe).alias("total_bpe_tokens"),
+        (F.sum(bpe) * F.lit(1.0) / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

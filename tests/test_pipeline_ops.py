@@ -13,9 +13,12 @@ NAMES = [
     "q_text_quality",
     "q_langid",
     "q_token_stats",
+    "q_bpe_token_stats",
     "q_doc_fingerprint",
     "q_cosine_topk",
     "q_ann_ivf",
+    "q_lsh_hyperplane_buckets",
+    "q_ann_lsh",
 ]
 
 
@@ -82,3 +85,11 @@ ROUND2 = ["q_embedding_near_dup", "q_lsh_verified_pairs"]
 @pytest.mark.parametrize("name", ROUND2)
 def test_oracle_parity_round2(spark, duck, name):
     assert_oracle_match(spark, duck, name)
+
+
+def test_bpe_ish_tokens_shapes(spark):
+    from scalable_data_integration_with_llms_spark.functions.text import bpe_ish_tokens
+
+    df = spark.createDataFrame([("hello world, it's 42 degrees!",)], "text string")
+    toks = df.select(bpe_ish_tokens("text").alias("t")).first().t
+    assert toks == ["hello", " world", ",", " it", "'s", " 42", " degrees", "!"]
