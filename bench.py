@@ -26,8 +26,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_revenue",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "q21_sole_failing_supplier",
+    "q_asof_latest_order",
     "q_events_hourly",
     "q_majority_vote",
     "q_mock_match_scores",
@@ -42,8 +47,11 @@ HEADLINE = [
     "q_langid",
     "q_cosine_topk",
     "q_ann_ivf",
+    "q_ann_lsh",
+    "q_bpe_token_stats",
     "q_sessionization",
     "q_stream_hourly",
+    "q_stream_enriched",
 ]
 
 

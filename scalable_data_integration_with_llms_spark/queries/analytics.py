@@ -345,3 +345,40 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("o_custkey").unionByName(profile("o_totalprice"))
+
+
+# -- as-of join: latest order at event time ----------------------------------
+
+_ASOF_ORACLE = """
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts, c.o_orderkey, c.o_orderdate, c.o_totalprice
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+"""
+
+
+@query("q_asof_latest_order", _ASOF_ORACLE)
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event carries the customer's most
+    recent order as of the event timestamp (operators/asof.py union-window
+    formulation — one shuffle on the key, vs the oracle's candidate-join
+    spelling which explodes per-event candidates)."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    return asof_join(
+        e,
+        o,
+        on_left="user_id",
+        on_right="o_custkey",
+        t_left="ts",
+        t_right="o_orderdate",
+        payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )

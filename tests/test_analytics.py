@@ -5,6 +5,7 @@ import pytest
 from conftest import assert_oracle_match
 
 NAMES = [
+    "q_asof_latest_order",
     "q_value_counts",
     "q_top_frequent",
     "q_majority_vote",
@@ -51,3 +52,46 @@ def test_more_analytics_parity(spark, duck, name):
 
 def test_top_bigrams_parity(spark, duck):
     assert_oracle_match(spark, duck, "q_top_bigrams")
+
+
+def test_asof_join_semantics(spark):
+    from scalable_data_integration_with_llms_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 50), (3, 20, 5)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(10, 7, 100), (10, 7, 101), (10, 40, 102), (20, 9, 103)],
+        "k long, t long, rid long",
+    )
+    out = {
+        r.lid: r.rid
+        for r in asof_join(
+            left.withColumnRenamed("k", "lk"),
+            right,
+            on_left="lk",
+            on_right="k",
+            t_left="t",
+            t_right="t",
+            payload=["rid"],
+            tiebreak="rid",
+        ).collect()
+    }
+    # lid=1: t=5 precedes every right row for k=10 -> NULL
+    # lid=2: t=50 sees t=7 (tie -> max rid 101) and t=40 -> rid 102 wins
+    # lid=3: k=20 t=5 precedes t=9 -> NULL
+    assert out == {1: None, 2: 102, 3: None}
+
+
+def test_asof_join_inclusive_and_ties(spark):
+    from scalable_data_integration_with_llms_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 7)], "lid long, lk long, t long")
+    right = spark.createDataFrame(
+        [(10, 7, 100), (10, 7, 105), (10, 8, 110)], "k long, t long, rid long"
+    )
+    row = asof_join(
+        left, right, "lk", "k", "t", "t", payload=["rid"], tiebreak="rid"
+    ).first()
+    # inclusive <= at equal t; tie at t=7 resolved to max rid
+    assert row.rid == 105
