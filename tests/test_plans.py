@@ -53,3 +53,51 @@ def test_seeded_sample_stays_pushed(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     read_schema = [line for line in plan.splitlines() if "ReadSchema" in line]
     assert read_schema and "o_totalprice" not in read_schema[0]
+
+
+def test_q6_all_filters_pushed(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    # exactly the 4 needed columns reach the scan
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_q18_preaggregates_before_join(spark):
+    plan = _plan(spark, "q18_large_orders")
+    # the lineitem rollup (partial_sum) must appear below the orders join:
+    # never join the full fact, then aggregate
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert agg_pos != -1
+    # executedPlan prints top-down: the join node appears before (above) the
+    # partial agg that feeds it
+    assert join_pos == -1 or join_pos < agg_pos
+
+
+def test_q4_semi_join_prunes_lineitem(spark):
+    plan = _plan(spark, "q4_priority_exists")
+    read_schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
+    li = [s for s in read_schemas if "l_orderkey" in s]
+    assert li, "lineitem scan missing"
+    # semi-join side reads only the key + filter column
+    assert "l_extendedprice" not in li[0] and "l_quantity" not in li[0]
+
+
+def test_asof_single_shuffle(spark):
+    plan = _plan(spark, "q_asof_latest_order")
+    # union-window as-of: exactly one Exchange for the window (plus AQE reads);
+    # no join operator at all
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    n_exchange = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+    assert n_exchange == 1, f"expected 1 hash exchange, got {n_exchange}"
