@@ -79,3 +79,24 @@ def unique_value_sample(df: DataFrame, value_col: str, n: int, seed: int,
     collapses ahead of ranking."""
     distinct = df.select(*(partition_by or []), value_col).distinct()
     return random_sample(distinct, n, seed, [value_col], partition_by=partition_by)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Deterministic ``sampleBy``: keep each row iff det_rand(seed, key) is
+    below its stratum's fraction (strata absent from ``fractions`` drop).
+
+    Unlike ``DataFrame.sampleBy`` this is a pure row-local predicate —
+    recompute-stable under retries/AQE, pushdown-friendly (no RNG state), and
+    reproducible in any engine; at scale it is a free filter on the scan."""
+    u = det_rand(seed, *key_cols)
+    frac = None
+    for value, f in sorted(fractions.items()):
+        cond = F.col(stratum_col) == value
+        frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
+    return df.filter(u < frac.otherwise(F.lit(0.0)))

@@ -382,3 +382,157 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["o_orderkey", "o_orderdate", "o_totalprice"],
         tiebreak="o_orderkey",
     )
+
+
+# -- bucketized range join: context events before each purchase --------------
+
+_RANGE_JOIN_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       COUNT(c.event_id) AS n_context,
+       COALESCE(SUM(CAST(round(c.value * 10000, 0) AS BIGINT)), 0) / 10000.0 AS ctx_value
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type IN ('view', 'click')
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+@query("q_range_join_purchase_context", _RANGE_JOIN_ORACLE)
+def q_range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via operators/rangejoin.py: views/clicks in the hour
+    before each purchase by the same user.  The oracle spells the naive
+    theta join; the engine runs the bucketized equi-join (bounded fan-out,
+    one shuffle on (user, hour-bucket)) — same rows, scale-safe plan."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    context = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    pairs = bucketed_range_join(
+        purchases,
+        context,
+        on_left="user_id",
+        on_right="c_user",
+        t_left="ts",
+        t_right="c_ts",
+        lo_s=-3600,
+        hi_s=0,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_context"),
+        (F.sum(cents("c_value", 10000)) / F.lit(10000.0)).alias("ctx_value"),
+    )
+    return (
+        purchases.join(counts, "event_id", "left_outer")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_context"), F.lit(0)).alias("n_context"),
+            F.coalesce(F.col("ctx_value"), F.lit(0.0)).alias("ctx_value"),
+        )
+    )
+
+
+# -- count-min sketch over the fact key --------------------------------------
+
+_CMS_ORACLE = """
+WITH keyc AS (SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+probes AS (
+  SELECT key, cnt, j,
+         ('0x' || substr(md5(j || ':' || key), 1, 15))::BIGINT % 256 AS col
+  FROM keyc CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+),
+cells AS (SELECT j, col, SUM(cnt) AS cell FROM probes GROUP BY j, col)
+SELECT p.key AS l_suppkey, p.cnt AS exact_cnt, MIN(c.cell) AS est_cnt
+FROM probes p JOIN cells c ON p.j = c.j AND p.col = c.col
+GROUP BY p.key, p.cnt
+"""
+
+
+@query("q_cms_supplier_counts", _CMS_ORACLE)
+def q_cms_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 256) over lineitem's supplier key:
+    per-key exact count vs sketch estimate.  md5-derived hashing makes every
+    cell engine-exact, so even the *estimates* oracle-match bit-for-bit."""
+    from ..operators.sketch import cms_estimates
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return cms_estimates(l, "l_suppkey", depth=4, width=256).select(
+        F.col("key").alias("l_suppkey"), "exact_cnt", "est_cnt"
+    )
+
+
+# -- hypertable-style multi-resolution time rollup ---------------------------
+
+_MULTIRES_ORACLE = """
+SELECT day, hour, is_day_total, n_events, sum_value FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+              THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+         GROUPING(date_trunc('hour', ts)) AS is_day_total,
+         GROUPING(date_trunc('day', ts)) AS g_day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+  FROM events
+  GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+) WHERE g_day = 0
+"""
+
+
+@query("q_events_rollup_multires", _MULTIRES_ORACLE)
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hour- and day-resolution
+    rollups of the event stream in ONE pass (ROLLUP grouping sets — Spark
+    computes both resolutions from a single shuffle with partial aggs).
+    GROUPING() filters ride in a subquery: Spark cannot resolve GROUPING()
+    inside HAVING over the pre-aggregate column."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events_mr")
+    return spark.sql(
+        """
+        SELECT day, hour, is_day_total, n_events, sum_value FROM (
+          SELECT date_trunc('day', ts) AS day,
+                 CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                      THEN date_trunc('hour', ts) END AS hour,
+                 GROUPING(date_trunc('hour', ts)) AS is_day_total,
+                 GROUPING(date_trunc('day', ts)) AS g_day,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+          FROM v_events_mr
+          GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+        ) WHERE g_day = 0
+        """
+    )
+
+
+# -- deterministic stratified sampling (sampleBy analog) ---------------------
+
+_STRATIFIED_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE ('0x' || substr(md5('13:' || o_orderkey), 1, 15))::BIGINT / {TWO_60_SQL}
+      < CASE o_orderstatus WHEN 'F' THEN 0.02 WHEN 'O' THEN 0.1 ELSE 0.0 END
+"""
+
+
+@query("q_stratified_sample", _STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates as a pure row-local predicate
+    (operators/sampling.stratified_sample): 2% of finished orders, 10% of
+    open ones, everything else dropped — recompute-stable and
+    oracle-reproducible, unlike RNG-state sampleBy."""
+    from ..operators.sampling import stratified_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    return stratified_sample(
+        o, "o_orderstatus", {"F": 0.02, "O": 0.1}, seed=13, key_cols=["o_orderkey"]
+    ).select("o_orderkey", "o_orderstatus")

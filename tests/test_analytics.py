@@ -1,11 +1,16 @@
 """Oracle parity for the analytics surface."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import assert_oracle_match
 
 NAMES = [
     "q_asof_latest_order",
+    "q_range_join_purchase_context",
+    "q_cms_supplier_counts",
+    "q_events_rollup_multires",
+    "q_stratified_sample",
     "q_value_counts",
     "q_top_frequent",
     "q_majority_vote",
@@ -95,3 +100,34 @@ def test_asof_join_inclusive_and_ties(spark):
     ).first()
     # inclusive <= at equal t; tie at t=7 resolved to max rid
     assert row.rid == 105
+
+
+def test_range_join_bounds(spark):
+    from scalable_data_integration_with_llms_spark.operators.rangejoin import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00")], "lid long, k long, t string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 08:59:59", 1),   # before window
+            (10, "2024-01-01 09:00:00", 2),   # window start (inclusive)
+            (10, "2024-01-01 09:59:59", 3),   # inside
+            (10, "2024-01-01 10:00:00", 4),   # window end (exclusive)
+            (11, "2024-01-01 09:30:00", 5),   # wrong key
+        ],
+        "rk long, rt string, rid long",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+    out = bucketed_range_join(
+        left, right, "k", "rk", "t", "rt", lo_s=-3600, hi_s=0, bucket_s=600
+    )
+    assert sorted(r.rid for r in out.collect()) == [2, 3]
+
+
+def test_cms_never_underestimates(spark):
+    from scalable_data_integration_with_llms_spark.operators.sketch import cms_estimates
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    l = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = cms_estimates(l, "l_suppkey", depth=4, width=64).collect()
+    assert rows and all(r.est_cnt >= r.exact_cnt for r in rows)
