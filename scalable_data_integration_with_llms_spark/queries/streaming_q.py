@@ -159,3 +159,28 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, rolled, "sdi_stream_enriched")
+
+
+# -- streaming exact dedup ----------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("q_stream_dedup", _STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication — the training-pipeline dedup gate run
+    as a stream: dropDuplicatesWithinWatermark keeps the first arrival per
+    key and bounds state by the watermark (vs unbounded dropDuplicates
+    state).  The drained result equals the batch DISTINCT, so the streaming
+    operator gets a real value oracle, not a row count."""
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    stream = read_event_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(spark, deduped, "sdi_stream_dedup", mode="append")
