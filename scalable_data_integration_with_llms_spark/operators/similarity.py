@@ -131,10 +131,17 @@ def hyperplane_signature(
     one projection evaluate incorrectly; the exploded integer form sidesteps
     the miscompile and is plan-shape independent).
 
+    The sign table is only ``n_planes × dim`` distinct values, so it is
+    materialized once at the driver (hashlib md5 — byte-identical to any
+    engine's md5) and broadcast, rather than re-deriving md5 per data row:
+    the hot path is then a broadcast equi-join plus integer multiply-add.
+
     At 100 TB: posexplode is a map-side expand (dim × n_planes rows per
     vector) feeding a two-stage hash agg keyed on the vector id — one
     shuffle, partial combine does most of the reduction map-side.
     """
+    import hashlib
+
     ex = df.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("i", "x"),
@@ -143,23 +150,18 @@ def hyperplane_signature(
         "i",
         F.round(F.col("x").cast("double") * F.lit(1e7), 0).cast("bigint").alias("xi"),
     )
-    planes = ex.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("p"))
-    sign = F.when(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string"))), 1, 1
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 2
-        == 0,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    signs = [
+        (p, i, 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1)
+        for p in range(n_planes)
+        for i in range(dim)
+    ]
+    sign_df = ex.sparkSession.createDataFrame(signs, "p int, i int, sign int")
     proj = (
-        ex.join(F.broadcast(planes))
+        ex.join(F.broadcast(sign_df), "i")
         .groupBy(id_col, "p")
-        .agg(F.sum(F.col("xi") * sign).alias("s"))
+        .agg(F.sum(F.col("xi") * F.col("sign")).alias("s"))
     )
     bucket = proj.groupBy(id_col).agg(
         F.sum(
@@ -182,7 +184,9 @@ def lsh_topk(
     than learned, coarse partition."""
     from pyspark.sql import Window as W
 
-    sigs = hyperplane_signature(df, n_planes, id_col, vec_col)
+    # persist: the bucket self-join references the signature frame twice and
+    # Spark would otherwise recompute the explode+agg once per branch
+    sigs = hyperplane_signature(df, n_planes, id_col, vec_col).persist()
     q = sigs.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )

@@ -747,3 +747,189 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents(F.col("c_acctbal"))) / F.lit(100.0)).alias("total_acctbal"),
         )
     )
+
+
+# -- q8 shape: national market share within a region, by year -----------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS DOUBLE)
+         / SUM(vol_c) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT) AS vol_c,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY o_year
+"""
+
+
+@query("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-aggregate ratio (share of one supplier
+    nation in a region's market) by order year.  Plan: the only fact-fact
+    shuffle is lineitem⋈orders; part/customer/nation/region/supplier all
+    broadcast, and the date+type filters reach the scans.  The share divides
+    two exact bigint cent-sums, so the double result is bit-stable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol_c = cents(l.l_extendedprice * (1 - l.l_discount))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol_c).otherwise(F.lit(0))).cast("double")
+                / F.sum(vol_c)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# -- q16 shape: supplier counts per part descriptor, with exclusions ----------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_part_counts", _Q16_ORACLE)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape on this schema: the part-supplier relation is derived
+    from lineitem (no partsupp table); negative-balance suppliers stand in
+    for the complaints exclusion.  Plan: distinct-pairs is one fact shuffle
+    (map-side combine first); part filters broadcast; the NOT IN is an anti
+    join against a tiny broadcast side; COUNT(DISTINCT) re-shuffles only the
+    filtered descriptor groups."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# -- q17 shape: small-quantity revenue vs per-part average --------------------
+
+_Q17_ORACLE = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sum_qc,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pq ON l_partkey = pk
+WHERE p_brand = 'Brand#12'
+  AND CAST(round(l_quantity * 100, 0) AS BIGINT) * 5 * cnt < sum_qc
+"""
+
+
+@query("q17_small_quantity_revenue", _Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their part's
+    average quantity.  The correlated scalar subquery becomes one per-part
+    aggregate joined back to the fact; the 0.2·avg comparison is cross-
+    multiplied into pure bigint arithmetic (qty·5·cnt < Σqty) so both
+    engines decide each row identically.  Plan: two passes over lineitem,
+    one shuffle each on l_partkey — at scale the brand filter prunes the
+    probe side before the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    pq = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pq, l.l_partkey == pq.pk)
+        .filter(cents(F.col("l_quantity")) * F.lit(5) * F.col("cnt") < F.col("sum_qc"))
+        .agg((F.sum(cents(F.col("l_extendedprice"))) / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# -- q20 shape: suppliers with heavy shipments of a part family ---------------
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 10000
+  )
+"""
+
+
+@query("q20_heavy_shippers", _Q20_ORACLE)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers (in one nation) who
+    shipped more than a quantity threshold of any 'small%' part.  Plan: the
+    part-family filter broadcasts into the fact scan, the per-(supplier,
+    part) aggregate is one shuffle with map-side combine, and both IN
+    subqueries become semi joins (no DISTINCT materialization needed)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    l = load_table(spark, sf_dir, "lineitem")
+    fam = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        l.join(F.broadcast(fam), l.l_partkey == fam.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qc"))
+        .filter(F.col("sum_qc") > 10000)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -45,6 +45,10 @@ MORE = [
     "q15_top_supplier",
     "q21_sole_failing_supplier",
     "q22_idle_rich_customers",
+    "q8_market_share",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_heavy_shippers",
 ]
 
 
