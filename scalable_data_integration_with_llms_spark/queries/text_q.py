@@ -233,3 +233,199 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(bpe) * F.lit(1.0) / F.count(F.lit(1))).alias("avg_bpe_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# -- repetition quality signal (Gopher-style duplicate n-gram fraction) ------
+
+_REPETITION_ORACLE = """
+SELECT doc_id, n_trigrams, n_distinct,
+       CASE WHEN n_trigrams = 0 THEN 0.0
+            ELSE CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams END AS dup_ratio
+FROM (
+  SELECT doc_id, len(tgs) AS n_trigrams, len(list_distinct(tgs)) AS n_distinct
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(ws) - 1, 1)),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tgs
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+)
+"""
+
+
+@query("q_repetition_ratio", _REPETITION_ORACLE)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal for training-data filtering (the
+    duplicate-trigram fraction used by Gopher/MassiveText-style pipelines):
+    dup_ratio = 1 − distinct/total trigrams per document.  Pure map-side
+    array expressions — no explode, no shuffle, embarrassingly parallel at
+    corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(-1)))
+    tgs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    return (
+        d.select(
+            "doc_id",
+            F.size(tgs).alias("n_trigrams"),
+            F.size(F.array_distinct(tgs)).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.when(F.col("n_trigrams") == 0, F.lit(0.0)).otherwise(
+                (F.col("n_trigrams") - F.col("n_distinct")).cast("double") / F.col("n_trigrams")
+            ),
+        )
+    )
+
+
+# -- PII scrubbing (redaction counts + scrubbed text length) -----------------
+
+_PII_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(pii_text, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(pii_text, '\\d{3}-\\d{4}')) AS n_phones,
+       length(regexp_replace(regexp_replace(pii_text,
+              '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+              '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS scrubbed_len
+FROM (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+  FROM documents
+)
+"""
+
+
+@query("q_pii_scrub", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: count and replace email/phone
+    patterns (the synthetic corpus carries no PII, so a deterministic
+    address is appended per doc first — the operator under test is the
+    scrub itself).  regexp_extract_all + regexp_replace are JVM-side
+    codegen'd expressions; at 100 TB this is a pure map stage."""
+    email_re = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    phone_re = "\\d{3}-\\d{4}"
+    d = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(pii_text, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(pii_text, F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(pii_text, F.lit(phone_re), F.lit(0))).alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+# -- benchmark-contamination check (shared n-grams with a held-out set) ------
+
+_CONTAMINATION_ORACLE = """
+WITH shingled AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - 2, 1)),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE len(ws) >= 4
+  )
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 100 = 0)
+SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared
+FROM shingled s JOIN bench USING (shingle)
+WHERE s.doc_id % 100 <> 0
+GROUP BY s.doc_id
+"""
+
+
+@query("q_contamination", _CONTAMINATION_ORACLE)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing any 4-gram
+    with a held-out eval set (docs with doc_id % 100 == 0 stand in for the
+    benchmark).  Plan: distinct (doc, shingle) is one shuffle; the bench
+    shingle set is small and broadcasts into a semi-join-shaped equi-join;
+    the per-doc distinct count is a second, already-reduced shuffle.  The
+    same max_df guard as the Jaccard pipeline applies at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(-1)))
+    shingles4 = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
+    shingled = (
+        d.filter(F.size(words) >= 4)
+        .select("doc_id", F.explode(shingles4).alias("shingle"))
+        .distinct()
+    )
+    bench = (
+        shingled.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
+    )
+    return (
+        shingled.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+# -- greedy sequence packing (token-budget bins for LM training) -------------
+
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT source, doc_id, tok, rn, 0 AS seq_id, tok AS acc
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.tok, d.rn,
+         CASE WHEN p.acc + d.tok > {_PACK_BUDGET} THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + d.tok > {_PACK_BUDGET} THEN d.tok ELSE p.acc + d.tok END
+  FROM docs d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, tok, seq_id FROM pack
+"""
+
+
+@query("q_pack_sequences", _PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LM training: per source, docs in doc_id
+    order are packed into consecutive sequences of ≤256 tokens (a doc that
+    would overflow starts the next sequence; an oversized doc gets its own).
+    Sequential state per group → ``applyInPandas`` (the corpus-scale analog
+    of the reference's ICL example packing, PromptICLTemplate.py:195-219);
+    parallelism comes from the source partitioning, exactly like stable
+    matching parallelizes over cases.  The oracle derives the same packing
+    with a recursive CTE."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    with_tok = d.select(
+        "source", "doc_id", token_count("text").cast("bigint").alias("tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, seq, acc = [], 0, 0
+        for tok in pdf["tok"]:
+            if acc > 0 and acc + tok > _PACK_BUDGET:
+                seq += 1
+                acc = tok
+            else:
+                acc += tok
+            seqs.append(seq)
+        pdf["seq_id"] = seqs
+        return pdf
+
+    return with_tok.groupBy("source").applyInPandas(
+        pack, "source string, doc_id bigint, tok bigint, seq_id int"
+    )

@@ -19,6 +19,10 @@ NAMES = [
     "q_ann_ivf",
     "q_lsh_hyperplane_buckets",
     "q_ann_lsh",
+    "q_repetition_ratio",
+    "q_pii_scrub",
+    "q_contamination",
+    "q_pack_sequences",
 ]
 
 
@@ -93,3 +97,50 @@ def test_bpe_ish_tokens_shapes(spark):
     df = spark.createDataFrame([("hello world, it's 42 degrees!",)], "text string")
     toks = df.select(bpe_ish_tokens("text").alias("t")).first().t
     assert toks == ["hello", " world", ",", " it", "'s", " 42", " degrees", "!"]
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Greedy packing: budget boundary starts a new sequence; an oversized
+    doc occupies its own; packing is per-source independent."""
+    from scalable_data_integration_with_llms_spark.queries.text_q import _PACK_BUDGET
+
+    assert _PACK_BUDGET == 256
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from scalable_data_integration_with_llms_spark.functions.text import token_count
+
+    docs = spark.createDataFrame(
+        [
+            ("a", 1, ("w " * 99).strip()),   # 99 tokens
+            ("a", 2, ("w " * 99).strip()),   # 99+99 = 198 fits
+            ("a", 3, ("w " * 99).strip()),   # 198+99 > 256 -> doc 3 starts seq 1
+            ("a", 4, ("w " * 299).strip()),  # 299 tokens alone > 256 -> own seq 2
+            ("a", 5, "w"),                   # follows oversized doc -> seq 3
+            ("b", 6, "w"),                   # separate source restarts at seq 0
+        ],
+        "source string, doc_id long, text string",
+    )
+
+    with_tok = docs.select("source", "doc_id", token_count("text").cast("bigint").alias("tok"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, seq, acc = [], 0, 0
+        for tok in pdf["tok"]:
+            if acc > 0 and acc + tok > 256:
+                seq += 1
+                acc = tok
+            else:
+                acc += tok
+            seqs.append(seq)
+        pdf["seq_id"] = seqs
+        return pdf
+
+    out = {
+        r.doc_id: r.seq_id
+        for r in with_tok.groupBy("source")
+        .applyInPandas(pack, "source string, doc_id bigint, tok bigint, seq_id int")
+        .collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 0}
