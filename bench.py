@@ -54,6 +54,10 @@ HEADLINE = [
     "q_sessionization",
     "q_stream_hourly",
     "q_stream_enriched",
+    "q_stream_stream_join",
+    "q_contamination",
+    "q_pack_sequences",
+    "q_knn_classify",
 ]
 
 

@@ -159,3 +159,104 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, k=5, n_planes=6)
+
+
+# -- exact per-label centroids (integer-quantized, order-independent) --------
+
+_CENTROID_ORACLE = """
+SELECT label, i, sum_q, CAST(sum_q AS DOUBLE) / 10000000.0 / cnt AS centroid
+FROM (
+  SELECT label, i,
+         SUM(CAST(round(embedding[i]::DOUBLE * 10000000, 0) AS BIGINT)) AS sum_q,
+         COUNT(*) AS cnt
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, i
+)
+"""
+
+
+@query("q_label_centroids", _CENTROID_ORACLE)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space (the k-means update step /
+    IVF coarse-quantizer training primitive), long-form ``(label, i,
+    centroid)``.  Components quantize to bigints before the sum, so the
+    result is independent of partitioning and aggregation order — the same
+    exactness discipline as every money aggregate (determinism.py).
+
+    At 100 TB: posexplode is map-side; one shuffle on (label, i) with
+    partial aggregation doing dim-wise combines before the exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * F.lit(1e7), 0).cast("bigint").alias("xq"),
+    )
+    return (
+        ex.groupBy("label", "i")
+        .agg(F.sum("xq").alias("sum_q"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "i",
+            "sum_q",
+            (F.col("sum_q").cast("double") / F.lit(1e7) / F.col("cnt")).alias("centroid"),
+        )
+    )
+
+
+# -- kNN classification over the exact top-k neighbors -----------------------
+
+_KNN_ORACLE = f"""
+WITH topk AS (
+  SELECT query_id, neighbor_id, cos_sim, sim_rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_EXPR} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS sim_rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+  ) WHERE sim_rank <= {_K}
+),
+votes AS (
+  SELECT t.query_id, e.label, COUNT(*) AS n_votes
+  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+  GROUP BY t.query_id, e.label
+),
+best AS (
+  SELECT query_id, label AS pred_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT b.query_id, q.label AS true_label, b.pred_label, b.n_votes
+FROM best b JOIN embeddings q ON b.query_id = q.vec_id
+WHERE vr = 1
+"""
+
+
+@query("q_knn_classify", _KNN_ORACLE)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction composed from the exact top-k operator: majority
+    label among the 5 nearest neighbors, ties broken by the smaller label —
+    the evaluation harness shape for embedding-quality checks on a training
+    corpus."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    topk = cosine_topk(queries, emb, _K)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    true_labels = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(win))
+        .filter(F.col("vr") == 1)
+        .join(F.broadcast(true_labels), "query_id")
+        .select("query_id", "true_label", F.col("label").alias("pred_label"), "n_votes")
+    )

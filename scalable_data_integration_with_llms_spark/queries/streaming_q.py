@@ -184,3 +184,64 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_to_memory(spark, deduped, "sdi_stream_dedup", mode="append")
+
+
+# -- stream-stream interval join (view→click attribution) ---------------------
+
+_STREAM_SS_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       c.ts AS click_ts, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+"""
+
+
+@query("q_stream_stream_join", _STREAM_SS_JOIN_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks attributed to a view by the same
+    user within the preceding 30 minutes.  Both sides are watermarked (the
+    state bound Spark requires for stream-stream joins) and the time-range
+    predicate lets the engine expire buffered rows; append mode emits each
+    match exactly once.  The drained result is value-checked against the
+    batch join — the strongest oracle a streaming operator can have.
+
+    At scale: the join shuffles both streams on user_id; state per key is
+    bounded by watermark + interval, so total state is O(rate × 30 min),
+    independent of stream length."""
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    views = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        "click_ts",
+        "view_ts",
+    )
+    return run_to_memory(spark, joined, "sdi_stream_ss_join", mode="append")

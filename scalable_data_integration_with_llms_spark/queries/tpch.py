@@ -933,3 +933,39 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# -- pivot: status × priority cross-tab ---------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_COLS = {p: "p" + p[0] for p in _PRIORITIES}  # stable, hash-safe names
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
+       SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("q_pivot_status_priority", _PIVOT_ORACLE)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab via the relational pivot operator: order counts by status ×
+    priority.  Values are pinned explicitly (``pivot(col, values)``) — at
+    scale that skips the extra distinct-values job Spark otherwise runs, and
+    makes the output schema static for the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [p for p in _PRIORITIES])
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(_PIVOT_COLS[p]) for p in _PRIORITIES],
+    )

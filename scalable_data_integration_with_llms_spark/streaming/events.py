@@ -69,16 +69,29 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into a
-    memory sink; return the result table as a batch DataFrame."""
+    memory sink; return the result table as a batch DataFrame.
+
+    Streaming shuffles get fewer partitions than batch: each stateful
+    partition owns an HDFS-backed state store, so 32 partitions means 32
+    store instances per stateful operator per micro-batch — at test scale
+    the store setup dominates.  The partition count is pinned at query
+    start (it becomes part of the checkpoint), so this is a per-query
+    setting, not a session-wide one.
+    """
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

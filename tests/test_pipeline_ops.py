@@ -23,6 +23,9 @@ NAMES = [
     "q_pii_scrub",
     "q_contamination",
     "q_pack_sequences",
+    "q_label_centroids",
+    "q_knn_classify",
+    "q_pivot_status_priority",
 ]
 
 

@@ -101,3 +101,50 @@ def test_asof_single_shuffle(spark):
         if "Exchange hashpartitioning" in line
     )
     assert n_exchange == 1, f"expected 1 hash exchange, got {n_exchange}"
+
+
+def test_q8_single_fact_shuffle(spark):
+    """q8 joins seven relations: only lineitem⋈orders may shuffle; the five
+    dims broadcast, and date+type filters reach the scans."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(p_type,PROMO)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_q16_anti_join_broadcast(spark):
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q17_partial_agg_before_join(spark):
+    # the per-part aggregate must partial-combine map-side
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "partial_sum" in plan
+
+
+def test_q20_semi_joins_only(spark):
+    plan = _plan(spark, "q20_heavy_shippers")
+    assert "LeftSemi" in plan
+    # no full join materialization of the fact table
+    assert "Inner" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_bench(spark):
+    plan = _plan(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_ratio_no_shuffle(spark):
+    """Pure map-side quality signal: no exchange, no Python, no explode."""
+    plan = _plan(spark, "q_repetition_ratio")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # array exprs, not explode
+
+
+def test_centroids_partial_agg(spark):
+    plan = _plan(spark, "q_label_centroids")
+    assert "partial_sum" in plan  # dim-wise combine before the exchange
