@@ -43,6 +43,7 @@ HEADLINE = [
     "q_alignment_prf1",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
     "q_minhash_signatures",
     "q_simhash",
     "q_text_quality",

@@ -171,3 +171,66 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bit_sums.select("doc", fp.cast("bigint").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over an undirected
+    pair graph, as ``(doc, cluster_id)`` with cluster_id = min doc id in the
+    component — the step that turns near-dup PAIRS into dedup GROUPS.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converged when no label
+    changes.  Rounds are alternating join+groupBy on the edge list — the
+    standard large-graph CC recipe (HashToMin); iterations needed = graph
+    diameter, and near-dup components are short chains in practice.  Each
+    round's labels are persisted and the previous round unpersisted, so the
+    lineage stays flat (no exponential recompute).
+    """
+    # materialize the pair list before fanning it into both union branches:
+    # the upstream pair computation (e.g. a full Jaccard join) would
+    # otherwise run once per branch
+    pairs = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
+    pairs.count()
+    edges = (
+        pairs.union(pairs.select(F.col("dst"), F.col("src")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    edges.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    pairs.unpersist()
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_id"))

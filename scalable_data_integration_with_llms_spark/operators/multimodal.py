@@ -101,3 +101,27 @@ def size_partitioned(media: DataFrame, target_bytes_per_partition: int = 128 << 
     total = with_size.agg(F.sum("__sz")).collect()[0][0] or 1
     n_parts = max(1, int(total / target_bytes_per_partition))
     return with_size.repartition(n_parts).drop("__sz")
+
+
+MEDIA_STATS_SCHEMA = "media_id bigint, mime string, n_bytes bigint, byte_sum bigint"
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Typed-metadata extraction through the same ``mapInPandas`` boundary a
+    real decoder uses, but with pure-integer outputs (payload length and
+    byte checksum) — giving the multimodal plumbing a cross-engine exact
+    oracle even though the codec itself is stubbed.  Binary payloads stay in
+    the scan stage; only the integer stats ever reach a shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "byte_sum": [int(sum(bytes(c))) for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_STATS_SCHEMA)

@@ -184,3 +184,66 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
     )
+
+
+# -- duplicate clusters: near-dup pairs -> connected components ---------------
+
+_CLUSTERS_ORACLE = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM i JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+  WHERE inter / (x.sz + y.sz - inter) >= 0.5
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT src AS doc, dst AS reach FROM edges
+  UNION
+  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.reach = e.src
+)
+SELECT doc, LEAST(doc, MIN(reach)) AS cluster_id FROM reach GROUP BY doc
+"""
+
+@query("q_dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: near-dup PAIRS (3-gram Jaccard ≥ 0.5)
+    become duplicate GROUPS via connected components (min-label
+    propagation), cluster_id = smallest doc in the component.  The oracle
+    computes the same closure with a recursive CTE.  At 100 TB the iterative
+    join rounds are the standard CC-on-edge-list recipe; the keep/drop
+    decision is then `doc != cluster_id`."""
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, threshold=0.5)
+    return connected_components(pairs)
+
+
+# -- multimodal metadata with an exact oracle ---------------------------------
+
+_MEDIA_STATS_ORACLE = """
+SELECT doc_id AS media_id,
+       'application/octet-stream' AS mime,
+       length(text) AS n_bytes,
+       list_sum(list_transform(range(1, length(text) + 1),
+                               i -> ascii(substr(text, i, 1)))) AS byte_sum
+FROM documents
+"""
+
+
+@query("q_media_metadata", _MEDIA_STATS_ORACLE)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path with a REAL oracle: binary payloads flow
+    through the decode boundary (mapInPandas over Arrow batches) and emit
+    integer stats — byte length + byte checksum — that DuckDB reproduces
+    from the source text (ASCII, so UTF-8 bytes == characters).  Proves the
+    binary-column plumbing end-to-end, not just rows-only."""
+    from ..operators.multimodal import attach_media, media_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return media_stats(attach_media(d, "text", "doc_id"))

@@ -26,6 +26,8 @@ NAMES = [
     "q_label_centroids",
     "q_knn_classify",
     "q_pivot_status_priority",
+    "q_dedup_clusters",
+    "q_media_metadata",
 ]
 
 
@@ -147,3 +149,18 @@ def test_pack_sequences_greedy_semantics(spark):
         .collect()
     }
     assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 0}
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """CC over a 4-chain, a triangle, and an isolated pair: labels converge
+    to the component minimum; diameter > 1 exercises multiple rounds."""
+    from scalable_data_integration_with_llms_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc: r.cluster_id for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
