@@ -19,8 +19,12 @@ from scalable_data_integration_with_llms_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    q5 (region revenue): scans five tables, broadcasts every dimension into
+    the lineitem fact, exact-cents aggregation — the engine's relational
+    shape in one plan."""
+    return QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
