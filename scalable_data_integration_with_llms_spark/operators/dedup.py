@@ -56,9 +56,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         idx,
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
-        .distinct()
+    # distinct-per-doc happens map-side (array_distinct before the explode):
+    # (doc, shingle) uniqueness needs no shuffle, unlike explode + DISTINCT
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
     )
 
 

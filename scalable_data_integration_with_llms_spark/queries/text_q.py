@@ -359,8 +359,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles4 = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
     shingled = (
         d.filter(F.size(words) >= 4)
-        .select("doc_id", F.explode(shingles4).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(shingles4)).alias("shingle"))
     )
     bench = (
         shingled.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
