@@ -54,3 +54,17 @@ def test_similarity_on_empty(spark):
 
     e = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert cosine_topk(e, e, 5).count() == 0
+
+
+def test_connected_components_empty(spark):
+    from scalable_data_integration_with_llms_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_media_stats_empty(spark):
+    from scalable_data_integration_with_llms_spark.operators.multimodal import attach_media, media_stats
+
+    d = _empty_docs(spark)
+    assert media_stats(attach_media(d, "text", "doc_id")).count() == 0

@@ -60,3 +60,45 @@ def test_rounds_are_cumulative_and_bounded(inst):
     for earlier, later in zip(rounds, rounds[1:]):
         assert set(earlier) <= set(later)
         assert len(later) > len(earlier)  # a round with no new match stops
+
+
+# -- connected components vs a reference union-find ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from scalable_data_integration_with_llms_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == _uf_components(edges)
