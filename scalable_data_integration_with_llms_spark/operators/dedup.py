@@ -182,13 +182,19 @@ def connected_components(
     pair graph, as ``(doc, cluster_id)`` with cluster_id = min doc id in the
     component — the step that turns near-dup PAIRS into dedup GROUPS.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converged when no label
-    changes.  Rounds are alternating join+groupBy on the edge list — the
-    standard large-graph CC recipe (HashToMin); iterations needed = graph
-    diameter, and near-dup components are short chains in practice.  Each
-    round's labels are persisted and the previous round unpersisted, so the
-    lineage stays flat (no exponential recompute).
+    Iterative min-label propagation with pointer jumping: each round every
+    node adopts the smallest label among itself and its neighbors (one hop),
+    then follows its label's label (path halving) — the doubling step that
+    turns O(diameter) convergence into O(log n) rounds, the property that
+    makes edge-list CC tractable on long-chain components at corpus scale.
+    Converged when no label changes; raises if max_iter is hit first (an
+    unconverged labeling silently merges nothing — fail loudly instead).
+    Each round's labels are ``localCheckpoint``-ed: the round references the
+    label frame several times (neighbor join, pointer self-join, change
+    count), so without cutting lineage the logical plan grows ~4× per round
+    — persist alone caches data but keeps the exponential plan.  (On a
+    cluster, executor loss invalidates local checkpoints — swap for
+    ``checkpoint()`` with a checkpoint dir in fault-sensitive jobs.)
     """
     # materialize the pair list before fanning it into both union branches:
     # the upstream pair computation (e.g. a full Jaccard join) would
@@ -204,24 +210,34 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     edges.count()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: labels are always node ids, so follow label -> its
+        # label (path halving); this is what bounds rounds by O(log n)
+        ptr = hop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            hop.join(ptr, hop.label == ptr.p_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -229,10 +245,14 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
     pairs.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_id"))

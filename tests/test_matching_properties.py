@@ -1,6 +1,7 @@
 """Property tests for stable matching (SURVEY §5(d)): random preference
 instances; invariants of the reference algorithm's round semantics."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -64,9 +65,6 @@ def test_rounds_are_cumulative_and_bounded(inst):
 
 # -- connected components vs a reference union-find ---------------------------
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
-
 
 def _uf_components(edges):
     parent = {}
@@ -88,17 +86,21 @@ def _uf_components(edges):
     return {n: find(n) for n in parent}
 
 
-@settings(max_examples=10, deadline=None)
-@given(
-    st.lists(
-        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
-        min_size=1,
-        max_size=40,
-    )
-)
-def test_connected_components_matches_union_find(spark, edges):
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_matches_union_find(spark, seed):
+    """Randomized (seeded) graphs vs a reference union-find: one Spark CC
+    run per graph keeps the check cheap while covering chains, cycles, and
+    forests."""
+    import random
+
     from scalable_data_integration_with_llms_spark.operators.dedup import connected_components
 
+    rng = random.Random(seed)
+    edges = []
+    while len(edges) < 40:
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            edges.append((a, b))
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == _uf_components(edges)
