@@ -50,6 +50,13 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     Built from ``split`` + index ``transform`` — JVM-side, no UDF: shingle i
     joins words[i .. i+n-1] for i in 0 .. len-n.
     """
+    # spread DOC rows before the explode if the source arrives in fewer
+    # partitions than cores (a single local parquet file = one partition):
+    # shuffling pre-explode rows is ~100× cheaper than shuffling shingles,
+    # and at scale the input already has enough partitions so this no-ops
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
     shingles = F.transform(
@@ -57,7 +64,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
     # distinct-per-doc happens map-side (array_distinct before the explode):
-    # (doc, shingle) uniqueness needs no shuffle, unlike explode + DISTINCT
+    # (doc, shingle) uniqueness needs no shingle-level shuffle, unlike
+    # explode + DISTINCT
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles)).alias("shingle"),
@@ -214,6 +222,10 @@ def connected_components(
     )
     edges.count()
     converged = False
+    # labels only ever decrease, so the labeling is stable iff sum(label)
+    # is unchanged — a one-column agg over the cached frame, far cheaper
+    # than the join-based per-row diff
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -239,16 +251,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
     pairs.unpersist()
     if not converged:

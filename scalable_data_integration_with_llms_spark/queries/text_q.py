@@ -354,6 +354,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc distinct count is a second, already-reduced shuffle.  The
     same max_df guard as the Jaccard pipeline applies at corpus scale."""
     d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)  # spread doc rows pre-explode (see word_shingles)
     words = F.split("text", " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(-1)))
     shingles4 = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
