@@ -431,3 +431,100 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_tok.groupBy("source").applyInPandas(
         pack, "source string, doc_id bigint, tok bigint, seq_id int"
     )
+
+
+# -- vocabulary construction (token -> dense id) ------------------------------
+
+_VOCAB_ORACLE = """
+SELECT token, cnt, token_id FROM (
+  SELECT token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) - 1 AS token_id
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+) WHERE cnt >= 5
+"""
+
+
+@query("q_vocab", _VOCAB_ORACLE)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary table for LM preprocessing: corpus token counts → dense
+    token ids by (count desc, token) with a min-frequency floor.  One
+    explode + hash agg with map-side combine; the id assignment is a global
+    window — at 100 TB assign ids only to the (small) surviving vocabulary,
+    which fits one partition after the frequency filter."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    win = W.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("token_id", F.row_number().over(win) - 1)
+
+
+# -- TF-IDF-style top terms per doc (integer-exact scoring) ------------------
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+lens AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         (tf.tf * n.n_docs * 1000000) // (df.df * lens.doc_len) AS score_milli
+  FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN n
+)
+SELECT doc_id, token, score_milli, term_rank FROM (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, token ASC) AS term_rank
+  FROM scored
+) WHERE term_rank <= 3
+"""
+
+
+@query("q_tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document, TF-IDF shape with integer-exact
+    scoring: score = ⌊tf·N·1e6 / (df·doc_len)⌋ — rational TF×(N/df)
+    weighting without transcendental functions, so both engines rank rows
+    identically (a float ln() would differ in ulps across engines and flip
+    tie-adjacent ranks).  Two shuffles: (doc, token) tf and token df; the
+    doc count is a 1-row broadcast."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.persist()
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.floor(
+                (F.col("tf") * F.col("n_docs") * F.lit(1000000))
+                / (F.col("df") * F.col("doc_len"))
+            ).alias("score_milli"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("score_milli"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(win))
+        .filter(F.col("term_rank") <= 3)
+    )

@@ -969,3 +969,36 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         *[F.col(f"`{p}`").alias(_PIVOT_COLS[p]) for p in _PRIORITIES],
     )
+
+
+# -- histogram: fixed-width price buckets ------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT bucket, COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS bucket_total
+FROM (
+  SELECT LEAST(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000 AS INT), 9) AS bucket,
+         o_totalprice
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
+@query("q_price_histogram", _HISTOGRAM_ORACLE)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide buckets, top bucket
+    open-ended): bucket assignment in exact cents domain, one hash agg with
+    map-side combine — the profiling shape that feeds partition-size and
+    skew decisions."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(cents(F.col("o_totalprice")) / F.lit(5000000)).cast("int"), F.lit(9)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / F.lit(100.0)).alias("bucket_total"),
+        )
+    )

@@ -28,6 +28,9 @@ NAMES = [
     "q_pivot_status_priority",
     "q_dedup_clusters",
     "q_media_metadata",
+    "q_vocab",
+    "q_tfidf_top_terms",
+    "q_price_histogram",
 ]
 
 
