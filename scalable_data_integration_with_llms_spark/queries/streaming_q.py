@@ -245,3 +245,48 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
     )
     return run_to_memory(spark, joined, "sdi_stream_ss_join", mode="append")
+
+
+# -- sliding (hopping) window rollup ------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM (
+  -- epoch_us keeps the bucket math in integer microseconds: epoch()::BIGINT
+  -- would ROUND sub-second parts and shift boundary events a bucket up
+  SELECT ts, event_type,
+         unnest(ARRAY[
+           CAST(to_timestamp((epoch_us(ts) // 1800000000) * 1800) AS TIMESTAMP),
+           CAST(to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800) AS TIMESTAMP)
+         ]) AS window_start
+  FROM events
+)
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY window_start, event_type
+"""
+
+
+@query("q_sliding_windows", _SLIDING_ORACLE)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 1-hour windows sliding every 30 minutes (each
+    event lands in two windows) — the overlap shape behind rate monitors and
+    trailing-hour dashboards.  ``F.window(ts, '1 hour', '30 minutes')`` is
+    the same operator Structured Streaming uses; the oracle expands each
+    event to its two slide-grid windows explicitly.  At scale the expand is
+    map-side (window count = window/slide, fixed), then one keyed shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -4,7 +4,7 @@ import pytest
 
 from conftest import assert_oracle_match
 
-NAMES = ["q_mapping_overlap", "q_stream_hourly", "q_sessionization", "q_stream_enriched", "q_stream_dedup", "q_stream_stream_join"]
+NAMES = ["q_mapping_overlap", "q_stream_hourly", "q_sessionization", "q_stream_enriched", "q_stream_dedup", "q_stream_stream_join", "q_sliding_windows"]
 
 
 @pytest.mark.parametrize("name", NAMES)
