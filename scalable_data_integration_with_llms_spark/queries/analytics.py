@@ -536,3 +536,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         o, "o_orderstatus", {"F": 0.02, "O": 0.1}, seed=13, key_cols=["o_orderkey"]
     ).select("o_orderkey", "o_orderstatus")
+
+
+# -- skew-salted join as a declared query -------------------------------------
+
+_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_salted_join_revenue", _SALTED_ORACLE)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority computed through the explicit skew-salt
+    path: lineitem (hot side) salted 8 ways on deterministic md5 salt, the
+    orders projection replicated per salt — one hot orderkey spreads over 8
+    shuffle partitions instead of 1.  The oracle is the plain join+rollup,
+    so the salting is proven a pure execution-strategy change (identical
+    results).  On real skew you'd reach for this when AQE's runtime split
+    can't see the skew (e.g. pre-aggregation build side)."""
+    from ..operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        l, o, on="l_orderkey", salt_factor=8,
+        salt_key_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),
+    )

@@ -67,3 +67,9 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
     assert df.count() > 0
+
+
+def test_salted_join_query_oracle(spark, duck):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, duck, "q_salted_join_revenue")
