@@ -290,3 +290,36 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# -- native session_window operator -------------------------------------------
+
+
+@query("q_session_window_native", _SESSION_ORACLE)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-minute-gap sessions via Spark's native ``session_window``
+    operator (one groupBy — the operator streaming uses with state) instead
+    of the lag/running-sum window formulation: both reduce to identical
+    sessions, so they share one oracle.  Session ids are re-derived as the
+    per-user rank of session start to match the oracle's cumulative
+    numbering; session_end = max event ts (the native window end extends
+    gap past the last event by definition)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    win = W.partitionBy("user_id").orderBy("session_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(win).cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
