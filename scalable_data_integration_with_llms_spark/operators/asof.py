@@ -39,9 +39,17 @@ def asof_join(
     t_right: str,
     payload: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Point-in-time join; returns all ``left`` columns plus ``payload``
-    columns from the matched right row (NULL when no right row precedes)."""
+    columns from the matched right row (NULL when no right row matches).
+
+    ``direction="backward"`` (default) matches the greatest ``t_right <=
+    t_left``; ``"forward"`` matches the smallest ``t_right >= t_left`` (the
+    "next event" variant) — same single-shuffle union-window plan, with the
+    time traversal reversed."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     tie_col = F.col(tiebreak) if tiebreak else F.lit(0)
     r = right.select(
         F.col(on_right).alias(_KEY),
@@ -58,9 +66,16 @@ def asof_join(
         *left.columns,
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
+    # backward: scan time ascending, right-before-left at equal t gives the
+    # inclusive <=; the last-seen right row is the max (t, tiebreak) match.
+    # forward: scan time DEscending — the last-seen right row is then the
+    # MINIMUM t_right >= t_left; right rows still sort before left at equal
+    # t (inclusive >=), and ascending tiebreak keeps max-tiebreak last
+    # within a same-t run.
+    t_order = F.asc(_T) if direction == "backward" else F.desc(_T)
     win = (
         W.partitionBy(_KEY)
-        .orderBy(F.asc(_T), F.asc(_SIDE), F.asc_nulls_first(_TIE))
+        .orderBy(t_order, F.asc(_SIDE), F.asc_nulls_first(_TIE))
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = unioned.select(

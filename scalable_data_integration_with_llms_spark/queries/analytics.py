@@ -574,3 +574,42 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),
     )
+
+
+# -- forward as-of join: next order after event time --------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts, c.o_orderkey, c.o_orderdate, c.o_totalprice
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+"""
+
+
+@query("q_asof_next_order", _ASOF_FWD_ORACLE)
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event carries the customer's NEXT order (smallest
+    o_orderdate >= ts) — conversion-attribution shape.  Same single-shuffle
+    union-window plan as the backward variant, time traversal reversed
+    (operators/asof.py direction='forward'); the oracle spells the naive
+    candidate join."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    return asof_join(
+        e,
+        o,
+        on_left="user_id",
+        on_right="o_custkey",
+        t_left="ts",
+        t_right="o_orderdate",
+        payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+        direction="forward",
+    )

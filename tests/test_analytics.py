@@ -7,6 +7,7 @@ from conftest import assert_oracle_match
 
 NAMES = [
     "q_asof_latest_order",
+    "q_asof_next_order",
     "q_range_join_purchase_context",
     "q_cms_supplier_counts",
     "q_events_rollup_multires",
@@ -100,6 +101,28 @@ def test_asof_join_inclusive_and_ties(spark):
     ).first()
     # inclusive <= at equal t; tie at t=7 resolved to max rid
     assert row.rid == 105
+
+
+def test_asof_join_forward(spark):
+    from scalable_data_integration_with_llms_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 50), (3, 10, 7)], "lid long, lk long, t long"
+    )
+    right = spark.createDataFrame(
+        [(10, 7, 100), (10, 7, 105), (10, 40, 102)], "k long, t long, rid long"
+    )
+    out = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, "lk", "k", "t", "t",
+            payload=["rid"], tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    # lid=1: t=5 -> next right t=7, tie -> max rid 105
+    # lid=2: t=50 -> nothing after -> NULL
+    # lid=3: t=7 -> inclusive >= matches t=7 tie -> 105
+    assert out == {1: 105, 2: None, 3: 105}
 
 
 def test_range_join_bounds(spark):
