@@ -35,6 +35,8 @@ HEADLINE = [
     "q18_large_orders",
     "q21_sole_failing_supplier",
     "q_asof_latest_order",
+    "q_asof_next_order",
+    "q_salted_join_revenue",
     "q_events_hourly",
     "q_majority_vote",
     "q_mock_match_scores",
@@ -52,7 +54,10 @@ HEADLINE = [
     "q_ann_ivf",
     "q_ann_lsh",
     "q_bpe_token_stats",
+    "q_tfidf_top_terms",
+    "q_vocab",
     "q_sessionization",
+    "q_sliding_windows",
     "q_stream_hourly",
     "q_stream_enriched",
     "q_stream_stream_join",
