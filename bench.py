@@ -42,6 +42,7 @@ HEADLINE = [
     "q_mock_match_scores",
     "q_bidirectional_scores",
     "q_stable_matching",
+    "q_pipeline_e2e",
     "q_alignment_prf1",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",

@@ -349,3 +349,70 @@ def q_metrics_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.sum(milli("recall")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_recall"),
         )
     )
+
+
+# -- SURVEY §7 minimum end-to-end slice as ONE query -------------------------
+# candidates → mock-LLM scoring → ranking → stable matching (round 1) →
+# gold confusion → per-case PRF1 → corpus mean.  The oracle reuses the
+# pinned stable-matching golden rounds (matching.py) and derives the same
+# metric stack in SQL.
+
+_E2E_ORACLE = f"""
+WITH m AS ({{golden}}),
+round1 AS (SELECT DISTINCT case_id, src, tgt FROM m WHERE round = 1),
+gold AS (SELECT * FROM {gold_values_sql()}),
+cases AS (SELECT DISTINCT case_id FROM gold),
+counts AS (
+  SELECT cases.case_id,
+         COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
+  FROM cases
+  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT * FROM round1 INTERSECT SELECT * FROM gold) GROUP BY case_id) t USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT * FROM round1 EXCEPT SELECT * FROM gold) GROUP BY case_id) f USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM round1) GROUP BY case_id) n USING (case_id)
+),
+percase AS (
+  SELECT case_id,
+         CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+         CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall
+  FROM counts
+),
+withf1 AS (
+  SELECT case_id, precision, recall,
+         CASE WHEN precision + recall = 0 THEN 0.0
+              ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+  FROM percase
+)
+SELECT COUNT(*) AS n_cases,
+       (SUM(CAST(round(precision * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_precision,
+       (SUM(CAST(round(recall * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_recall,
+       (SUM(CAST(round(f1 * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_f1
+FROM withf1
+"""
+
+
+def _e2e_oracle() -> str:
+    from .matching import _STABLE_GOLDEN_ORACLE
+
+    return _E2E_ORACLE.format(golden=_STABLE_GOLDEN_ORACLE)
+
+
+@query("q_pipeline_e2e", _e2e_oracle())
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7's minimum end-to-end slice in one DataFrame: mock-scored
+    candidates → ranked preferences → many-to-many stable matching →
+    round-1 matches scored against gold → corpus-level mean P/R/F1.  This
+    is the query a user of the reference runs end to end; every stage is
+    the same operator the individual queries exercise."""
+    from ..operators.stable_matching import round_r, stable_match
+
+    matches = round_r(stable_match(_spark_preferences(spark), top_k=5), 1)
+    gold = gold_alignments_df(spark)
+    counts = confusion_counts(matches.select("case_id", "src", "tgt"), gold)
+    scored = prf1_columns(counts)
+    milli = lambda c: F.round(F.col(c) * 1_000_000, 0).cast("bigint")  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_cases"),
+        ((F.sum(milli("precision")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_precision"),
+        ((F.sum(milli("recall")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_recall"),
+        ((F.sum(milli("f1")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_f1"),
+    )

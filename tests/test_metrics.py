@@ -11,6 +11,7 @@ NAMES = [
     "q_pass_rate",
     "q_coverage",
     "q_constraint_audit",
+    "q_pipeline_e2e",
 ]
 
 
