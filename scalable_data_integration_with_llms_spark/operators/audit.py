@@ -67,3 +67,29 @@ def audit_relation(spark: SparkSession, df: DataFrame, rel: Relation) -> DataFra
         )
         scalar = scalar.unionByName(dups)
     return scalar
+
+
+def audit_foreign_keys(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    fk_name: str,
+) -> DataFrame:
+    """Referential-integrity audit: count child rows whose FK value has no
+    parent (orphans) — the FK side of the reference's constraint model
+    (Schema Mapping/DatabaseUtils/Schema.py:43-59 declares FKs; SQLite
+    enforces them, Spark audits them).  One anti join: the child side is
+    pre-projected to the key column, the parent key set is deduped before
+    the join (small → broadcast)."""
+    parent_keys = parent.select(F.col(pk_col).alias(fk_col)).distinct()
+    orphans = (
+        child.select(fk_col)
+        .filter(F.col(fk_col).isNotNull())
+        .join(parent_keys, fk_col, "left_anti")
+    )
+    return orphans.agg(
+        F.lit(fk_name).alias("fk_name"),
+        F.count(F.lit(1)).alias("orphan_rows"),
+        F.countDistinct(fk_col).alias("orphan_keys"),
+    )

@@ -416,3 +416,41 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum(milli("recall")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_recall"),
         ((F.sum(milli("f1")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_f1"),
     )
+
+
+# -- A11 extension: referential-integrity audit -------------------------------
+
+_FK_AUDIT_ORACLE = """
+SELECT fk_name, orphan_rows, orphan_keys FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+         COUNT(*) AS orphan_rows, COUNT(DISTINCT l_orderkey) AS orphan_keys
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         COUNT(*), COUNT(DISTINCT o_custkey)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         COUNT(*), COUNT(DISTINCT c_nationkey)
+  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+)
+"""
+
+
+@query("q_fk_audit", _FK_AUDIT_ORACLE)
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK chain (A11
+    extension: the reference declares FKs in its schema model and relies on
+    SQLite enforcement; the engine audits them with anti joins).  Each FK is
+    one anti join against the deduped parent key set."""
+    from ..operators.audit import audit_foreign_keys
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        audit_foreign_keys(l, o, "l_orderkey", "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(audit_foreign_keys(o, c, "o_custkey", "c_custkey", "orders.o_custkey->customer"))
+        .unionByName(audit_foreign_keys(c, n, "c_nationkey", "n_nationkey", "customer.c_nationkey->nation"))
+    )

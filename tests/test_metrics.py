@@ -12,6 +12,7 @@ NAMES = [
     "q_coverage",
     "q_constraint_audit",
     "q_pipeline_e2e",
+    "q_fk_audit",
 ]
 
 
@@ -49,3 +50,15 @@ def test_gold_filter_parity(spark, duck):
 
 def test_metrics_by_category_parity(spark, duck):
     assert_oracle_match(spark, duck, "q_metrics_by_category")
+
+
+def test_fk_audit_counts_orphans(spark):
+    from scalable_data_integration_with_llms_spark.operators.audit import audit_foreign_keys
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = audit_foreign_keys(child, parent, "fk", "pk", "t.fk->p").first()
+    # two rows with fk=9 are orphans (one distinct key); NULL FK is not an orphan
+    assert (row.fk_name, row.orphan_rows, row.orphan_keys) == ("t.fk->p", 2, 1)
