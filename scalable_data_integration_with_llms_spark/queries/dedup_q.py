@@ -247,3 +247,39 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return media_stats(attach_media(d, "text", "doc_id"))
+
+
+# -- containment near-dups (subset duplication) -------------------------------
+
+_CONTAINMENT_ORACLE = _SHINGLE_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / LEAST(x.sz, y.sz) AS containment
+FROM i JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+WHERE CAST(inter AS DOUBLE) / LEAST(x.sz, y.sz) >= 0.8
+"""
+
+
+@query("q_dedup_containment", _CONTAINMENT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: |A∩B| / min(|A|,|B|) ≥ 0.8 — catches a short
+    document embedded in a longer one, which symmetric Jaccard dilutes
+    below threshold (the quote/boilerplate-inclusion case in training
+    corpora).  Same shingle self-join plan as Jaccard; only the score
+    changes."""
+    from ..operators.dedup import jaccard_pairs, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, threshold=0.0)
+    return (
+        pairs.withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "inter", "containment")
+    )

@@ -31,6 +31,7 @@ NAMES = [
     "q_vocab",
     "q_tfidf_top_terms",
     "q_price_histogram",
+    "q_dedup_containment",
 ]
 
 
