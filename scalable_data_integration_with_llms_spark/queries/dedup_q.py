@@ -283,3 +283,44 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.8)
         .select("doc_a", "doc_b", "inter", "containment")
     )
+
+
+# -- canonical selection: keep the best doc per duplicate cluster -------------
+
+_KEEPERS_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_ORACLE})
+SELECT cluster_id, doc_id AS keeper_doc, n_chars, n_members FROM (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM clusters c JOIN documents d ON c.doc = d.doc_id
+) WHERE rk = 1
+"""
+
+
+@query("q_dedup_keepers", _KEEPERS_ORACLE)
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection, the final dedup decision: per
+    duplicate cluster keep the LONGEST member (ties → smallest doc id) —
+    the content-preserving choice a training pipeline makes, vs the
+    arbitrary min-id representative.  Window over the (tiny) cluster
+    assignment joined back to doc metadata."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import connected_components, jaccard_pairs, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    clusters = connected_components(jaccard_pairs(sh, threshold=0.5))
+    joined = clusters.join(
+        d.select("doc_id", "n_chars"), clusters.doc == F.col("doc_id")
+    )
+    win = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    size_win = W.partitionBy("cluster_id")
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(size_win))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keeper_doc"), "n_chars", "n_members")
+    )

@@ -32,6 +32,7 @@ NAMES = [
     "q_tfidf_top_terms",
     "q_price_histogram",
     "q_dedup_containment",
+    "q_dedup_keepers",
 ]
 
 
