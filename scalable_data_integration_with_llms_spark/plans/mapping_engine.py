@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.overlap import OverlapCounts, table_overlap
-from ..plans.sql_rewrite import Statement, prepare_response
+from ..plans.sql_rewrite import Statement, prepare_response, rewrite_map_pk
 from ..plans.timeout import DEFAULT_TIMEOUT_S, OK, run_with_timeout
 
 
@@ -92,6 +92,11 @@ class MappingEngine:
         for s in stmts:
             if not s.admitted:
                 continue
+            # U3: map_pk(tbl, attr, val) -> scalar subquery against a
+            # rank-by-value dimension registered on demand
+            s.sql, pk_refs = rewrite_map_pk(s.sql)
+            for tbl, attr in pk_refs:
+                self._register_map_pk_dim(tbl, attr)
             if s.kind == "INSERT" and s.target_table:
                 bare = s.target_table.split(".")[-1].removeprefix(f"{ns}_")
                 select_sql = _strip_insert_prefix(s.sql)
@@ -107,6 +112,21 @@ class MappingEngine:
             if res.status != OK:
                 s.ignore_reason = f"{res.status}: {res.error or ''}".strip()[:200]
         return stmts
+
+    def _register_map_pk_dim(self, tbl: str, attr: str) -> None:
+        """Register ``__mappk_{tbl}_{attr}`` = (pk_val, pk_id): dense
+        rank-by-value over the source table's distinct attr values — the
+        engine's declared map_pk contract (operators/surrogate.py)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.surrogate import map_pk_dim
+
+        if tbl not in self.sc.source_tables:
+            raise ValueError(f"map_pk references unknown source table {tbl!r}")
+        dim = map_pk_dim(self.sc.source_tables[tbl], attr).select(
+            F.col(attr).alias("pk_val"), "pk_id"
+        )
+        dim.createOrReplaceTempView(f"__mappk_{tbl}_{attr}")
 
     def evaluate(self, predicted_sql: str, timeout_s: float = DEFAULT_TIMEOUT_S) -> MappingResult:
         """Run gold and predicted scripts into twin namespaces, then the

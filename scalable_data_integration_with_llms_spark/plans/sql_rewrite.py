@@ -179,3 +179,79 @@ def prepare_response(
         else s
         for s in stmts
     ]
+
+
+# -- U3: map_pk(tbl, attr, val) rewrite ---------------------------------------
+# The reference registers a stateful SQLite UDF (DatabaseManager.py:84-95)
+# assigning each distinct value a dense first-seen index.  The engine's
+# declared contract is rank-by-value (operators/surrogate.py); gold SQL
+# calling map_pk is rewritten into a scalar subquery against a precomputed
+# ``__mappk_{tbl}_{attr}`` dimension view (SURVEY §4 "dialect translation").
+
+_MAP_PK_HEAD = re.compile(r"\bmap_pk\s*\(", re.IGNORECASE)
+
+
+def _split_args(src: str, start: int) -> tuple[list[str], int] | None:
+    """Parse a parenthesized argument list starting at ``src[start] == '('``;
+    returns (args, index_after_close) or None if unbalanced."""
+    depth, quote, args, buf = 0, None, [], []
+    i = start
+    while i < len(src):
+        ch = src[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args, i + 1
+            buf.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    return None
+
+
+def _ident(arg: str) -> str:
+    """Strip quotes from a name argument ('publication' or publication)."""
+    return arg.strip().strip("'\"").lower()
+
+
+def rewrite_map_pk(sql: str) -> tuple[str, set[tuple[str, str]]]:
+    """Replace every ``map_pk(tbl, attr, val)`` call with a scalar subquery
+    ``(SELECT pk_id FROM __mappk_tbl_attr WHERE pk_val = (val))``; returns
+    the rewritten SQL plus the set of (tbl, attr) dimensions the executor
+    must register.  Nested parens/quotes in ``val`` are handled; unbalanced
+    calls are left untouched (the statement will fail loudly at execution)."""
+    refs: set[tuple[str, str]] = set()
+    out = sql
+    while True:
+        m = _MAP_PK_HEAD.search(out)
+        if not m:
+            break
+        parsed = _split_args(out, m.end() - 1)
+        if parsed is None:
+            break
+        args, end = parsed
+        if len(args) != 3:
+            break
+        tbl, attr = _ident(args[0]), _ident(args[1])
+        refs.add((tbl, attr))
+        sub = (
+            f"(SELECT pk_id FROM __mappk_{tbl}_{attr} "
+            f"WHERE pk_val = ({args[2]}))"
+        )
+        out = out[: m.start()] + sub + out[end:]
+    return out, refs

@@ -184,3 +184,67 @@ def q_subsumed_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return rules.join(subsumed, "rule_id", "left_anti").select("rule_id")
+
+
+# -- U3 in the mapping path: gold SQL calling map_pk --------------------------
+
+_MAPPK_GOLD_SQL = """
+INSERT INTO cust_dim
+SELECT map_pk('customer', 'c_name', c_name), c_name, c_mktsegment FROM customer;
+"""
+
+# predicted script re-keys only one segment: every other segment's rows are
+# FNs, so the overlap actually exercises the surrogate ids end to end
+_MAPPK_PREDICTED = """
+```sql
+INSERT INTO cust_dim
+SELECT map_pk('customer', 'c_name', c_name), c_name, c_mktsegment
+FROM customer WHERE c_mktsegment = 'BUILDING';
+```
+"""
+
+_MAPPK_ORACLE = f"""
+WITH dim AS (
+  SELECT pk_val, ROW_NUMBER() OVER (ORDER BY pk_val) - 1 AS pk_id
+  FROM (SELECT DISTINCT c_name AS pk_val FROM customer)
+),
+gold AS (
+  SELECT pk_id, c_name, c_mktsegment
+  FROM customer JOIN dim ON c_name = pk_val
+),
+pred AS (
+  SELECT pk_id, c_name, c_mktsegment
+  FROM customer JOIN dim ON c_name = pk_val
+  WHERE c_mktsegment = 'BUILDING'
+),
+counts AS (
+  SELECT 'cust_dim' AS table_name,
+         (SELECT COUNT(*) FROM (SELECT * FROM pred INTERSECT SELECT * FROM gold)) AS tp,
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM pred EXCEPT SELECT * FROM gold)) AS DOUBLE) AS fp,
+         (SELECT COUNT(*) FROM (SELECT * FROM gold EXCEPT SELECT * FROM pred)) AS fn
+)
+SELECT table_name, tp, fp, fn, {_prf1_sql("tp", "fp", "fn")}
+FROM counts
+"""
+
+
+@query("q_mapping_map_pk", _MAPPK_ORACLE)
+def q_mapping_map_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 inside the mapping path: gold AND predicted SQL call
+    ``map_pk(tbl, attr, val)``; the rewrite layer turns each call into a
+    scalar subquery against the rank-by-value ``__mappk_*`` dimension the
+    engine registers on demand (the engine's declared contract for the
+    reference's stateful first-seen UDF, DatabaseManager.py:84-95).  The
+    oracle derives the same dense ids with a window, so the surrogate keys
+    themselves are value-checked through the whole execution path."""
+    scenario = MappingScenario(
+        source_tables={"customer": load_table(spark, sf_dir, "customer")},
+        target_tables={"cust_dim": "pk_id bigint, c_name string, c_mktsegment string"},
+        gold_sql=_MAPPK_GOLD_SQL,
+        meaningful_cols={"cust_dim": ["pk_id", "c_name", "c_mktsegment"]},
+    )
+    engine = MappingEngine(spark, scenario)
+    result = engine.evaluate(_MAPPK_PREDICTED)
+    from ..operators.overlap import overlap_counts_df
+
+    return overlap_counts_df(spark, result.counts)
