@@ -82,3 +82,25 @@ def test_stream_matches_batch(spark):
 
 def test_subsumed_rules_parity(spark, duck):
     assert_oracle_match(spark, duck, "q_subsumed_rules")
+
+
+def test_rewrite_map_pk_edge_cases():
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import rewrite_map_pk
+
+    # nested parens and a comma inside a string literal in the val arg
+    sql = "SELECT map_pk(customer, c_name, concat(c_name, ', suffix', substr(c_name, 1, 2)))"
+    new, refs = rewrite_map_pk(sql)
+    assert refs == {("customer", "c_name")}
+    assert "__mappk_customer_c_name" in new
+    assert "', suffix'" in new  # literal comma survived
+    # two calls in one statement
+    sql2 = "SELECT map_pk('a','x',x), map_pk('b','y',y) FROM t"
+    new2, refs2 = rewrite_map_pk(sql2)
+    assert refs2 == {("a", "x"), ("b", "y")}
+    assert new2.count("__mappk_") == 2
+    # no call: untouched
+    sql3 = "SELECT 1"
+    assert rewrite_map_pk(sql3) == (sql3, set())
+    # wrong arity: left untouched
+    sql4 = "SELECT map_pk(a, b) FROM t"
+    assert rewrite_map_pk(sql4)[0] == sql4
