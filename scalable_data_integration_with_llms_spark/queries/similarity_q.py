@@ -260,3 +260,67 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(true_labels), "query_id")
         .select("query_id", "true_label", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+# -- ANN quality: recall@k of the LSH path against exact top-k ----------------
+
+_ANN_RECALL_ORACLE = _LSH_PLANE_CTE + f""",
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qb.vec_id ORDER BY
+             list_dot_product(qv.ve, cv.ve)
+               / (sqrt(list_dot_product(qv.ve, qv.ve)) * sqrt(list_dot_product(cv.ve, cv.ve))) DESC,
+             cb.vec_id ASC) AS r
+    FROM buckets qb JOIN buckets cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+    JOIN v qv ON qb.vec_id = qv.vec_id
+    JOIN v cv ON cb.vec_id = cv.vec_id
+  ) WHERE r <= {_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE r <= {_K}
+)
+SELECT COUNT(*) AS n_queries,
+       SUM(hits) AS total_hits,
+       (SUM(hits) * 1.0) / (COUNT(*) * {_K}) AS recall_at_k
+FROM (
+  SELECT e.query_id, COUNT(a.neighbor_id) AS hits
+  FROM exact e LEFT JOIN ann a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+"""
+
+
+@query("q_ann_recall", _ANN_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@5 of the hyperplane-LSH path against the
+    exact brute-force top-5, over every vector as a query.  This is the
+    query that tunes n_planes: more planes → smaller buckets → faster but
+    lower recall.  Both paths and the hit-join run in one plan; integer hit
+    counts divide exactly."""
+    from ..operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ann = lsh_topk(e, k=_K, n_planes=6).select("query_id", "neighbor_id")
+    exact = cosine_topk(e, e, _K).select("query_id", "neighbor_id")
+    joined = exact.alias("e").join(
+        ann.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    per_query = joined.groupBy(F.col("e.query_id")).agg(
+        F.count(F.col("a.neighbor_id")).alias("hits")
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").alias("total_hits"),
+        ((F.sum("hits") * F.lit(1.0)) / (F.count(F.lit(1)) * F.lit(_K))).alias("recall_at_k"),
+    )

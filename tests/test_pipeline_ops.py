@@ -33,6 +33,7 @@ NAMES = [
     "q_price_histogram",
     "q_dedup_containment",
     "q_dedup_keepers",
+    "q_ann_recall",
 ]
 
 
