@@ -324,3 +324,64 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("cluster_id", F.col("doc_id").alias("keeper_doc"), "n_chars", "n_members")
     )
+
+
+# -- MinHash quality: estimated vs exact Jaccard on near-dup pairs ------------
+
+_MINHASH_EST_ORACLE = _SHINGLE_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, inter * 1.0 / (x.sz + y.sz - inter) AS true_jaccard
+  FROM i JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+  WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+),
+perms AS (SELECT unnest(range(0, 12)) AS p),
+hashed AS (SELECT doc, p, ('0x' || substr(md5(p || ':' || shingle), 1, 15))::BIGINT AS h
+           FROM s CROSS JOIN perms),
+minh AS (SELECT doc, p, MIN(h) AS minh FROM hashed GROUP BY doc, p)
+SELECT pr.doc_a, pr.doc_b, pr.true_jaccard,
+       SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS matching_perms,
+       SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) / 12.0 AS est_jaccard
+FROM pairs pr
+JOIN minh ma ON pr.doc_a = ma.doc
+JOIN minh mb ON pr.doc_b = mb.doc AND ma.p = mb.p
+GROUP BY pr.doc_a, pr.doc_b, pr.true_jaccard
+"""
+
+
+@query("q_minhash_est_jaccard", _MINHASH_EST_ORACLE)
+def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash quality harness: for every true near-dup pair (Jaccard ≥
+    0.5), the fraction of the 12 permutations whose minhash components
+    agree — the unbiased Jaccard estimator whose variance drives the
+    n_perm choice (the dedup analog of q_ann_recall's n_planes tuning).
+    Exact integer minhashes in both engines make the estimate itself
+    oracle-checked."""
+    from ..operators.dedup import _hash60, jaccard_pairs, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3).persist()
+    pairs = jaccard_pairs(sh, threshold=0.5).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("true_jaccard")
+    )
+    perms = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("p")
+    minh = (
+        sh.select("doc", perms, "shingle")
+        .withColumn("h", _hash60(F.col("p"), F.col("shingle")))
+        .groupBy("doc", "p")
+        .agg(F.min("h").alias("minh"))
+    )
+    ma = minh.select(F.col("doc").alias("doc_a"), "p", F.col("minh").alias("minh_a"))
+    mb = minh.select(F.col("doc").alias("mb_doc"), F.col("p").alias("pb"), F.col("minh").alias("minh_b"))
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, (F.col("doc_b") == F.col("mb_doc")) & (F.col("p") == F.col("pb")))
+        .groupBy("doc_a", "doc_b", "true_jaccard")
+        .agg(
+            F.sum(F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0)).alias("matching_perms"),
+            (F.sum(F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0)) / F.lit(12.0)).alias("est_jaccard"),
+        )
+    )

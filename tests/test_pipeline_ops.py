@@ -34,6 +34,7 @@ NAMES = [
     "q_dedup_containment",
     "q_dedup_keepers",
     "q_ann_recall",
+    "q_minhash_est_jaccard",
 ]
 
 
