@@ -324,3 +324,58 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hits").alias("total_hits"),
         ((F.sum("hits") * F.lit(1.0)) / (F.count(F.lit(1)) * F.lit(_K))).alias("recall_at_k"),
     )
+
+
+# -- IVF quality: recall@k of the coarse-partition path vs exact --------------
+
+_IVF_RECALL_ORACLE = f"""
+WITH ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
+    FROM embeddings q JOIN embeddings c
+      ON q.label = c.label AND q.vec_id <> c.vec_id
+  ) WHERE r <= {_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE r <= {_K}
+)
+SELECT COUNT(*) AS n_queries,
+       SUM(hits) AS total_hits,
+       (SUM(hits) * 1.0) / (COUNT(*) * {_K}) AS recall_at_k
+FROM (
+  SELECT e.query_id, COUNT(a.neighbor_id) AS hits
+  FROM exact e LEFT JOIN ann a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+"""
+
+
+@query("q_ivf_recall", _IVF_RECALL_ORACLE)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality harness: recall@5 of the coarse-partition path against
+    exact brute force, every vector as a query — the nprobe/partition-count
+    tuning measurement (q_ann_recall's twin for the learned-partition path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ann = ivf_topk(e, e, _K).select("query_id", "neighbor_id")
+    exact = cosine_topk(e, e, _K).select("query_id", "neighbor_id")
+    joined = exact.alias("e").join(
+        ann.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    per_query = joined.groupBy(F.col("e.query_id")).agg(
+        F.count(F.col("a.neighbor_id")).alias("hits")
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").alias("total_hits"),
+        ((F.sum("hits") * F.lit(1.0)) / (F.count(F.lit(1)) * F.lit(_K))).alias("recall_at_k"),
+    )

@@ -35,6 +35,7 @@ NAMES = [
     "q_dedup_keepers",
     "q_ann_recall",
     "q_minhash_est_jaccard",
+    "q_ivf_recall",
 ]
 
 
