@@ -65,6 +65,8 @@ HEADLINE = [
     "q_contamination",
     "q_pack_sequences",
     "q_knn_classify",
+    "q_fuzzy_er_names",
+    "q_scd2_intervals",
 ]
 
 

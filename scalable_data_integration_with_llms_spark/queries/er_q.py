@@ -1,0 +1,159 @@
+"""Entity-resolution and temporal-table surface (beyond-reference, additive).
+
+The reference does schema-level matching; record-level (instance) matching is
+the natural next layer of a data-integration engine and the standard shape at
+scale is *blocked* fuzzy joins: dedupe to distinct keys, compare only within
+blocks, and expand candidate pairs back through per-key aggregates instead of
+row-level pair explosion.  All string distance stays JVM-side
+(``F.levenshtein``), so the plan is whole-stage-codegen end to end.
+
+SCD2 validity intervals and ntile deciles round out the temporal-table and
+order-statistics surface a training-data warehouse needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.determinism import cents
+from ..sources.readers import load_table
+from .registry import query
+
+# -- blocked fuzzy entity-resolution join ------------------------------------
+
+_FUZZY_ER_ORACLE = """
+WITH names AS (
+  SELECT p_name,
+         split_part(p_name, ' ', 2) AS block_key,
+         COUNT(*) AS n_parts,
+         SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS price_cents
+  FROM part GROUP BY 1, 2
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       a.n_parts AS n_a, b.n_parts AS n_b,
+       a.n_parts * b.n_parts AS candidate_pairs,
+       (a.price_cents + b.price_cents) / 100.0 AS combined_price
+FROM names a JOIN names b
+  ON a.block_key = b.block_key AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@query("q_fuzzy_er_names", _FUZZY_ER_ORACLE)
+def q_fuzzy_er_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join on part names (record-level ER, the instance
+    counterpart of the reference's schema matching — cf. `Stable Schema
+    Matching/ask_StableMatcher.py:131-199` where candidates are also scored
+    pairwise within a case).  Scale pattern: (1) aggregate 20k rows down to
+    the distinct-name dimension BEFORE comparing, so the quadratic step is
+    O(distinct²/blocks) not O(rows²); (2) block on the head noun so only
+    plausible pairs are compared; (3) expand back via pre-aggregated counts
+    (candidate_pairs = n_a·n_b) instead of materializing row pairs.  At
+    100 TB the distinct dimension still fits a broadcast or one small
+    shuffle while the naive row-pair join is infeasible."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(cents("p_retailprice")).alias("price_cents"),
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        "block_key",
+        F.col("n_parts").alias("n_a"),
+        F.col("price_cents").alias("cents_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        "block_key",
+        F.col("n_parts").alias("n_b"),
+        F.col("price_cents").alias("cents_b"),
+    )
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("candidate_pairs"),
+            ((F.col("cents_a") + F.col("cents_b")) / F.lit(100.0)).alias(
+                "combined_price"
+            ),
+        )
+    )
+
+
+# -- SCD2 validity intervals from a changelog --------------------------------
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       ROW_NUMBER() OVER w AS version,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("q_scd2_intervals", _SCD2_ORACLE)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: treat the
+    event stream as a per-user changelog and derive [valid_from, valid_to)
+    versions via LEAD — the compaction step behind every point-in-time
+    (as-of) lookup.  One shuffle on user_id; the window sort is local to
+    each hash partition, so the plan scales linearly with users."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# -- ntile decile statistics --------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT decile, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+FROM (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+"""
+
+
+@query("q_ntile_deciles", _NTILE_ORACLE)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile stats of order value via NTILE over a total order
+    (price, key) — deterministic tie handling, identical bucket-remainder
+    semantics in Spark and DuckDB.  The single-partition window is the known
+    scale limit of raw NTILE; at cluster scale the same result comes from
+    percentile cutpoints + a range join, which q_price_percentiles covers —
+    this query pins the exact-rank semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total"),
+        )
+    )
