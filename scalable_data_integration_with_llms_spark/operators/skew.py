@@ -7,16 +7,17 @@ a join: the hot side's key is widened with a deterministic salt in
 [0, factor), and the other side is replicated across every salt value, so
 one hot key fans out over ``factor`` shuffle partitions instead of one.
 
-Determinism: the salt derives from md5 of the row key (functions/
-determinism.det_rand), so retries and recomputations salt identically.
+Determinism: the salt derives from ``xxhash64`` of the row key — a pure,
+fixed-seed row function, so retries and recomputations salt identically.
+(Unlike the sampling operators, the salt never crosses the oracle boundary
+— the plain join is the oracle — so it doesn't need the md5 cross-engine
+discipline, and the JVM-native hash keeps the hot side's scan cheap.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from ..functions.determinism import det_rand
 
 
 def salted_join(
@@ -35,7 +36,7 @@ def salted_join(
     stable across recomputation.
     """
     key_cols = salt_key_cols or skewed.columns
-    salt = (det_rand("salt", *key_cols) * salt_factor).cast("int")
+    salt = F.pmod(F.xxhash64(F.lit("salt"), *key_cols), F.lit(salt_factor)).cast("int")
     left = skewed.withColumn("__salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("__salt")
     right = small.select("*", salts)
