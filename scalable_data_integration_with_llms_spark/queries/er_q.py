@@ -122,6 +122,48 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Z-order clustering key (data-layout surface) -----------------------------
+
+from ..operators.layout import zorder_key, zorder_key_sql  # noqa: E402
+
+_ZBITS = 10
+
+_ZORDER_ORACLE = f"""
+SELECT z_bucket, COUNT(*) AS n_rows,
+       MIN(px) AS min_part, MAX(px) AS max_part,
+       MIN(sx) AS min_supp, MAX(sx) AS max_supp
+FROM (
+  SELECT ({zorder_key_sql('px', 'sx', _ZBITS)}) >> 16 AS z_bucket, px, sx
+  FROM (SELECT l_partkey & 1023 AS px, l_suppkey & 1023 AS sx FROM lineitem)
+)
+GROUP BY z_bucket
+"""
+
+
+@query("q_zorder_locality", _ZORDER_ORACLE)
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (partkey, suppkey) low bits,
+    rolled up by the key's top nibble: each bucket's min/max on BOTH
+    dimensions is a tight quadrant — the property that makes a Z-sorted
+    file layout prunable on either filter column
+    (operators/layout.write_zordered is the write path)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    masked = l.select(
+        (F.col("l_partkey").bitwiseAND(F.lit(1023))).alias("px"),
+        (F.col("l_suppkey").bitwiseAND(F.lit(1023))).alias("sx"),
+    )
+    keyed = masked.select(
+        F.shiftright(zorder_key("px", "sx", _ZBITS), 16).alias("z_bucket"), "px", "sx"
+    )
+    return keyed.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("px").alias("min_part"),
+        F.max("px").alias("max_part"),
+        F.min("sx").alias("min_supp"),
+        F.max("sx").alias("max_supp"),
+    )
+
+
 # -- ntile decile statistics --------------------------------------------------
 
 _NTILE_ORACLE = """

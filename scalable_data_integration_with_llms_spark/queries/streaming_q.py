@@ -111,6 +111,97 @@ def q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("sdi_sessions_q")
 
 
+_TWS_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, n_events, session_start, session_end FROM agg
+QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+"""
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas's state-server control channel is
+    protobuf-encoded; without google.protobuf the TWS driver worker
+    crashes at init.  Gate registration so environments lacking protobuf
+    (like this test container) simply don't declare the query, while the
+    applyInPandasWithState twin keeps streaming-sessionization coverage."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        return False
+
+
+def _register_tws() -> None:
+    query("q_sessionization_tws", _TWS_SESSION_ORACLE)(q_sessionization_tws)
+
+
+def q_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization on transformWithStateInPandas (Spark 4's stateful
+    API, RocksDB state store) drained with availableNow.  Unlike the
+    applyInPandasWithState twin above, this one carries a full value
+    oracle: a bounded drain deterministically emits exactly the sessions
+    closed by a later event — i.e. every session except each user's last —
+    regardless of micro-batch boundaries, because closing is triggered by
+    data, not time."""
+    import tempfile
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.tws_sessions import sessionize_stream_tws
+
+    stream = read_event_stream(spark, sf_dir)
+    sessions = sessionize_stream_tws(stream, gap_minutes=_SESSION_GAP_MIN)
+    for q in spark.streams.active:
+        if q.name == "sdi_sessions_tws_q":
+            q.stop()
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query_handle = (
+            sessions.writeStream.format("memory")
+            .queryName("sdi_sessions_tws_q")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_tws_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query_handle.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table("sdi_sessions_tws_q")
+
+
+if _has_tws_runtime():  # pragma: no cover - environment-dependent
+    _register_tws()
+
+
 # -- stream-static enrichment join -------------------------------------------
 
 _STREAM_ENRICHED_ORACLE = """

@@ -45,3 +45,43 @@ def test_scd2_intervals_partition_users(spark):
         (F.col("n_open") != 1) | (F.col("n_bad") > 0) | (F.col("max_v") != F.col("n"))
     )
     assert bad.count() == 0
+
+
+def test_zorder_oracle(spark, duck):
+    assert_oracle_match(spark, duck, "q_zorder_locality")
+
+
+def test_zorder_write_tightens_file_ranges(spark, tmp_path):
+    """Files written Z-ordered must cover far smaller (px, sx) rectangles
+    than the incoming layout: read back per-file min/max and require the
+    mean rectangle area to shrink."""
+    from scalable_data_integration_with_llms_spark.operators.layout import write_zordered
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    l = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        (F.col("l_partkey").bitwiseAND(F.lit(1023))).alias("px"),
+        (F.col("l_suppkey").bitwiseAND(F.lit(1023))).alias("sx"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(l, path, "px", "sx", bits=10, files=16)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    areas = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        pxs, sxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                tgt = pxs if col.path_in_schema == "px" else sxs
+                tgt.append((col.statistics.min, col.statistics.max))
+        lo_p, hi_p = min(a for a, _ in pxs), max(b for _, b in pxs)
+        lo_s, hi_s = min(a for a, _ in sxs), max(b for _, b in sxs)
+        areas.append((hi_p - lo_p + 1) * (hi_s - lo_s + 1))
+    full_area = 1024 * 1024
+    mean_area = sum(areas) / len(areas)
+    # 16 curve segments ≈ 1/16 of the plane each; allow 2x slop
+    assert mean_area < full_area / 8, (mean_area, full_area, len(areas))
