@@ -55,11 +55,18 @@ def q_fuzzy_er_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the distinct dimension still fits a broadcast or one small
     shuffle while the naive row-pair join is infeasible."""
     p = load_table(spark, sf_dir, "part")
-    names = p.groupBy(
-        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key")
-    ).agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.sum(cents("p_retailprice")).alias("price_cents"),
+    names = (
+        p.groupBy(
+            "p_name",
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(cents("p_retailprice")).alias("price_cents"),
+        )
+        # the dimension feeds both join sides: persist so the base table is
+        # scanned once, not once per side (the self-join duplicates lineage)
+        .persist()
     )
     a = names.select(
         F.col("p_name").alias("name_a"),
