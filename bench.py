@@ -82,10 +82,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen + Python-worker-daemon warm-up on the smallest SF (not
-    # timed): q1 exercises whole-stage codegen; the mock-scores query spins
-    # up the Arrow/pandas worker pool so per-query timings measure the
-    # operators, not one-time process startup.
-    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+    # timed): q1 exercises scan+agg codegen, q3/q5 the broadcast/shuffle
+    # join + window shapes (JIT on the join paths dominates early timings
+    # otherwise), and the mock-scores query spins up the Arrow/pandas
+    # worker pool — so per-query timings measure the operators, not
+    # one-time process startup.
+    for warm in ("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").collect()
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: (pdf for pdf in it), "x int"
     ).collect()
