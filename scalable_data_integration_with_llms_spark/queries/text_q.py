@@ -528,3 +528,51 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("term_rank", F.row_number().over(win))
         .filter(F.col("term_rank") <= 3)
     )
+
+
+# -- Python UDTF surface (Spark 4 table functions) ----------------------------
+
+_UDTF_TOKENS_ORACLE = """
+WITH arrs AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT source, unnest(arr) AS token,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM arrs
+)
+SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+       SUM(pos) AS sum_pos
+FROM toks GROUP BY source
+"""
+
+
+@query("q_udtf_tokens", _UDTF_TOKENS_ORACLE)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) exploding documents into
+    (token, pos) rows via a LATERAL join, rolled up per source.  This is
+    the engine's one *deliberate* row-at-a-time Python surface — the API
+    exists for table-generating logic that genuinely can't be an array
+    expression; everything hot uses the JVM-side explode/split instead
+    (q_top_bigrams, q_vocab), which is why this query stays off the bench
+    headline.  The oracle reproduces position numbering exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string, pos int")
+    class TokenizeDocs:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            toks = [t for t in (text or "").split(" ") if t]
+            for i, t in enumerate(toks):
+                yield doc_id, t, i
+
+    spark.udtf.register("sdi_tokenize", TokenizeDocs)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.source, COUNT(*) AS n_tokens, COUNT(DISTINCT t.token) AS n_distinct,
+               SUM(t.pos) AS sum_pos
+        FROM v_docs_udtf d, LATERAL sdi_tokenize(d.doc_id, d.text) t
+        GROUP BY d.source
+        """
+    )

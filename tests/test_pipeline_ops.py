@@ -36,6 +36,7 @@ NAMES = [
     "q_ann_recall",
     "q_minhash_est_jaccard",
     "q_ivf_recall",
+    "q_udtf_tokens",
 ]
 
 
