@@ -160,3 +160,34 @@ def test_word_shingles_no_shingle_shuffle(spark):
     d = load_table(spark, "/root/testdata/sf0.01", "documents")
     plan = word_shingles(d, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_fuzzy_er_compares_on_cached_dim(spark):
+    """The quadratic compare must run on the cached distinct-name dimension
+    (InMemoryTableScan on both join sides), broadcast-joined on the block
+    key, with levenshtein evaluated JVM-side (no Python)."""
+    plan = _plan(spark, "q_fuzzy_er_names")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_stays_codegen(spark):
+    """Morton interleave is pure JVM bit arithmetic: no Python eval, no
+    Generate, partial agg before the single bucket exchange."""
+    plan = _plan(spark, "q_zorder_locality")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_single_shuffle(spark):
+    """SCD2 interval derivation: exactly one hash exchange (user_id), the
+    lead/row_number frames ride the same sort."""
+    plan = _plan(spark, "q_scd2_intervals")
+    n_exchange = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchange == 1, plan[:600]
