@@ -81,37 +81,11 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sessionization_stream")
-def q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming sessionization (applyInPandasWithState keyed by
-    user) drained with availableNow.  Rows-only by design: a bounded drain
-    emits only sessions *closed by a later event* — each user's final open
-    session stays in state awaiting more data, so the batch query is a
-    strict superset (equality on closed sessions is asserted in
-    tests/test_streaming_state.py)."""
-    import tempfile
-
-    from ..streaming.events import read_event_stream
-    from ..streaming.sessions import sessionize_stream
-
-    stream = read_event_stream(spark, sf_dir)
-    sessions = sessionize_stream(stream, gap_minutes=_SESSION_GAP_MIN)
-    for q in spark.streams.active:
-        if q.name == "sdi_sessions_q":
-            q.stop()
-    query_handle = (
-        sessions.writeStream.format("memory")
-        .queryName("sdi_sessions_q")
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_sess_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query_handle.awaitTermination()
-    return spark.table("sdi_sessions_q")
-
-
-_TWS_SESSION_ORACLE = f"""
+# Closed-sessions oracle shared by both stateful formulations: a bounded
+# (availableNow) drain deterministically emits exactly the sessions closed
+# by a later event — every session except each user's last — regardless of
+# micro-batch boundaries, because closing is triggered by data, not time.
+_CLOSED_SESSIONS_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -136,6 +110,35 @@ QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
 """
 
 
+@query("q_sessionization_stream", _CLOSED_SESSIONS_ORACLE)
+def q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState keyed by
+    user) drained with availableNow, value-checked against the
+    closed-sessions oracle: the drain emits exactly the sessions closed by
+    a later event (each user's final open session stays in state awaiting
+    more data — batch-boundary independent, so fully oracle-checkable)."""
+    import tempfile
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.sessions import sessionize_stream
+
+    stream = read_event_stream(spark, sf_dir)
+    sessions = sessionize_stream(stream, gap_minutes=_SESSION_GAP_MIN)
+    for q in spark.streams.active:
+        if q.name == "sdi_sessions_q":
+            q.stop()
+    query_handle = (
+        sessions.writeStream.format("memory")
+        .queryName("sdi_sessions_q")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_sess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query_handle.awaitTermination()
+    return spark.table("sdi_sessions_q")
+
+
 def _has_tws_runtime() -> bool:
     """transformWithStateInPandas's state-server control channel is
     protobuf-encoded; without google.protobuf the TWS driver worker
@@ -151,7 +154,7 @@ def _has_tws_runtime() -> bool:
 
 
 def _register_tws() -> None:
-    query("q_sessionization_tws", _TWS_SESSION_ORACLE)(q_sessionization_tws)
+    query("q_sessionization_tws", _CLOSED_SESSIONS_ORACLE)(q_sessionization_tws)
 
 
 def q_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
