@@ -214,10 +214,13 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # fused round 0: with labels initialized to node ids, a neighbor's label
+    # IS the neighbor — so the first min-label hop is a plain groupBy over
+    # the edge list, no label join (saves one full join+checkpoint round)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nbr0"))
+        .select("node", F.least(F.col("node"), F.col("nbr0")).alias("label"))
         .localCheckpoint(eager=True)
     )
     edges.count()
