@@ -23,3 +23,4 @@ from . import mapping_q  # noqa: F401, E402
 from . import reference_ops  # noqa: F401, E402
 from . import er_q  # noqa: F401, E402
 from . import approx_q  # noqa: F401, E402
+from . import pipeline_q  # noqa: F401, E402

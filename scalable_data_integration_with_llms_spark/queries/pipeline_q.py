@@ -1,0 +1,212 @@
+"""Training-corpus pipeline operations beyond single-corpus analytics:
+incremental ingestion dedup, temperature-scaled source mixing, corpus-frequency
+document scoring, and deterministic output sharding.
+
+These are the day-2 operations of a 100 TB training-data pipeline (the
+BASELINE.json north star): data arrives in batches and must dedup against the
+already-ingested corpus, sources are re-weighted before sampling, documents
+are scored against corpus statistics, and the blessed corpus is written out
+in balanced deterministic shards.  All arithmetic follows the engine's
+exactness discipline (functions/determinism.py): md5-derived randomness and
+integer-scaled sums, so every query here carries a full DuckDB value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+# -- incremental ingestion dedup ----------------------------------------------
+# New batch (doc_id % 10 = 0 plays the incoming batch) deduped against the
+# already-ingested corpus (the rest) by exact content hash, then within-batch.
+# Scale shape: the corpus side reduces to DISTINCT 32-char hashes before the
+# join (never ships text), the incoming batch shuffles once on the hash, and
+# both dup classes fall out of one left join + one groupBy — at 100 TB the
+# corpus hash set is a bucketed table and this becomes a co-located join.
+
+_INCREMENTAL_ORACLE = """
+WITH incoming AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+),
+firsts AS (
+  SELECT h, MIN(doc_id) AS first_id FROM incoming GROUP BY h
+),
+flagged AS (
+  SELECT i.doc_id, i.source,
+         CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS corpus_dup,
+         CASE WHEN c.h IS NULL AND i.doc_id <> f.first_id THEN 1 ELSE 0 END AS batch_dup
+  FROM incoming i
+  LEFT JOIN corpus c ON i.h = c.h
+  JOIN firsts f ON i.h = f.h
+)
+SELECT source,
+       COUNT(*) AS n_incoming,
+       SUM(corpus_dup) AS n_corpus_dup,
+       SUM(batch_dup) AS n_batch_dup,
+       COUNT(*) - SUM(corpus_dup) - SUM(batch_dup) AS n_kept
+FROM flagged GROUP BY source
+"""
+
+
+@query("q_incremental_dedup", _INCREMENTAL_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    corpus_hashes = (
+        d.filter(F.col("doc_id") % 10 != 0).select(F.md5("text").alias("h")).distinct()
+    )
+    firsts = incoming.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    flagged = (
+        incoming.join(corpus_hashes.withColumn("in_corpus", F.lit(1)), "h", "left")
+        .join(firsts, "h")
+        .select(
+            "source",
+            F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0).alias("corpus_dup"),
+            F.when(
+                F.col("in_corpus").isNull() & (F.col("doc_id") != F.col("first_id")), 1
+            )
+            .otherwise(0)
+            .alias("batch_dup"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return flagged.groupBy("source").agg(
+        n.alias("n_incoming"),
+        F.sum("corpus_dup").alias("n_corpus_dup"),
+        F.sum("batch_dup").alias("n_batch_dup"),
+        (n - F.sum("corpus_dup") - F.sum("batch_dup")).alias("n_kept"),
+    )
+
+
+# -- temperature-scaled source mixture ----------------------------------------
+# Data-mixing weights for training: p_i ∝ n_tokens_i^alpha with alpha = 0.5
+# flattens over-represented sources (the multilingual-sampling trick).  sqrt
+# is IEEE-correctly-rounded so round(sqrt(n)*1e6) is the same bigint in every
+# engine; the allocation is pure integer arithmetic (w*B div total), immune to
+# double-sum ordering.  One token-count aggregate + a 1-row broadcast total.
+
+_MIXTURE_BUDGET = 100_000
+
+_MIXTURE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT *, CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS w FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       w / (SELECT SUM(w) FROM weighted) AS mix_prob,
+       (w * {_MIXTURE_BUDGET}) // (SELECT SUM(w) FROM weighted) AS doc_budget
+FROM weighted
+"""
+
+
+@query("q_source_mixture", _MIXTURE_ORACLE)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ", -1))).alias("n_tokens"),
+    )
+    weighted = per_source.withColumn(
+        "w", F.round(F.sqrt("n_tokens") * 1e6).cast("bigint")
+    )
+    # the per-source frame is tiny: an unbounded window beats a self-join
+    total = F.sum("w").over(Window.partitionBy())
+    return weighted.withColumn("total_w", total).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("w") / F.col("total_w")).alias("mix_prob"),
+        F.expr(f"w * {_MIXTURE_BUDGET} div total_w").alias("doc_budget"),
+    )
+
+
+# -- corpus-frequency document scoring ----------------------------------------
+# Unigram "commonness" score: mean corpus document-frequency of a document's
+# token occurrences — the dependency-free core of an LM-perplexity quality
+# filter (rare-token-heavy documents score low, boilerplate scores high).
+# Exact: document frequencies and their per-doc sums are bigints; the single
+# final division is identical in both engines.  Scale shape: one (doc, token)
+# distinct for the DF table, one token-keyed join (vocab is Zipf-small —
+# broadcastable long after the corpus isn't), one doc-keyed combine.
+
+_COMMONNESS_ORACLE = """
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY tok
+)
+SELECT o.doc_id, COUNT(*) AS n_tokens, SUM(d.df) AS sum_df,
+       SUM(d.df) / COUNT(*) AS mean_df
+FROM occ o JOIN df d ON o.tok = d.tok
+GROUP BY o.doc_id
+"""
+
+
+@query("q_doc_commonness", _COMMONNESS_ORACLE)
+def q_doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    df_table = (
+        occ.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        occ.join(df_table, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            (F.sum("df") / F.count(F.lit(1))).alias("mean_df"),
+        )
+    )
+
+
+# -- deterministic output sharding --------------------------------------------
+# Training corpora are written as N fixed shards, shuffled but reproducible:
+# shard(doc) = md5(seed, doc_id) mod N — stable under retries, partitioning,
+# and engines (functions/determinism.py discipline), unlike hash-partitioning
+# whose murmur seed is engine-private.  The query audits shard balance (doc
+# and token counts per shard); the write path is
+# ``df.repartition(N, shard_col).write`` with the same column.
+
+_N_SHARDS = 64
+
+_SHARD_ORACLE = f"""
+SELECT ('0x' || substr(md5('shard42:' || doc_id), 1, 15))::BIGINT % {_N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY 1
+"""
+
+
+@query("q_shard_assignment", _SHARD_ORACLE)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard42:"), F.col("doc_id"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % _N_SHARDS
+    )
+    return (
+        d.select(shard.alias("shard"), "doc_id", F.size(F.split("text", " ", -1)).alias("tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -37,6 +37,10 @@ NAMES = [
     "q_minhash_est_jaccard",
     "q_ivf_recall",
     "q_udtf_tokens",
+    "q_incremental_dedup",
+    "q_source_mixture",
+    "q_doc_commonness",
+    "q_shard_assignment",
 ]
 
 
