@@ -41,15 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one test table. Column pruning + predicate pushdown
     happen at this scan when the caller selects/filters downstream.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark cannot
-    read natively — read nanos as long and convert to a microsecond
-    timestamp (truncation, matching what DuckDB/Arrow readers produce).
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) (unreadable natively — read nanos
+    as long and truncate to micros, matching DuckDB/Arrow readers) and plain
+    TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ — cast to the session-zone
+    timestamp type so downstream window/filter exprs see one type either
+    way; session tz is pinned UTC so values are identical).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div — double division would lose precision above 2^53 ns
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer div — double division would lose precision above 2^53 ns
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

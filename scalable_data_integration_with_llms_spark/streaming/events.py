@@ -23,28 +23,39 @@ from pyspark.sql import types as T
 
 from ..functions.determinism import cents
 
-# events parquet carries nanosecond timestamps; the stream reads them as
-# long (nanosAsLong) and converts, matching sources/readers.py.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events parquet has shipped with ts as TIMESTAMP(NANOS) (read as long via
+# nanosAsLong, then converted) and as TIMESTAMP(MICROS); probe the footer
+# with a batch read and declare the matching stream schema, mirroring
+# sources/readers.load_table.
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = isinstance(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+        T.LongType,
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _events_raw_schema(T.LongType() if nanos else T.TimestampType())
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
