@@ -4,8 +4,11 @@ Each module registers queries with the shared registry; a query is a callable
 ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a DuckDB oracle
 SQL string producing the identical result — same column names, same values.
 
-Import order defines nothing; every module is imported here so the registry is
-complete after ``import ...queries``.
+Registration ORDER matters downstream: the correctness driver hard-verifies a
+window of the registry front.  ``_VERIFY_FIRST`` below pins the queries that
+most need the hard oracle signal this round to the front of the dict; round 1
+verified the TPC-H/analytics block (registry 0-49, all green), so those rotate
+to the back and the reference-port core + LLM-pipeline operators come first.
 """
 
 from .registry import QUERIES, ORACLES, query  # noqa: F401
@@ -24,3 +27,83 @@ from . import reference_ops  # noqa: F401, E402
 from . import er_q  # noqa: F401, E402
 from . import approx_q  # noqa: F401, E402
 from . import pipeline_q  # noqa: F401, E402
+
+# Verification-window priority (round 2): the reference-port core — stable
+# matching, bidirectional scoring, ensembles, PRF1/MRR/CI metrics, schema
+# mapping, prompt/parse ops — then the LLM-pipeline operators (dedup, MinHash/
+# LSH, ANN, streaming, tokenizer), then the 5 round-1 oracle-dtype fixes so
+# their rows flip green.  Round-1-green TPC-H/analytics rotate behind.
+_VERIFY_FIRST = [
+    # Stable matching + candidate scoring (reference core)
+    "q_stable_matching",
+    "q_match_round2",
+    "q_mock_match_scores",
+    "q_bidirectional_scores",
+    "q_topk_alignments",
+    # Ensembles
+    "q_ensemble_union",
+    "q_ensemble_intersection",
+    "q_ensemble_majority",
+    "q_ensemble_disjoint",
+    "q_ensemble_gold_filter",
+    "q_filtered_preferences",
+    # Metrics / evaluation
+    "q_alignment_prf1",
+    "q_mrr",
+    "q_metric_ci",
+    "q_pass_rate",
+    "q_coverage",
+    "q_constraint_audit",
+    "q_fk_audit",
+    "q_metrics_by_category",
+    "q_pipeline_e2e",
+    # Schema mapping
+    "q_mapping_overlap",
+    "q_subsumed_rules",
+    "q_mapping_map_pk",
+    # Reference prompt/parse/validation ops
+    "q_parse_matches_json",
+    "q_mcq_scores",
+    "q_mcq_validation",
+    "q_yes_no_majority",
+    "q_icl_packing",
+    "q_example_selection",
+    "q_gold_in_options",
+    "q_case_swap",
+    "q_softmax_scores",
+    "q_prompt_assembly",
+    "q_parse_create_view",
+    "q_parse_tada_yes",
+    # Dedup / similarity / streaming core
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_minhash_signatures",
+    "q_lsh_verified_pairs",
+    "q_dedup_clusters",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_stream_hourly",
+    "q_sessionization",
+    # Tokenizer (real BPE path this round)
+    "q_token_stats",
+    # Round-1 hash-artifact fixes (CAST in oracle) — keep in window to flip green
+    "q12_priority_by_status",
+    "q_pivot_status_priority",
+    "q_json_props",
+    "q_profile_orders",
+    "q_cms_supplier_counts",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
+    assert not missing, f"_VERIFY_FIRST names unknown queries: {missing}"
+    rest = [n for n in QUERIES if n not in set(_VERIFY_FIRST)]
+    ordered = _VERIFY_FIRST + rest
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_reorder()

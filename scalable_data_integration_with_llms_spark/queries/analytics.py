@@ -141,7 +141,7 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_type,
-       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        COUNT(json_extract(props, '$.k')) AS n_k
 FROM events
 GROUP BY event_type
@@ -314,14 +314,14 @@ def q_user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_ORACLE = """
 SELECT 'o_custkey' AS col_name,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT o_custkey) AS n_distinct,
        CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
        CAST(MAX(o_custkey) AS DOUBLE) AS max_val
 FROM orders
 UNION ALL
 SELECT 'o_totalprice', COUNT(*),
-       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice)
 FROM orders
 """
@@ -453,7 +453,7 @@ probes AS (
          ('0x' || substr(md5(j || ':' || key), 1, 15))::BIGINT % 256 AS col
   FROM keyc CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
 ),
-cells AS (SELECT j, col, SUM(cnt) AS cell FROM probes GROUP BY j, col)
+cells AS (SELECT j, col, CAST(SUM(cnt) AS BIGINT) AS cell FROM probes GROUP BY j, col)
 SELECT p.key AS l_suppkey, p.cnt AS exact_cnt, MIN(c.cell) AS est_cnt
 FROM probes p JOIN cells c ON p.j = c.j AND p.col = c.col
 GROUP BY p.key, p.cnt

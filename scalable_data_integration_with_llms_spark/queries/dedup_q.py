@@ -230,8 +230,8 @@ _MEDIA_STATS_ORACLE = """
 SELECT doc_id AS media_id,
        'application/octet-stream' AS mime,
        length(text) AS n_bytes,
-       list_sum(list_transform(range(1, length(text) + 1),
-                               i -> ascii(substr(text, i, 1)))) AS byte_sum
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
 FROM documents
 """
 
@@ -343,7 +343,7 @@ hashed AS (SELECT doc, p, ('0x' || substr(md5(p || ':' || shingle), 1, 15))::BIG
            FROM s CROSS JOIN perms),
 minh AS (SELECT doc, p, MIN(h) AS minh FROM hashed GROUP BY doc, p)
 SELECT pr.doc_a, pr.doc_b, pr.true_jaccard,
-       SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS matching_perms,
+       CAST(SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS BIGINT) AS matching_perms,
        SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) / 12.0 AS est_jaccard
 FROM pairs pr
 JOIN minh ma ON pr.doc_a = ma.doc

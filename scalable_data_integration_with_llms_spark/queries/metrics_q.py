@@ -216,7 +216,7 @@ def q_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COVERAGE_ORACLE = _base_cte() + """
 SELECT case_id,
        SUM(CASE WHEN src <> 'null' THEN 1 ELSE 0 END) / COUNT(*) AS coverage,
-       SUM(CASE WHEN src <> 'null' THEN 1 ELSE 0 END) AS n_aligned
+       CAST(SUM(CASE WHEN src <> 'null' THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned
 FROM (
   SELECT case_id, query_attr AS tgt,
          CASE WHEN candidate_attr = 'none of the options' THEN 'null' ELSE candidate_attr END AS src
@@ -250,6 +250,7 @@ def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- A11: constraint audit ---------------------------------------------------
 
 _AUDIT_ORACLE = """
+SELECT table_name, check_name, col_name, CAST(violations AS BIGINT) AS violations FROM (
 SELECT 'customer' AS table_name, 'not_null' AS check_name, 'c_name' AS col_name,
        SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS violations FROM customer
 UNION ALL
@@ -273,6 +274,7 @@ SELECT 'lineitem', 'integer_parse', 'l_linenumber',
 UNION ALL
 SELECT 'lineitem', 'unique_pk', 'l_orderkey,l_linenumber',
        COALESCE(SUM(cnt - 1), 0) FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)
+)
 """
 
 

@@ -47,9 +47,9 @@ flagged AS (
 )
 SELECT source,
        COUNT(*) AS n_incoming,
-       SUM(corpus_dup) AS n_corpus_dup,
-       SUM(batch_dup) AS n_batch_dup,
-       COUNT(*) - SUM(corpus_dup) - SUM(batch_dup) AS n_kept
+       CAST(SUM(corpus_dup) AS BIGINT) AS n_corpus_dup,
+       CAST(SUM(batch_dup) AS BIGINT) AS n_batch_dup,
+       CAST(COUNT(*) - SUM(corpus_dup) - SUM(batch_dup) AS BIGINT) AS n_kept
 FROM flagged GROUP BY source
 """
 
@@ -98,7 +98,7 @@ _MIXTURE_BUDGET = 100_000
 _MIXTURE_ORACLE = f"""
 WITH per_source AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len(string_split(text, ' '))) AS n_tokens
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 weighted AS (
@@ -106,7 +106,7 @@ weighted AS (
 )
 SELECT source, n_docs, n_tokens,
        w / (SELECT SUM(w) FROM weighted) AS mix_prob,
-       (w * {_MIXTURE_BUDGET}) // (SELECT SUM(w) FROM weighted) AS doc_budget
+       CAST((w * {_MIXTURE_BUDGET}) // (SELECT SUM(w) FROM weighted) AS BIGINT) AS doc_budget
 FROM weighted
 """
 
@@ -148,7 +148,7 @@ WITH occ AS (
 df AS (
   SELECT tok, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY tok
 )
-SELECT o.doc_id, COUNT(*) AS n_tokens, SUM(d.df) AS sum_df,
+SELECT o.doc_id, COUNT(*) AS n_tokens, CAST(SUM(d.df) AS BIGINT) AS sum_df,
        SUM(d.df) / COUNT(*) AS mean_df
 FROM occ o JOIN df d ON o.tok = d.tok
 GROUP BY o.doc_id
@@ -186,7 +186,7 @@ _N_SHARDS = 64
 _SHARD_ORACLE = f"""
 SELECT ('0x' || substr(md5('shard42:' || doc_id), 1, 15))::BIGINT % {_N_SHARDS} AS shard,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS n_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents GROUP BY 1
 """

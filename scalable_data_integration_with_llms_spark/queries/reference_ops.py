@@ -175,8 +175,8 @@ def q_mcq_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _YESNO_ORACLE = """
 SELECT user_id,
-       SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS yes_count,
-       SUM(CASE WHEN value <= 0.5 THEN 1 ELSE 0 END) AS no_count,
+       CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS yes_count,
+       CAST(SUM(CASE WHEN value <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS no_count,
        CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)
             > SUM(CASE WHEN value <= 0.5 THEN 1 ELSE 0 END) AS INT) AS accepted
 FROM events
@@ -205,8 +205,8 @@ _PACKING_ANS = 800  # max_ans_len for matching (SURVEY §6)
 _PACKING_ORACLE = f"""
 SELECT doc_id, lang, n_tokens, cum_tokens, pack_rank FROM (
   SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS pack_rank
   FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
 ) WHERE cum_tokens + {_PACKING_ANS} <= {_PACKING_BUDGET}
@@ -570,8 +570,8 @@ ranked_merge AS (
 ks AS (SELECT unnest(range(1, 4)) AS k),
 counts AS (
   SELECT k,
-         SUM(CASE WHEN g.src IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-         SUM(CASE WHEN g.src IS NULL THEN 1 ELSE 0 END) AS fp
+         CAST(SUM(CASE WHEN g.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN g.src IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp
   FROM ranked_merge r CROSS JOIN ks
   LEFT JOIN gold g ON g.case_id = r.case_id AND g.src = r.src AND g.tgt = r.tgt
   WHERE r.rank <= k

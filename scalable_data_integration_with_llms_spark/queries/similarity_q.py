@@ -167,7 +167,7 @@ _CENTROID_ORACLE = """
 SELECT label, i, sum_q, CAST(sum_q AS DOUBLE) / 10000000.0 / cnt AS centroid
 FROM (
   SELECT label, i,
-         SUM(CAST(round(embedding[i]::DOUBLE * 10000000, 0) AS BIGINT)) AS sum_q,
+         CAST(SUM(CAST(round(embedding[i]::DOUBLE * 10000000, 0) AS BIGINT)) AS BIGINT) AS sum_q,
          COUNT(*) AS cnt
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
   GROUP BY label, i
@@ -287,7 +287,7 @@ exact AS (
   ) WHERE r <= {_K}
 )
 SELECT COUNT(*) AS n_queries,
-       SUM(hits) AS total_hits,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
        (SUM(hits) * 1.0) / (COUNT(*) * {_K}) AS recall_at_k
 FROM (
   SELECT e.query_id, COUNT(a.neighbor_id) AS hits
@@ -346,7 +346,7 @@ exact AS (
   ) WHERE r <= {_K}
 )
 SELECT COUNT(*) AS n_queries,
-       SUM(hits) AS total_hits,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
        (SUM(hits) * 1.0) / (COUNT(*) * {_K}) AS recall_at_k
 FROM (
   SELECT e.query_id, COUNT(a.neighbor_id) AS hits

@@ -61,7 +61,7 @@ def _lang_case_sql() -> str:
 _LANGID_ORACLE = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_correct,
+       CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) / COUNT(*) AS lang_accuracy
 FROM (SELECT lang, {_lang_case_sql()} AS predicted FROM documents)
 GROUP BY lang
@@ -209,8 +209,8 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_TOKEN_ORACLE = """
 SELECT source,
-       SUM(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END) AS total_ws_tokens,
-       SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS total_bpe_tokens,
+       CAST(SUM(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
        SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) * 1.0 / COUNT(*) AS avg_bpe_tokens,
        COUNT(*) AS n_docs
 FROM documents
@@ -473,12 +473,12 @@ WITH tf AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
   GROUP BY doc_id, token
 ),
-lens AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY doc_id),
+lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
 df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.token,
-         (tf.tf * n.n_docs * 1000000) // (df.df * lens.doc_len) AS score_milli
+         CAST((tf.tf * n.n_docs * 1000000) // (df.df * lens.doc_len) AS BIGINT) AS score_milli
   FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN n
 )
 SELECT doc_id, token, score_milli, term_rank FROM (
@@ -543,7 +543,7 @@ toks AS (
   FROM arrs
 )
 SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
-       SUM(pos) AS sum_pos
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
 FROM toks GROUP BY source
 """
 

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Driver-mimic correctness harness: run EVERY registered query against its
+DuckDB oracle at a given sf dir and report rows/schema/value agreement.
+
+The round driver only hard-verifies a window of the registry; this tool runs
+the *whole* surface locally so oracle bugs are found before the driver finds
+them.  Comparison mirrors the driver contract (__spark_entry__.py): row count,
+column-name set, and an order-insensitive value comparison with columns sorted
+by name.  Additionally flags dtype-kind mismatches (int vs float) — those are
+exactly the "values equal, hash differs" artifacts seen in round 1.
+
+    python tools/check_correctness.py                       # all queries, sf0.01
+    python tools/check_correctness.py --only 'q_dedup'      # regex subset
+    python tools/check_correctness.py --first 50            # driver window
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import math
+import os
+import re
+import sys
+import time
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v):
+    """Canonical, hashable form of one cell; tags the numeric kind so an
+    int64-vs-float64 divergence is visible even when values are equal."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return ("null",)
+        if f == int(f) and abs(f) < 2**53:
+            return ("f", int(f))  # integral float: value comparable, kind=f
+        return ("f", f)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return ("i", int(v))
+    if isinstance(v, Decimal):
+        f = float(v)
+        if f == int(f) and abs(f) < 2**53:
+            return ("d", int(f))
+        return ("d", f)
+    if isinstance(v, (np.bool_, bool)):
+        return ("b", bool(v))
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ("t", ts.isoformat())
+    if isinstance(v, _dt.date):
+        return ("t", v.isoformat() + "T00:00:00")
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return ("a", tuple(canon_cell(x) for x in v))
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, canon_cell(x)) for k, x in v.items())))
+    return ("s", str(v))
+
+
+def canon_rows(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    rows = [tuple(canon_cell(v) for v in tup) for tup in df.itertuples(index=False)]
+    rows.sort(key=repr)
+    return rows
+
+
+def values_equal_ignoring_kind(a, b) -> bool:
+    """True when rows agree once the numeric-kind tag is erased — i.e. a
+    driver hash mismatch that is purely a dtype artifact."""
+
+    def strip(rows):
+        return sorted(
+            (tuple((("n", c[1]) if c[0] in ("i", "f", "d") else c) for c in r) for r in rows),
+            key=repr,
+        )
+
+    return strip(a) == strip(b)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="regex over query names")
+    ap.add_argument("--first", type=int, default=None, help="check first N (driver window)")
+    ap.add_argument("--out", default=None, help="write JSON report here")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from scalable_data_integration_with_llms_spark.queries import ORACLES, QUERIES
+    from scalable_data_integration_with_llms_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    names = list(QUERIES)
+    if args.first:
+        names = names[: args.first]
+    if args.only:
+        rx = re.compile(args.only)
+        names = [n for n in names if rx.search(n)]
+
+    report: dict[str, dict] = {}
+    n_green = n_dtype = n_red = n_rowsonly = n_err = 0
+    for name in names:
+        t0 = time.time()
+        entry: dict = {}
+        try:
+            sdf = QUERIES[name](spark, args.sf_dir)
+            spdf = sdf.toPandas()
+            entry["spark_rows"] = len(spdf)
+            if name not in ORACLES:
+                entry["status"] = "rows-only"
+                n_rowsonly += 1
+            else:
+                odf = con.execute(ORACLES[name]).df()
+                entry["oracle_rows"] = len(odf)
+                rows_match = len(spdf) == len(odf)
+                schema_match = sorted(spdf.columns) == sorted(odf.columns)
+                srows = canon_rows(spdf) if schema_match else None
+                orows = canon_rows(odf) if schema_match else None
+                hash_match = bool(rows_match and schema_match and srows == orows)
+                entry.update(
+                    rows_match=rows_match,
+                    schema_match=schema_match,
+                    hash_match=hash_match,
+                )
+                if hash_match:
+                    entry["status"] = "green"
+                    n_green += 1
+                elif (
+                    rows_match
+                    and schema_match
+                    and values_equal_ignoring_kind(srows, orows)
+                ):
+                    entry["status"] = "dtype-artifact"
+                    n_dtype += 1
+                    # pin down the offending columns
+                    cols = sorted(spdf.columns)
+                    bad = []
+                    for i, c in enumerate(cols):
+                        if any(
+                            r1[i] != r2[i] for r1, r2 in zip(srows, orows)
+                        ):
+                            bad.append(c)
+                    entry["dtype_cols"] = bad
+                else:
+                    entry["status"] = "RED"
+                    n_red += 1
+                    if rows_match and schema_match:
+                        diff = [
+                            (r1, r2)
+                            for r1, r2 in zip(srows, orows)
+                            if r1 != r2
+                        ][:2]
+                        entry["first_diffs"] = repr(diff)[:600]
+        except Exception as e:  # noqa: BLE001
+            entry["status"] = "ERROR"
+            entry["err"] = f"{type(e).__name__}: {e}"[:400]
+            n_err += 1
+        entry["sec"] = round(time.time() - t0, 2)
+        report[name] = entry
+        print(f"{entry['status']:>15}  {name}  ({entry['sec']}s)", flush=True)
+
+    print(
+        f"\n{n_green} green, {n_dtype} dtype-artifact, {n_red} RED, "
+        f"{n_rowsonly} rows-only, {n_err} ERROR / {len(names)} checked"
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    spark.stop()
+    return 1 if (n_red or n_err) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
