@@ -408,6 +408,70 @@ def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- F12: chat-template prompt rendering --------------------------------------
+
+_CHAT_SYSTEM = "You are a schema matching assistant. Answer with one option letter."
+
+_CHAT_ORACLE = _base_cte() + f"""
+SELECT case_id, query_attr,
+       '<|im_start|>system' || chr(10) || '{_CHAT_SYSTEM}' || '<|im_end|>' || chr(10)
+         || '<|im_start|>user' || chr(10) || question || '<|im_end|>' || chr(10)
+         || '<|im_start|>assistant' || chr(10) AS chat_prompt,
+       len(string_split('<|im_start|>system' || chr(10) || '{_CHAT_SYSTEM}' || '<|im_end|>' || chr(10)
+         || '<|im_start|>user' || chr(10) || question || '<|im_end|>' || chr(10)
+         || '<|im_start|>assistant' || chr(10), ' ')) AS n_tokens
+FROM (
+  SELECT case_id, query_attr,
+         'Match target ' || query_attr || ' (' || query_type || '). Options: '
+           || string_agg('(' || chr(CAST(64 + rank AS INT)) || ') ' || candidate_attr, ' ' ORDER BY rank)
+           || ' Answer:' AS question
+  FROM ranked WHERE side = 'n_to_one'
+  GROUP BY case_id, query_attr, query_type
+)
+"""
+
+
+@query("q_chat_prompt", _CHAT_ORACLE)
+def q_chat_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template prompt rendering (F12 real path): the MCQ question
+    wrapped in the ChatML message format with ``add_generation_prompt``
+    semantics — the reference's ``apply_chat_template`` flow
+    (``PromptICLTemplate.py:86-95``) as a pure JVM concat (functions/chat.py);
+    token budget via the whitespace proxy so the full prompt stays
+    SQL-oracle-checkable."""
+    from ..functions.chat import chat_prompt
+
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    part = F.concat(
+        F.lit("("), F.char(F.col("rank") + 64), F.lit(") "), F.col("candidate_attr")
+    )
+    assembled = (
+        prefs.withColumn("part", part)
+        .groupBy("case_id", "query_attr", "query_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rank"), F.col("part").alias("part")))
+                    ),
+                    lambda s: s["part"],
+                ),
+                " ",
+            ).alias("options")
+        )
+    )
+    question = F.concat(
+        F.lit("Match target "), F.col("query_attr"), F.lit(" ("), F.col("query_type"),
+        F.lit("). Options: "), F.col("options"), F.lit(" Answer:"),
+    )
+    rendered = chat_prompt(F.lit(_CHAT_SYSTEM), question)
+    return assembled.select(
+        "case_id", "query_attr",
+        rendered.alias("chat_prompt"),
+        token_count(rendered).alias("n_tokens"),
+    )
+
+
 # -- F3 view-mode parsing (golden-output oracle) ------------------------------
 
 VIEW_RESPONSES = [
