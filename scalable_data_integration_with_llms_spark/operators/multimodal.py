@@ -1,12 +1,13 @@
 """Multimodal column plumbing (BASELINE.json north star: image/audio/video
 as opaque binary columns with typed metadata).
 
-The Spark-side machinery here is real and tested: schema contracts, Arrow
-batch shapes, ``mapInPandas`` signatures, partition sizing.  The actual codec
-work is STUBBED — image/audio libraries are not in this container — behind
-``decode_fn`` hooks: ``fake_image_decoder`` is a deterministic stand-in with
-the same contract a PIL/libav decoder would have, and ``strict_decoder``
-raises ``NotImplementedError`` to mark the seam explicitly.
+The Spark-side machinery is real and tested — schema contracts, Arrow batch
+shapes, ``mapInPandas`` signatures, partition sizing — and so is the decode
+kernel: ``operators/media_codec.py`` implements the public PNG/WAV formats
+with the stdlib (chunk CRCs, zlib inflate, scanline un-filtering, PCM16),
+plus JPEG/GIF header parsers.  ``real_decoder`` dispatches on the sniffed
+byte signature; ``fake_image_decoder`` remains as a light stand-in for
+plumbing-only tests.
 
 Scale design: media bytes dominate row size, so the operators
 ``repartition`` by a size budget rather than row count, keep binary columns
@@ -24,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .media_codec import decode_png, decode_wav, sniff_format, synth_png
+
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, content binary, mime string, "
     "width int, height int, duration_ms int"
@@ -32,13 +35,17 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "media_id bigint, frame_idx int, feature array<float>, n_bytes bigint"
 
 
-def strict_decoder(content: bytes, mime: str) -> np.ndarray:
-    """The real-decoder seam.  A production build plugs PIL/torchaudio/libav
-    in here; this container has none of them."""
-    raise NotImplementedError(
-        "media decoding requires an image/audio codec library not present "
-        "in this environment; use fake_image_decoder for plumbing tests"
-    )
+def real_decoder(content: bytes, mime: str) -> np.ndarray:
+    """The real decode kernel: dispatch on the byte signature to the stdlib
+    codecs in media_codec.py.  Raises ``ValueError`` for formats whose pixel
+    decode needs an entropy coder this container lacks (JPEG/GIF)."""
+    fmt = sniff_format(bytes(content))
+    if fmt == "png":
+        return decode_png(bytes(content)).astype(np.float32) / 255.0
+    if fmt == "wav":
+        samples, _rate = decode_wav(bytes(content))
+        return samples.astype(np.float32) / 32768.0
+    raise ValueError(f"no pixel/sample decoder for format {fmt!r}")
 
 
 def fake_image_decoder(content: bytes, mime: str) -> np.ndarray:
@@ -65,7 +72,7 @@ def attach_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def extract_features(
     media: DataFrame,
-    decode_fn: Callable[[bytes, str], np.ndarray] = strict_decoder,
+    decode_fn: Callable[[bytes, str], np.ndarray] = real_decoder,
     frames_per_item: int = 2,
 ) -> DataFrame:
     """Decode → frame-sample → feature-extract via ``mapInPandas``.
@@ -79,11 +86,17 @@ def extract_features(
         for pdf in it:
             out_rows = []
             for row in pdf.itertuples(index=False):
-                pixels = decode_fn(row.content, row.mime)
+                pixels = decode_fn(bytes(row.content), row.mime)
                 for f_idx in range(frames_per_item):
-                    # deterministic per-frame crop -> mean-pool columns
+                    # deterministic per-frame crop -> mean-pool rows, then
+                    # bucket-average down to a fixed 8-dim descriptor
+                    # (shape-agnostic: works for (h,w) and (h,w,ch) decodes)
                     shifted = np.roll(pixels, f_idx, axis=0)
-                    feature = shifted.mean(axis=0).astype(np.float32)
+                    pooled = shifted.mean(axis=0).ravel()
+                    feature = np.array(
+                        [chunk.mean() for chunk in np.array_split(pooled, 8)],
+                        dtype=np.float32,
+                    )
                     out_rows.append(
                         (row.media_id, f_idx, feature.tolist(), len(row.content))
                     )
@@ -101,6 +114,77 @@ def size_partitioned(media: DataFrame, target_bytes_per_partition: int = 128 << 
     total = with_size.agg(F.sum("__sz")).collect()[0][0] or 1
     n_parts = max(1, int(total / target_bytes_per_partition))
     return with_size.repartition(n_parts).drop("__sz")
+
+
+def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Emit one real PNG payload per id (media_codec.synth_png: dimensions
+    and pixels are closed-form in the id, so downstream decodes are
+    SQL-oracle-checkable).  Runs in the scan stage via ``mapInPandas``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "content": [synth_png(int(i)) for i in ids],
+                    "mime": "image/png",
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, n_pixels bigint, "
+    "px_sum bigint, px_wsum bigint, px_min int, px_max int"
+)
+
+
+def image_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode through the mapInPandas boundary: parse + CRC-check the
+    PNG chunks, inflate IDAT, un-filter scanlines, and emit integer pixel
+    statistics.  ``px_wsum`` is a position-weighted checksum (value × linear
+    pixel index), so any framing/filter/reshape defect — including a
+    transposed decode — breaks the oracle match, not just dimension bugs.
+    Payload bytes never leave the scan stage; only the stats shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                fmt = sniff_format(content)
+                arr = decode_png(content).astype(np.int64)
+                h, w, ch = arr.shape
+                flat = arr.reshape(-1)
+                weights = np.arange(1, flat.size + 1, dtype=np.int64)
+                out.append(
+                    (
+                        row.media_id,
+                        fmt,
+                        w,
+                        h,
+                        int(flat.size),
+                        int(flat.sum()),
+                        int((flat * weights).sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "fmt", "width", "height", "n_pixels",
+                    "px_sum", "px_wsum", "px_min", "px_max",
+                ],
+            )
+
+    return media.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 MEDIA_STATS_SCHEMA = "media_id bigint, mime string, n_bytes bigint, byte_sum bigint"

@@ -111,18 +111,63 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
 
 
-@query("q_multimodal_features")
+# Real PNG decode, value-oracled: the Spark side synthesizes a valid PNG per
+# document (chunk CRCs, zlib IDAT) and decodes it back through mapInPandas
+# (operators/media_codec.py — stdlib implementation of the public spec); the
+# oracle recomputes every statistic from the closed-form pixel pattern.  The
+# position-weighted checksum px_wsum makes the check sensitive to framing,
+# filtering, and reshape defects, not just dimensions.
+
+_MULTIMODAL_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id, 'png' AS fmt,
+         CAST(16 + doc_id % 17 AS INT) AS width,
+         CAST(16 + (doc_id * 7) % 13 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id,
+         r * (width * 3) + c * 3 + ch + 1 AS pos,
+         (media_id * 31 + r * 7 + c * 3 + ch * 11) % 256 AS v
+  FROM dims,
+       unnest(range(0, height)) AS tr(r),
+       unnest(range(0, width)) AS tc(c),
+       unnest(range(0, 3)) AS tch(ch)
+)
+SELECT d.media_id, d.fmt, d.width, d.height,
+       CAST(d.width * d.height * 3 AS BIGINT) AS n_pixels,
+       CAST(SUM(p.v) AS BIGINT) AS px_sum,
+       CAST(SUM(p.v * p.pos) AS BIGINT) AS px_wsum,
+       CAST(MIN(p.v) AS INT) AS px_min,
+       CAST(MAX(p.v) AS INT) AS px_max
+FROM dims d JOIN px p USING (media_id)
+GROUP BY d.media_id, d.fmt, d.width, d.height
+"""
+
+
+@query("q_multimodal_features", _MULTIMODAL_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (north star): binary media column → mapInPandas
-    decode/frame-sample/feature-extract.  The codec is a deterministic fake
-    (no image libs in this container; operators/multimodal.py documents the
-    strict seam); the Spark-side schema, batching, and 1→N frame expansion
-    are real.  Rows-only: array<float> feature output."""
-    from ..operators.multimodal import attach_media, extract_features, fake_image_decoder
+    """Multimodal decode (north star): synthesize a real PNG per document,
+    decode it back — signature, CRC-verified chunks, inflate, un-filter —
+    and emit integer pixel statistics the SQL oracle recomputes from the
+    generating formula.  Agreement proves the whole codec round trip."""
+    from ..operators.multimodal import image_decode_stats, synthesize_png_media
 
     d = load_table(spark, sf_dir, "documents")
-    media = attach_media(d, "text", "doc_id")
-    return extract_features(media, decode_fn=fake_image_decoder, frames_per_item=2)
+    media = synthesize_png_media(d, "doc_id")
+    return image_decode_stats(media)
+
+
+@query("q_media_frames")
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling through the real PNG decoder: decode → per-frame
+    roll → mean-pool to an 8-dim float feature.  Rows-only (float features);
+    the value-level decode proof lives in q_multimodal_features."""
+    from ..operators.multimodal import extract_features, synthesize_png_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(d, "doc_id")
+    return extract_features(media, frames_per_item=2)
 
 
 # -- the production dedup flow: LSH candidates -> exact-Jaccard verify --------

@@ -114,14 +114,14 @@ def test_sinks_roundtrip(spark, tmp_path):
 
 def test_multimodal_plumbing(spark):
     """Schema/batch-shape/1→N contract with the deterministic fake decoder;
-    strict decoder marks the codec seam."""
+    the real decoder rejects payloads with no shipped pixel codec."""
     import numpy as np
 
     from scalable_data_integration_with_llms_spark.operators.multimodal import (
         attach_media,
         extract_features,
         fake_image_decoder,
-        strict_decoder,
+        real_decoder,
     )
 
     docs = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], "doc_id long, text string")
@@ -136,14 +136,14 @@ def test_multimodal_plumbing(spark):
     again = extract_features(media, decode_fn=fake_image_decoder, frames_per_item=3).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
-    with pytest.raises(NotImplementedError):
-        strict_decoder(b"bytes", "image/png")
+    with pytest.raises(ValueError):
+        real_decoder(b"not a known signature", "image/png")
 
 
 def test_multimodal_query_registered(spark):
     from scalable_data_integration_with_llms_spark.queries import ORACLES, QUERIES
 
     assert "q_multimodal_features" in QUERIES
-    assert "q_multimodal_features" not in ORACLES  # rows-only by design
+    assert "q_multimodal_features" in ORACLES  # real decode, value-oracled
     df = QUERIES["q_multimodal_features"](spark, "/root/testdata/sf0.001")
-    assert df.count() == 1000  # 500 docs × 2 frames
+    assert df.count() == 500  # one stat row per document's synthesized PNG
