@@ -18,11 +18,17 @@ against temp views named ``{namespace}_{table}``:
   ns_t AS (prior UNION ALL) SELECT ...`` handled by the executor
   (mapping_engine.py).
 
-sqlglot is not available in this environment; the implementation uses a
-conservative tokenizer-level rewriter (word-boundary replacement outside
-string literals) with an import-try so sqlglot, when present, takes over
-parsing.  The admissible statement shapes here (LLM-emitted INSERT/SELECT/
-CREATE/DROP over simple identifiers) are exactly what the regex path handles.
+Two qualification backends, selected by ``HAVE_SQLGLOT`` at import:
+
+* **AST path** (``_replace_table_refs_ast``): when the public ``sqlglot``
+  package is importable, table nodes and table-qualified column references
+  are renamed on the parse tree — the reference's own mechanism.
+* **regex path** (``_replace_table_refs``): a conservative tokenizer-level
+  rewriter (word-boundary replacement outside string literals), the default
+  in this container where sqlglot is absent.  The admissible statement
+  shapes (LLM-emitted INSERT/SELECT/CREATE/DROP over simple identifiers)
+  are exactly what it handles; tests/test_mapping_streaming.py asserts the
+  two backends agree whenever sqlglot is present.
 """
 
 from __future__ import annotations
@@ -125,10 +131,12 @@ def admit(statements: list[Statement], target_tables: set[str]) -> list[Statemen
 
 def _replace_table_refs(sql: str, mapping: dict[str, str]) -> str:
     """Word-boundary replacement of bare table names outside string
-    literals; names already qualified (``x.t``) are left alone."""
+    literals.  Names already namespace-qualified (``ns.t``) are protected by
+    the lookbehind; a trailing ``.`` is allowed so table-qualified column
+    references (``t.col``) follow the table rename and don't dangle."""
     parts = re.split(r"('(?:[^']|'')*')", sql)  # keep quoted literals intact
     pattern = re.compile(
-        r"(?<![\w.])(" + "|".join(re.escape(t) for t in sorted(mapping, key=len, reverse=True)) + r")(?![\w.(])",
+        r"(?<![\w.])(" + "|".join(re.escape(t) for t in sorted(mapping, key=len, reverse=True)) + r")(?![\w(])",
         re.IGNORECASE,
     )
     out = []
@@ -138,6 +146,23 @@ def _replace_table_refs(sql: str, mapping: dict[str, str]) -> str:
         else:
             out.append(pattern.sub(lambda m: mapping[m.group(1).lower()], part))
     return "".join(out)
+
+
+def _replace_table_refs_ast(sql: str, mapping: dict[str, str]) -> str:
+    """sqlglot-backed qualification (the reference's own mechanism,
+    Evaluator.py:89-105): rename unqualified table nodes and the column
+    qualifiers that reference them on the parse tree, then re-render."""
+    import sqlglot
+    from sqlglot import exp
+
+    tree = sqlglot.parse_one(sql)
+    for node in tree.find_all(exp.Table):
+        if not node.db and node.name and node.name.lower() in mapping:
+            node.set("this", exp.to_identifier(mapping[node.name.lower()]))
+    for node in tree.find_all(exp.Column):
+        if node.table and node.table.lower() in mapping:
+            node.set("table", exp.to_identifier(mapping[node.table.lower()]))
+    return tree.sql()
 
 
 def qualify_namespaces(
@@ -157,7 +182,8 @@ def qualify_namespaces(
         mapping[t] = f"{target_ns}_{t}"
     if not mapping:
         return stmt
-    new_sql = _replace_table_refs(stmt.sql, mapping)
+    impl = _replace_table_refs_ast if HAVE_SQLGLOT else _replace_table_refs
+    new_sql = impl(stmt.sql, mapping)
     return Statement(
         sql=new_sql,
         kind=stmt.kind,

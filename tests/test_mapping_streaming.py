@@ -36,6 +36,52 @@ EXPLAIN SELECT 1;
     assert not stmts[5].admitted  # stray statement
 
 
+def test_sql_rewrite_qualified_columns_follow_rename():
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import _replace_table_refs
+
+    out = _replace_table_refs(
+        "SELECT src_t.a, o.b FROM src_t JOIN other o ON src_t.k = o.k "
+        "WHERE src_t.name = 'src_t literal'",
+        {"src_t": "source_src_t"},
+    )
+    # table ref and its column qualifiers renamed; aliases and string
+    # literals untouched; already-qualified ns.t protected
+    assert "FROM source_src_t" in out
+    assert "source_src_t.a" in out and "source_src_t.k" in out
+    assert "'src_t literal'" in out and "o.b" in out
+    assert (
+        _replace_table_refs("SELECT * FROM ns.src_t", {"src_t": "source_src_t"})
+        == "SELECT * FROM ns.src_t"
+    )
+
+
+def test_sql_rewrite_ast_parity():
+    """When the public sqlglot package is present, the AST backend must agree
+    with the regex backend on the admissible statement shapes."""
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import (
+        HAVE_SQLGLOT,
+        _replace_table_refs,
+        _replace_table_refs_ast,
+    )
+
+    if not HAVE_SQLGLOT:
+        pytest.skip("sqlglot not installed in this environment")
+    import sqlglot
+
+    mapping = {"src_t": "source_src_t", "tgt_t": "pred_tgt_t"}
+    cases = [
+        "INSERT INTO tgt_t SELECT a, b FROM src_t",
+        "SELECT src_t.a FROM src_t WHERE src_t.b > 3",
+        "SELECT * FROM src_t JOIN other ON src_t.k = other.k",
+        "SELECT 'src_t' AS lit, a FROM src_t",
+        "WITH c AS (SELECT * FROM src_t) SELECT * FROM c",
+    ]
+    for sql in cases:
+        regex_out = sqlglot.parse_one(_replace_table_refs(sql, mapping)).sql()
+        ast_out = _replace_table_refs_ast(sql, mapping)
+        assert regex_out == ast_out, sql
+
+
 def test_timeout_classification(spark):
     from scalable_data_integration_with_llms_spark.plans.timeout import ERROR, OK, run_with_timeout
 
