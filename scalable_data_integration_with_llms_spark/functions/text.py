@@ -40,6 +40,27 @@ def marker_hits(text: Column | str, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
+def marker_hits_all(text: Column | str, markers: dict[str, list[str]]) -> Column:
+    """All languages' marker hit counts in ONE pass over the token array:
+    ``aggregate`` with a struct accumulator (one int field per language).
+    The fused form traverses and splits the text once instead of once per
+    language — same exact counts as ``marker_hits``, ~#languages× less
+    array work (still whole-stage codegen, no shuffle, no Python)."""
+    toks = word_tokens(text)
+    langs = list(markers)
+    init = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+
+    def step(acc: Column, t: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[lang] + F.when(t.isin(*markers[lang]), 1).otherwise(0)).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    return F.aggregate(toks, init, step)
+
+
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Quality-scoring features: token count, char count, mean word length,
     distinct-token ratio, stopword ratio.  Ratios are exact int/int

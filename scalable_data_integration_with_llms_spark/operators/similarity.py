@@ -118,6 +118,7 @@ def hyperplane_signature(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (cosine) LSH bucket per vector: bit p of the bucket
     id is the sign of the projection onto a Rademacher (±1) hyperplane whose
@@ -150,8 +151,11 @@ def hyperplane_signature(
         "i",
         F.round(F.col("x").cast("double") * F.lit(1e7), 0).cast("bigint").alias("xi"),
     )
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
+    if dim is None:
+        # fallback probe (one extra Spark job) — callers that know the
+        # embedding dimensionality pass ``dim`` and skip it
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
     signs = [
         (p, i, 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1)
         for p in range(n_planes)
@@ -177,6 +181,7 @@ def lsh_topk(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via hyperplane-LSH bucketing: candidates limited to
     the query's bucket (equi-join on the bucket id), then exact cosine +
@@ -186,7 +191,7 @@ def lsh_topk(
 
     # persist: the bucket self-join references the signature frame twice and
     # Spark would otherwise recompute the explode+agg once per branch
-    sigs = hyperplane_signature(df, n_planes, id_col, vec_col).persist()
+    sigs = hyperplane_signature(df, n_planes, id_col, vec_col, dim=dim).persist()
     q = sigs.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )

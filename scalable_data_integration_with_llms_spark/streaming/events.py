@@ -40,12 +40,29 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+# footer-probe result per sf_dir: stream construction shouldn't pay a batch
+# file-listing + footer read more than once per directory
+_TS_IS_NANOS: dict[str, bool] = {}
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch reads NTZ and casts through the session timezone, while the
+    # declared stream schema is TimestampType (epoch-UTC LTZ).  The two
+    # agree only because session.py pins the session timezone to UTC —
+    # guard that assumption here rather than silently diverging.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"event stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); batch and stream timestamps would diverge"
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos = isinstance(
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
-        T.LongType,
-    )
+    if sf_dir not in _TS_IS_NANOS:
+        _TS_IS_NANOS[sf_dir] = isinstance(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+            T.LongType,
+        )
+    nanos = _TS_IS_NANOS[sf_dir]
     raw = (
         spark.readStream.schema(
             _events_raw_schema(T.LongType() if nanos else T.TimestampType())
@@ -55,7 +72,8 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if nanos:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # micros footer: the declared stream schema already forces LTZ; no cast
+    return raw
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -25,8 +25,14 @@ from ..operators.stable_matching import stable_match
 
 def match_batch(catalog_batch: DataFrame, top_k: int = 3) -> DataFrame:
     """The per-batch pipeline: catalog rows (case_id, side, col_name,
-    col_type) → (case_id, round, src, tgt)."""
-    cands = generate_candidates(catalog_batch).coalesce(1)
+    col_type) → (case_id, round, src, tgt).
+
+    Candidates repartition by ``case_id``: micro-batch size is unbounded in
+    the streaming path, and stable matching is per-case anyway, so keying
+    the exchange by case keeps every downstream stage parallel (a
+    ``coalesce(1)`` here — fine for the few-hundred-row static case set —
+    would serialize the whole batch through one task at scale)."""
+    cands = generate_candidates(catalog_batch).repartition("case_id")
     prefs = rank_preferences(mock_score_candidates(cands)).persist()
     try:
         return stable_match(prefs, top_k=top_k)
