@@ -84,10 +84,16 @@ def main() -> None:
     # JVM/codegen + Python-worker-daemon warm-up on the smallest SF (not
     # timed): q1 exercises scan+agg codegen, q3/q5 the broadcast/shuffle
     # join + window shapes (JIT on the join paths dominates early timings
-    # otherwise), and the mock-scores query spins up the Arrow/pandas
-    # worker pool — so per-query timings measure the operators, not
-    # one-time process startup.
-    for warm in ("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"):
+    # otherwise), q_dedup_clusters the iterative join + localCheckpoint
+    # shapes of connected components, and the mock-scores query spins up
+    # the Arrow/pandas worker pool — so per-query timings measure the
+    # operators, not one-time process startup.
+    for warm in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "q_dedup_clusters",
+    ):
         QUERIES[warm](spark, "/root/testdata/sf0.001").collect()
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: (pdf for pdf in it), "x int"

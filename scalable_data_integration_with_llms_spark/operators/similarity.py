@@ -40,6 +40,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the norms precomputed per ROW instead of per PAIR: the
+    arithmetic is op-for-op the same as :func:`cosine` (sequential-fold dot,
+    sqrt, multiply, divide — bit-identical result), but each side's norm is
+    evaluated once per vector, cutting per-pair work from 3 dots to 1.  In a
+    top-k over P pairs this is the difference between O(3·P·dim) and
+    O(P·dim + N·dim)."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -52,10 +66,14 @@ def cosine_topk(
     from pyspark.sql import Window as W
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -64,7 +82,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
         )
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -89,11 +109,13 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         F.col(partition_col).alias("part"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         F.col(partition_col).alias("part"),
     )
     scored = (
@@ -103,7 +125,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
         )
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -191,12 +215,22 @@ def lsh_topk(
 
     # persist: the bucket self-join references the signature frame twice and
     # Spark would otherwise recompute the explode+agg once per branch
-    sigs = hyperplane_signature(df, n_planes, id_col, vec_col, dim=dim).persist()
+    sigs = (
+        hyperplane_signature(df, n_planes, id_col, vec_col, dim=dim)
+        .withColumn("v_norm", norm(F.col(vec_col)))
+        .persist()
+    )
     q = sigs.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("v_norm").alias("q_norm"),
+        "bucket",
     )
     c = sigs.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("v_norm").alias("c_norm"),
+        "bucket",
     )
     scored = (
         q.join(c, "bucket")
@@ -204,7 +238,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
         )
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -77,15 +77,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-restricted to the same
     coarse partition (label) so the candidate set is an equi-join, not a
     cross join — the scale path for embedding dedup."""
-    from ..operators.similarity import cosine
+    from ..operators.similarity import cosine_with_norms, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "label")
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "label")
+    with_norm = emb.withColumn("v_norm", norm(F.col("embedding")))
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("v_norm").alias("na"), "label",
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("v_norm").alias("nb"), "label",
+    )
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "vec_a", "vec_b",
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= _NEAR_DUP_TAU)
     )
 

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Bench regression gate: run bench.py and compare per-query wall times to a
+baseline BENCH_r{N}.json (default: the newest one in the repo root).
+
+    python tools/bench_compare.py [--baseline BENCH_r01.json] [--threshold 2.0]
+
+Exit 1 if any query regressed beyond the threshold.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_baseline(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc:
+        doc = doc["parsed"]
+    return doc["queries"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", default=None)
+    ap.add_argument("--threshold", type=float, default=2.0)
+    args = ap.parse_args()
+
+    baseline_path = args.baseline
+    if baseline_path is None:
+        candidates = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+        if not candidates:
+            print("no BENCH_r*.json baseline found")
+            return 1
+        baseline_path = candidates[-1]
+    base = load_baseline(baseline_path)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True, text=True, check=True, cwd=ROOT,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    now = json.loads(line)["queries"]
+
+    regressed = []
+    print(f"{'query':<28}{'base':>8}{'now':>8}{'ratio':>8}")
+    for name, t in now.items():
+        b = base.get(name)
+        ratio = (t / b) if b else float("nan")
+        flag = ""
+        if b and ratio > args.threshold:
+            regressed.append((name, b, t))
+            flag = "  << REGRESSED"
+        if b is None:
+            flag = "  (new)"
+        print(f"{name:<28}{b if b else 0:>8.2f}{t:>8.2f}{ratio:>8.2f}{flag}")
+    total_b = sum(v for k, v in base.items() if k in now)
+    total_n = sum(now.values())
+    print(f"\ntotal (shared queries): base {total_b:.1f}s -> now {total_n:.1f}s "
+          f"({total_n / total_b:.2f}x)  baseline={os.path.basename(baseline_path)}")
+    if regressed:
+        print(f"\n{len(regressed)} regression(s) beyond {args.threshold}x:")
+        for name, b, t in regressed:
+            print(f"  {name}: {b:.2f}s -> {t:.2f}s")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
