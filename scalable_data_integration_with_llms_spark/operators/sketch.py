@@ -44,6 +44,57 @@ def count_min_cells(
     )
 
 
+def bloom_membership(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    n_hashes: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Bloom-filter membership: ``probe`` keys tested against the filter
+    built from ``build`` keys.  Returns (key, in_filter).
+
+    Formulated as joins, not a driver-side bitset: the set-bit table is the
+    DISTINCT (pos) frame of the build side — at most min(m, k·|build|) rows
+    regardless of corpus size — broadcast into a semi-join against the probe
+    side's positions; a probe key is "in" iff all ``n_hashes`` of its
+    positions are set.  This is the sketch to keep when the exact distinct
+    key set is too large to broadcast but m bits are not: the membership
+    table is bounded by m, and the one corpus-sized pass is the probe scan.
+    """
+    bits = (
+        build.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "key", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+        )
+        .select(_cms_col(F.col("j"), F.col("key"), m).alias("pos"))
+        .distinct()
+    )
+    probes = (
+        probe.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "key", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+        )
+        .select("key", _cms_col(F.col("j"), F.col("key"), m).alias("pos"))
+    )
+    hit_counts = (
+        probes.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    return (
+        probe.select(F.col(key_col).alias("key"))
+        .distinct()
+        .join(hit_counts, "key", "left")
+        .select(
+            "key",
+            (F.coalesce(F.col("n_set"), F.lit(0)) == n_hashes).alias("in_filter"),
+        )
+    )
+
+
 def cms_estimates(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

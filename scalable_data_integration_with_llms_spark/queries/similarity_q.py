@@ -389,3 +389,131 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hits").alias("total_hits"),
         ((F.sum("hits") * F.lit(1.0)) / (F.count(F.lit(1)) * F.lit(_K))).alias("recall_at_k"),
     )
+
+
+# -- k-means: one full Lloyd iteration, exact-hash verified -------------------
+# Update step = the quantized per-label centroids (q_label_centroids math);
+# assign step = broadcast centroids, dot-product-form squared distance
+# (sequential folds match list_dot_product bit-for-bit), deterministic
+# argmin tie-break; inertia quantizes per-point before summation so the
+# objective is aggregation-order independent.
+
+_KMEANS_ORACLE = """
+WITH ex AS (
+  SELECT label, t.i AS i,
+         CAST(round(embedding[t.i]::DOUBLE * 10000000, 0) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cents AS (
+  SELECT label AS c_label, i, CAST(SUM(xq) AS BIGINT) AS sum_q, COUNT(*) AS cnt
+  FROM ex GROUP BY label, i
+),
+carr AS (
+  SELECT c_label,
+         list(CAST(sum_q AS DOUBLE) / 10000000.0 / cnt ORDER BY i) AS cvec
+  FROM cents GROUP BY c_label
+),
+v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         list_dot_product(ve, ve) - 2 * list_dot_product(ve, cvec)
+           + list_dot_product(cvec, cvec) AS d2
+  FROM v CROSS JOIN carr c
+),
+assigned AS (
+  SELECT vec_id, label, c_label, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rk
+  FROM scored
+)
+SELECT c_label AS cluster,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(round(d2 * 1000000, 0) AS BIGINT)) AS BIGINT) AS inertia_q,
+       CAST(SUM(CASE WHEN c_label <> label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+FROM assigned WHERE rk = 1
+GROUP BY c_label
+"""
+
+
+@query("q_kmeans_iteration", _KMEANS_ORACLE)
+def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings (seeded by the label column as
+    the initial partition): per-cluster size, exact quantized inertia, and
+    migration count.  The full trainer is this query iterated — each round
+    is one broadcast-assign scan plus one exploded-centroid shuffle."""
+    from ..operators.clustering import kmeans_iteration_stats
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_iteration_stats(e)
+
+
+# -- int8 embedding quantization (storage-scale path) -------------------------
+# 100 TB of float32 embeddings is 4x the bytes of int8 + one scale per
+# vector; the quality question is "how much cosine/distance error does the
+# quantization add", and this query measures it exactly: per-vector max-abs
+# scale, quantized component sum, and the maximum reconstruction error —
+# every output integer-quantized so the check is bit-exact, element-wise
+# math only (no aggregation-order exposure).
+
+_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, ve,
+         list_max(list_transform(ve, x -> abs(x))) AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, ve, scale,
+         list_transform(ve, x -> CASE WHEN scale = 0 THEN 0
+                                 ELSE CAST(round(x / scale * 127, 0) AS BIGINT) END) AS q8
+  FROM scaled
+)
+SELECT vec_id,
+       CAST(round(scale * 10000000, 0) AS BIGINT) AS scale_q,
+       CAST(list_sum(q8) AS BIGINT) AS sum_q8,
+       CAST(round(list_max(list_transform(range(1, len(ve) + 1),
+                  i -> abs(ve[i] - CASE WHEN scale = 0 THEN 0.0
+                                   ELSE q8[i] * scale / 127 END))) * 1000000000, 0) AS BIGINT)
+         AS max_err_q
+FROM q
+"""
+
+
+@query("q_embedding_quantize", _QUANTIZE_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit: max-abs scale, quantized sum, and
+    max reconstruction error (both engines run the identical element-wise
+    formula, so even the error is exact)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", ve.alias("ve"))
+    scale = F.array_max(F.transform(F.col("ve"), F.abs))
+    scaled = v.withColumn("scale", scale)
+    q8 = F.transform(
+        F.col("ve"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.round(x / F.col("scale") * 127, 0).cast("bigint")
+        ),
+    )
+    with_q = scaled.withColumn("q8", q8)
+    err = F.zip_with(
+        F.col("ve"),
+        F.col("q8"),
+        lambda x, qv: F.abs(
+            x
+            - F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+                qv * F.col("scale") / 127
+            )
+        ),
+    )
+    return with_q.select(
+        "vec_id",
+        F.round(F.col("scale") * F.lit(1e7), 0).cast("bigint").alias("scale_q"),
+        F.aggregate(F.col("q8"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_q8"),
+        F.round(F.array_max(err) * F.lit(1e9), 0).cast("bigint").alias("max_err_q"),
+    )
