@@ -68,12 +68,15 @@ _VERIFY_FIRST = [
     "q_yes_no_majority",
     "q_icl_packing",
     "q_example_selection",
-    "q_gold_in_options",
-    "q_case_swap",
     "q_softmax_scores",
     "q_prompt_assembly",
     "q_parse_create_view",
-    "q_parse_tada_yes",
+    # round-2 additions with explicit verdict criteria: real-BPE trainer,
+    # chat-template render, value-oracled multimodal decode (q_case_swap,
+    # q_gold_in_options, q_parse_tada_yes rotate to round 3)
+    "q_bpe_train",
+    "q_chat_prompt",
+    "q_multimodal_features",
     # Dedup / similarity / streaming core
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
