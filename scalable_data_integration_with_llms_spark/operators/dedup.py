@@ -183,6 +183,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return bit_sums.select("doc", fp.cast("bigint").alias("simhash"))
 
 
+def simhash_near_dup(
+    sigs: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """SimHash → banded candidates → Hamming verify: (doc_a, doc_b, hamming)
+    for pairs sharing at least one band whose fingerprints differ in at most
+    ``max_hamming`` bits — the SimHash twin of MinHash→LSH→Jaccard-verify.
+
+    Candidates come from an equi-join on (band, band_sig) — by pigeonhole a
+    pair within Hamming distance < n_bands MUST agree on some band, so the
+    banding has no false negatives at max_hamming ≤ n_bands - 1 while
+    cutting the pair space from all-pairs to per-bucket.  The verify step is
+    two integer ops per pair (xor + popcount)."""
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc", "sig", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_sig"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_sig"
+    )
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:

@@ -111,6 +111,51 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
 
 
+# SimHash → banded candidates → Hamming verify (the SimHash twin of the
+# MinHash→LSH→Jaccard flow).  4 bands × 4 bits: pigeonhole guarantees no
+# false negatives at Hamming ≤ 3; the verify is xor+popcount per candidate.
+
+_SIMHASH_PAIRS_ORACLE = (
+    """
+WITH toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+sums AS (SELECT doc, """
+    + ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(_SIMHASH_BITS)
+    )
+    + """ FROM h GROUP BY doc),
+sh AS (SELECT doc, CAST("""
+    + " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    + """ AS BIGINT) AS simhash FROM sums),
+banded AS (
+  SELECT doc, simhash, b AS band, (simhash >> (b * 4)) & 15 AS band_sig
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b,
+                  a.simhash AS sig_a, b2.simhash AS sig_b
+  FROM banded a
+  JOIN banded b2 ON a.band = b2.band AND a.band_sig = b2.band_sig AND a.doc < b2.doc
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+)
+
+
+@query("q_simhash_near_dup", _SIMHASH_PAIRS_ORACLE)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-duplicate pairs with exact Hamming verify
+    (operators/dedup.simhash_near_dup)."""
+    from ..operators.dedup import simhash_near_dup
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+    return simhash_near_dup(sigs, n_bands=4, band_bits=4, max_hamming=3)
+
+
 # Real PNG decode, value-oracled: the Spark side synthesizes a valid PNG per
 # document (chunk CRCs, zlib IDAT) and decodes it back through mapInPandas
 # (operators/media_codec.py — stdlib implementation of the public spec); the

@@ -88,3 +88,25 @@ def test_quantize_error_bound(spark):
 def test_new_oracles_parity(spark, duck):
     for name in ("q_bloom_contamination", "q_kmeans_iteration", "q_embedding_quantize"):
         assert_oracle_match(spark, duck, name)
+
+
+def test_simhash_banding_no_false_negatives(spark):
+    """Pigeonhole: every pair within Hamming <= 3 of 16-bit fingerprints
+    must share one of the 4 bands — banded candidates == brute force."""
+    from scalable_data_integration_with_llms_spark.operators.dedup import simhash, simhash_near_dup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    sigs = simhash(d, "doc_id", "text", bits=16)
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup(sigs, n_bands=4, band_bits=4, max_hamming=3).collect()
+    }
+    fps = {r["doc"]: r["simhash"] for r in sigs.collect()}
+    ids = sorted(fps)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                brute[(a, b)] = h
+    assert banded == brute
