@@ -613,3 +613,90 @@ def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="o_orderkey",
         direction="forward",
     )
+
+
+# -- unpivot (wide metrics -> long rows) --------------------------------------
+# The inverse of q_pivot_status_priority: per-status order metrics unpivoted
+# into (status, metric, value) rows — the melt a feature store runs before a
+# generic metric sink.  Spark's native UNPIVOT (expression-only, map-side,
+# no shuffle beyond the feeding agg) vs DuckDB's UNPIVOT.
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents_total
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM wide UNPIVOT (value FOR metric IN (n_orders, n_customers, cents_total))
+"""
+
+
+@query("q_unpivot_status_metrics", _UNPIVOT_ORACLE)
+def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents_total"),
+    )
+    return wide.unpivot(
+        "o_orderstatus", ["n_orders", "n_customers", "cents_total"], "metric", "value"
+    )
+
+
+# -- time-series gap filling --------------------------------------------------
+# Dense hourly series per event type: the calendar spine is generated with
+# sequence() between the observed min/max hour (a 1-row broadcast scalar,
+# never a driver round trip), left-joined against the hourly rollup, gaps
+# zero-filled, with a flag so downstream interpolation knows what was
+# synthesized.  At scale the spine is hours x types — tiny next to events —
+# and broadcasts into the join.
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT t.event_type, u.h
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds) u
+)
+SELECT s.event_type, s.h AS hour_start,
+       COALESCE(e.n_events, 0) AS n_events,
+       CAST(CASE WHEN e.n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM spine s LEFT JOIN hourly e ON s.event_type = e.event_type AND s.h = e.h
+"""
+
+
+@query("q_events_gapfill", _GAPFILL_ORACLE)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+    )
