@@ -191,3 +191,51 @@ def test_scd2_single_shuffle(spark):
         1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
     )
     assert n_exchange == 1, plan[:600]
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    """The Bloom set-bit table (bounded by m) must broadcast into the probe
+    semi-join — the corpus side never shuffles on the bit position."""
+    plan = _plan(spark, "q_bloom_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """K centroids broadcast against the corpus scan; the corpus never
+    shuffles before the final K-row combine."""
+    plan = _plan(spark, "q_kmeans_iteration")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial" in plan  # map-side combine on the stats rollup
+
+
+def test_quantize_is_map_only(spark):
+    """Per-vector quantization is pure element-wise math: no exchange, no
+    Python in the plan."""
+    plan = _plan(spark, "q_embedding_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_near_dup_equi_join(spark):
+    """Banded candidates come from a hash equi-join on (band, band_sig) —
+    never a cartesian product."""
+    plan = _plan(spark, "q_simhash_near_dup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_spine_broadcasts(spark):
+    """The generated calendar spine broadcasts into the left join against
+    the reduced hourly rollup."""
+    plan = _plan(spark, "q_events_gapfill")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_langid_single_pass(spark):
+    """The fused marker scan keeps language ID map-only up to the final
+    rollup: exactly one aggregate exchange, no Python."""
+    plan = _plan(spark, "q_langid")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # token array is traversed via ONE aggregate expression: the per-language
+    # filter scans are gone
+    assert plan.count("aggregate(") >= 1
