@@ -67,6 +67,14 @@ HEADLINE = [
     "q_knn_classify",
     "q_fuzzy_er_names",
     "q_scd2_intervals",
+    # round-2 additions
+    "q_token_stats",
+    "q_bloom_contamination",
+    "q_kmeans_iteration",
+    "q_simhash_near_dup",
+    "q_multimodal_features",
+    "q_events_gapfill",
+    "q_corpus_pipeline_e2e",
 ]
 
 

@@ -112,8 +112,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SimHash → banded candidates → Hamming verify (the SimHash twin of the
-# MinHash→LSH→Jaccard flow).  4 bands × 4 bits: pigeonhole guarantees no
-# false negatives at Hamming ≤ 3; the verify is xor+popcount per candidate.
+# MinHash→LSH→Jaccard flow).  4 bands × 8 bits over a 32-bit fingerprint:
+# pigeonhole still guarantees no false negatives at Hamming ≤ 3, but each
+# band now has 256 bucket values, so bucket occupancy — and the candidate
+# pair count — drops ~16× vs banding the 16-bit fingerprint (which at
+# 5000 docs put ~300 docs in every bucket and exploded to millions of
+# verify pairs).  Band width is the LSH recall/cost dial; at corpus scale
+# you widen the fingerprint (64-bit, 8×8 bands), not the buckets.
+
+_SIMHASH_PAIR_BITS = 32
 
 _SIMHASH_PAIRS_ORACLE = (
     """
@@ -121,16 +128,16 @@ WITH toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM 
 h AS (SELECT doc, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
 sums AS (SELECT doc, """
     + ", ".join(
-        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(_SIMHASH_BITS)
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(_SIMHASH_PAIR_BITS)
     )
     + """ FROM h GROUP BY doc),
 sh AS (SELECT doc, CAST("""
     + " + ".join(
-        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_PAIR_BITS)
     )
     + """ AS BIGINT) AS simhash FROM sums),
 banded AS (
-  SELECT doc, simhash, b AS band, (simhash >> (b * 4)) & 15 AS band_sig
+  SELECT doc, simhash, b AS band, (simhash >> (b * 8)) & 255 AS band_sig
   FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
 ),
 cand AS (
@@ -152,8 +159,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_dup
 
     d = load_table(spark, sf_dir, "documents")
-    sigs = simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
-    return simhash_near_dup(sigs, n_bands=4, band_bits=4, max_hamming=3)
+    sigs = simhash(d, "doc_id", "text", bits=_SIMHASH_PAIR_BITS)
+    return simhash_near_dup(sigs, n_bands=4, band_bits=8, max_hamming=3)
 
 
 # Real PNG decode, value-oracled: the Spark side synthesizes a valid PNG per

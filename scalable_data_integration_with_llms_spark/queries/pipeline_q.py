@@ -210,3 +210,98 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# -- the whole corpus pipeline as ONE plan ------------------------------------
+# The LLM-data twin of q_pipeline_e2e: quality gate -> language ID -> exact
+# dedup (first-seen keeper) -> real-BPE token accounting -> deterministic
+# shard assignment, rolled up per (predicted language, shard).  Every stage
+# reuses the operator the standalone query declares, so this is the
+# composition proof: the stages fuse into one plan with two shuffles (the
+# dedup groupBy and the final rollup) and the oracle replays the identical
+# math end to end.
+
+_E2E_N_SHARDS = 16
+_E2E_MIN_TOKENS = 20
+
+
+def _e2e_oracle() -> str:
+    from .text_q import _lang_case_sql
+
+    from ..functions.bpe_merges import WORD_TOKEN_COUNTS
+
+    bpe_rows = ", ".join(f"('{w}', {n})" for w, n in sorted(WORD_TOKEN_COUNTS.items()))
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text, {_lang_case_sql()} AS predicted
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_E2E_MIN_TOKENS}
+    AND len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.3
+),
+keepers AS (
+  SELECT doc_id, text, predicted FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS first_id FROM gated
+  ) WHERE doc_id = first_id
+),
+toks AS (
+  SELECT k.doc_id, k.predicted, CAST(SUM(b.n_tok) AS BIGINT) AS bpe_tokens
+  FROM (SELECT doc_id, predicted, unnest(string_split(text, ' ')) AS word FROM keepers) k
+  JOIN (VALUES {bpe_rows}) AS b(word, n_tok) USING (word)
+  GROUP BY k.doc_id, k.predicted
+)
+SELECT predicted AS lang,
+       ('0x' || substr(md5('shard42:' || doc_id), 1, 15))::BIGINT % {_E2E_N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS sum_tokens
+FROM toks
+GROUP BY 1, 2
+"""
+
+
+@query("q_corpus_pipeline_e2e", _e2e_oracle())
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> langid -> exact-dedup keeper -> real BPE budget ->
+    shard, per (lang, shard) — the full training-corpus pipeline as one
+    oracle-checked DataFrame plan."""
+    from ..functions.bpe import bpe_token_count_udf
+    from ..functions.bpe_merges import MERGES
+    from ..functions.text import LANG_MARKERS, marker_hits_all
+    from .text_q import _LANG_ORDER
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+    n_tok = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)) / n_tok
+    hits = marker_hits_all("text", {lang: LANG_MARKERS[lang] for lang in _LANG_ORDER})
+    gated = (
+        d.filter((n_tok >= _E2E_MIN_TOKENS) & (distinct_ratio >= 0.3))
+        .withColumn("h", hits)
+    )
+    best = F.greatest(*[F.col("h")[lang] for lang in _LANG_ORDER])
+    predicted = F.when(F.col("h")[_LANG_ORDER[0]] == best, _LANG_ORDER[0])
+    for lang in _LANG_ORDER[1:]:
+        predicted = predicted.when(F.col("h")[lang] == best, lang)
+    flagged = gated.select("doc_id", "text", predicted.alias("predicted"))
+    keepers = (
+        flagged.withColumn(
+            "first_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("first_id"))
+        .drop("first_id")
+    )
+    with_tokens = keepers.withColumn("bpe_tokens", bpe_token_count_udf(MERGES)("text"))
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard42:"), F.col("doc_id"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % _E2E_N_SHARDS
+    )
+    return (
+        with_tokens.select(
+            F.col("predicted").alias("lang"), shard.alias("shard"), "bpe_tokens"
+        )
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("sum_tokens"),
+        )
+    )
