@@ -153,3 +153,17 @@ def test_full_pipeline_on_real_ehr(spark):
     assert total_tp > 0  # the lexical mock does find real alignments
     # and the matcher emits only valid within-case pairs
     assert all(tp + fp >= 0 and fn >= 0 for _, tp, fp, fn, _ in first)
+
+
+def test_python_datasource_parity(spark):
+    """The custom Python DataSource (sources/pyds.py) must produce exactly
+    the rows the declared-schema JSON reader produces, on both datasets."""
+    from scalable_data_integration_with_llms_spark.sources import pyds
+
+    pyds.register(spark)
+    for path in (EHR, SYNTHEA):
+        via_ds = (
+            spark.read.format(pyds.FORMAT_NAME).load(path).orderBy("id").collect()
+        )
+        via_json = load_dataset_json(spark, path).orderBy("id").collect()
+        assert via_ds == via_json
