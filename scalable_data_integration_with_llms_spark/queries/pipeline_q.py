@@ -305,3 +305,61 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_tokens").alias("sum_tokens"),
         )
     )
+
+
+# -- distribution drift monitor -----------------------------------------------
+# Per-source unigram distribution vs the corpus-wide distribution, scored by
+# KL divergence — the drift check a pipeline runs when a new crawl/source
+# lands (did the token mix shift?).  Each term's contribution
+# p·log2(p/q) quantizes to a bigint BEFORE the sum, so the aggregate is
+# order-independent and engine-exact despite being float math inside.
+# Scale shape: two token-keyed aggregates (source-level and corpus-level
+# marginals both reduce map-side) and a vocabulary-sized broadcast join.
+
+_DRIFT_QUANT = 1_000_000_000
+
+
+def _drift_oracle() -> str:
+    return f"""
+WITH occ AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+src_tot AS (SELECT source, COUNT(*) AS n FROM occ GROUP BY source),
+src_cnt AS (SELECT source, tok, COUNT(*) AS c FROM occ GROUP BY source, tok),
+corp_tot AS (SELECT COUNT(*) AS n FROM occ),
+corp_cnt AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CAST(round((s.c / st.n) * log2((s.c / st.n) / (cc.c / ct.n))
+                           * {_DRIFT_QUANT}, 0) AS BIGINT)) AS BIGINT) AS kl_q
+FROM src_cnt s
+JOIN src_tot st USING (source)
+JOIN corp_cnt cc USING (tok)
+CROSS JOIN corp_tot ct
+GROUP BY s.source
+"""
+
+
+@query("q_source_drift", _drift_oracle())
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions, per source — exact
+    via per-term quantization before the sum."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("source", F.explode(F.split("text", " ", -1)).alias("tok"))
+    src_tot = occ.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    src_cnt = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_src"))
+    corp_tot = occ.agg(F.count(F.lit(1)).alias("n_corp"))
+    corp_cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corp"))
+    p = F.col("c_src") / F.col("n_src")
+    q = F.col("c_corp") / F.col("n_corp")
+    term_q = F.round(p * F.log2(p / q) * F.lit(_DRIFT_QUANT), 0).cast("bigint")
+    return (
+        src_cnt.join(src_tot, "source")
+        .join(F.broadcast(corp_cnt), "tok")
+        .crossJoin(F.broadcast(corp_tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(term_q).alias("kl_q"),
+        )
+    )
