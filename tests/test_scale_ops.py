@@ -73,3 +73,27 @@ def test_salted_join_query_oracle(spark, duck):
     from conftest import assert_oracle_match
 
     assert_oracle_match(spark, duck, "q_salted_join_revenue")
+
+
+def test_observation_counters_single_pass(spark):
+    """Production-counter pattern: df.observe() collects pipeline metrics
+    (rows gated, tokens kept) during the SAME action that produces the
+    result — no second scan.  Metrics must equal a direct aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_tok = F.size(F.split("text", " ", -1))
+    obs = Observation("quality_gate")
+    gated = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(n_tok >= 20, 1).otherwise(0)).alias("rows_kept"),
+    ).filter(n_tok >= 20)
+    kept = gated.count()  # one action drives both result and counters
+    want = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(n_tok >= 20, 1).otherwise(0)).alias("k"),
+    ).first()
+    assert obs.get["rows_seen"] == want["n"]
+    assert obs.get["rows_kept"] == want["k"] == kept
