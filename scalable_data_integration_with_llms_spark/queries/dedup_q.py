@@ -10,12 +10,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    containment_pairs,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_signatures,
     simhash,
     word_shingles,
 )
+
+# Document-frequency cap for every shingle self-join on the query surface:
+# shingles shared by more than MAX_DF docs are dropped BEFORE the join (the
+# standard boilerplate/stop-shingle skew guard).  64 is far above the planted
+# near-dup cluster sizes in the test corpus, so at test sf the results are
+# unchanged — while on a real corpus this is the bound that keeps the join
+# fan-out at O(max_df · n_shingles) instead of O(df²) on viral boilerplate.
+MAX_DF = 64
 from ..sources.readers import load_table
 from .registry import query
 
@@ -44,10 +53,17 @@ s AS (SELECT DISTINCT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       FROM w, unnest(range(1, len(ws) - 1)) AS t(i))
 """
 
-_JACCARD_ORACLE = _SHINGLE_CTE + """,
-sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+# the df-capped shingle set every self-join query reads (mirrors the Spark
+# side's max_df guard in operators/dedup.py)
+_DF_FILTER_CTE = """,
+sdf AS (SELECT shingle FROM s GROUP BY shingle HAVING COUNT(*) <= 64),
+s2 AS (SELECT s.doc, s.shingle FROM s JOIN sdf USING (shingle))
+"""
+
+_JACCARD_ORACLE = _SHINGLE_CTE + _DF_FILTER_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s2 GROUP BY doc),
 i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter, x.sz AS sz_a, y.sz AS sz_b,
        inter / (x.sz + y.sz - inter) AS jaccard
@@ -60,7 +76,7 @@ WHERE inter / (x.sz + y.sz - inter) >= 0.5
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3)
-    return jaccard_pairs(sh, threshold=0.5)
+    return jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF)
 
 
 # -- MinHash-LSH band signatures ----------------------------------------------
@@ -285,10 +301,10 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- duplicate clusters: near-dup pairs -> connected components ---------------
 
-_CLUSTERS_ORACLE = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
-sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+_CLUSTERS_ORACLE = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + _DF_FILTER_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s2 GROUP BY doc),
 i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2),
 pairs AS (
   SELECT doc_a, doc_b
@@ -317,7 +333,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3)
-    pairs = jaccard_pairs(sh, threshold=0.5)
+    pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF)
     return connected_components(pairs)
 
 
@@ -348,10 +364,10 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- containment near-dups (subset duplication) -------------------------------
 
-_CONTAINMENT_ORACLE = _SHINGLE_CTE + """,
-sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+_CONTAINMENT_ORACLE = _SHINGLE_CTE + _DF_FILTER_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s2 GROUP BY doc),
 i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter,
        CAST(inter AS DOUBLE) / LEAST(x.sz, y.sz) AS containment
@@ -365,21 +381,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dups: |A∩B| / min(|A|,|B|) ≥ 0.8 — catches a short
     document embedded in a longer one, which symmetric Jaccard dilutes
     below threshold (the quote/boilerplate-inclusion case in training
-    corpora).  Same shingle self-join plan as Jaccard; only the score
-    changes."""
-    from ..operators.dedup import jaccard_pairs, word_shingles
-
+    corpora).  Bounded end-to-end (operators/dedup.containment_pairs):
+    max_df caps join fan-out before the self-join and the feasibility bound
+    inter ≥ ceil(0.8·min(sz)) prunes in the same stage as the intersection
+    aggregate — the unfiltered co-shingle pair set is never materialized."""
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3)
-    pairs = jaccard_pairs(sh, threshold=0.0)
-    return (
-        pairs.withColumn(
-            "containment",
-            F.col("inter").cast("double") / F.least(F.col("sz_a"), F.col("sz_b")),
-        )
-        .filter(F.col("containment") >= 0.8)
-        .select("doc_a", "doc_b", "inter", "containment")
-    )
+    return containment_pairs(sh, threshold=0.8, max_df=MAX_DF)
 
 
 # -- canonical selection: keep the best doc per duplicate cluster -------------
@@ -409,12 +417,12 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3)
-    clusters = connected_components(jaccard_pairs(sh, threshold=0.5))
+    clusters = connected_components(jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF))
     joined = clusters.join(
         d.select("doc_id", "n_chars"), clusters.doc == F.col("doc_id")
     )
     win = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    size_win = W.partitionBy("cluster_id")
+    size_win = W.partitionBy("cluster_id")  # cluster-sized frames: bounded
     return (
         joined.withColumn("n_members", F.count(F.lit(1)).over(size_win))
         .withColumn("rk", F.row_number().over(win))
@@ -425,10 +433,10 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- MinHash quality: estimated vs exact Jaccard on near-dup pairs ------------
 
-_MINHASH_EST_ORACLE = _SHINGLE_CTE + """,
-sz AS (SELECT doc, COUNT(*) AS sz FROM s GROUP BY doc),
+_MINHASH_EST_ORACLE = _SHINGLE_CTE + _DF_FILTER_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s2 GROUP BY doc),
 i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2),
 pairs AS (
   SELECT doc_a, doc_b, inter * 1.0 / (x.sz + y.sz - inter) AS true_jaccard
@@ -461,7 +469,7 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3).persist()
-    pairs = jaccard_pairs(sh, threshold=0.5).select(
+    pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF).select(
         "doc_a", "doc_b", F.col("jaccard").alias("true_jaccard")
     )
     perms = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("p")

@@ -129,3 +129,38 @@ def test_chat_prompt_column_parity(spark):
         [{"role": "system", "content": "Be terse."}, {"role": "user", "content": "Match a to b?"}]
     )
     assert got == want
+
+
+def test_word_frequencies_vocab_cap_bounds_collect(spark):
+    """The trainer's driver-memory contract: with max_vocab set, the collect
+    is bounded at V rows, selected by (freq desc, word asc) via
+    TakeOrderedAndProject — never a global sort of the word table."""
+    from scalable_data_integration_with_llms_spark.functions.bpe import word_frequencies
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    capped = word_frequencies(d, "text", max_vocab=10)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = capped.collect()
+    assert len(rows) <= 10
+    # deterministic order: frequencies non-increasing, words ascending on ties
+    freqs = [(r["freq"], r["word"]) for r in rows]
+    assert freqs == sorted(freqs, key=lambda t: (-t[0], t[1]))
+
+
+def test_train_bpe_distributed_cap_preserves_fixture_merges(spark):
+    """At the committed training sf the vocabulary sits far below the cap,
+    so capped and uncapped training must agree (the fixture contract)."""
+    from scalable_data_integration_with_llms_spark.functions.bpe import (
+        train_bpe_distributed,
+        word_frequencies,
+    )
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_vocab = word_frequencies(d, "text").count()
+    assert n_vocab < 65_536  # the cap is headroom here, not a semantic change
+    assert train_bpe_distributed(d, "text", n_merges=10) == train_bpe_distributed(
+        d, "text", n_merges=10, max_vocab=n_vocab
+    )

@@ -231,6 +231,41 @@ def test_gapfill_spine_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_top_bigrams_take_ordered(spark):
+    """Corpus-sized bigram ranking must be TakeOrderedAndProject (per-
+    partition heaps), never an unpartitioned window over the full count
+    table; the only Window runs post-limit on ≤ 20 rows."""
+    plan = _plan(spark, "q_top_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    w = plan.find("Window")
+    t = plan.find("TakeOrderedAndProject")
+    # executedPlan prints top-down: the (tiny) Window sits above the limit
+    assert w != -1 and w < t, plan[:600]
+
+
+def test_ngram_jaccard_df_guard_active(spark):
+    """The max_df skew guard must be live on the query path, as a broadcast
+    ANTI-join against the (tiny) heavy-hitter set — never a shuffle join of
+    the shingle frame against the keep set."""
+    plan = _plan(spark, "q_dedup_ngram_jaccard")
+    assert "> 64" in plan, "max_df guard missing from q_dedup_ngram_jaccard plan"
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("\n", " ") or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    )
+
+
+def test_containment_join_is_bounded(spark):
+    """q_dedup_containment must never materialize the unfiltered co-shingle
+    pair set: the df cap gates the join input (broadcast anti-join), and the
+    feasibility bound (inter >= ceil(0.8*min_sz)) prunes in the aggregation
+    stage."""
+    plan = _plan(spark, "q_dedup_containment")
+    assert "> 64" in plan, "max_df guard missing from containment plan"
+    assert "LeftAnti" in plan
+    assert "CEIL" in plan.upper(), "feasibility bound missing from containment plan"
+
+
 def test_langid_single_pass(spark):
     """The fused marker scan keeps language ID map-only up to the final
     rollup: exactly one aggregate exchange, no Python."""

@@ -61,8 +61,10 @@ def main() -> int:
         if b is None:
             flag = "  (new)"
         print(f"{name:<28}{b if b else 0:>8.2f}{t:>8.2f}{ratio:>8.2f}{flag}")
+    # both totals over the SHARED key set — summing all current queries
+    # would inflate the ratio whenever new queries exist
     total_b = sum(v for k, v in base.items() if k in now)
-    total_n = sum(now.values())
+    total_n = sum(v for k, v in now.items() if k in base)
     print(f"\ntotal (shared queries): base {total_b:.1f}s -> now {total_n:.1f}s "
           f"({total_n / total_b:.2f}x)  baseline={os.path.basename(baseline_path)}")
     if regressed:

@@ -81,17 +81,24 @@ def canon_rows(df: pd.DataFrame):
     return rows
 
 
+def _strip_row(r):
+    return tuple((("n", c[1]) if c[0] in ("i", "f", "d") else c) for c in r)
+
+
+def _align_by_stripped(rows):
+    """Kind-tagged rows re-sorted by their kind-STRIPPED form — the
+    alignment used for pairwise diff diagnostics: the kind-tagged sort order
+    can differ between engines for equal values, which would misalign a
+    naive zip of the two lists and misattribute offending columns."""
+    return sorted(rows, key=lambda r: repr(_strip_row(r)))
+
+
 def values_equal_ignoring_kind(a, b) -> bool:
     """True when rows agree once the numeric-kind tag is erased — i.e. a
     driver hash mismatch that is purely a dtype artifact."""
-
-    def strip(rows):
-        return sorted(
-            (tuple((("n", c[1]) if c[0] in ("i", "f", "d") else c) for c in r) for r in rows),
-            key=repr,
-        )
-
-    return strip(a) == strip(b)
+    return sorted((_strip_row(r) for r in a), key=repr) == sorted(
+        (_strip_row(r) for r in b), key=repr
+    )
 
 
 def main() -> int:
@@ -158,12 +165,14 @@ def main() -> int:
                 ):
                     entry["status"] = "dtype-artifact"
                     n_dtype += 1
-                    # pin down the offending columns
+                    # pin down the offending columns (rows aligned by their
+                    # kind-stripped form, cells compared kind-tagged)
                     cols = sorted(spdf.columns)
+                    ssort, osort = (_align_by_stripped(srows), _align_by_stripped(orows))
                     bad = []
                     for i, c in enumerate(cols):
                         if any(
-                            r1[i] != r2[i] for r1, r2 in zip(srows, orows)
+                            r1[i] != r2[i] for r1, r2 in zip(ssort, osort)
                         ):
                             bad.append(c)
                     entry["dtype_cols"] = bad
@@ -171,9 +180,10 @@ def main() -> int:
                     entry["status"] = "RED"
                     n_red += 1
                     if rows_match and schema_match:
+                        ssort, osort = (_align_by_stripped(srows), _align_by_stripped(orows))
                         diff = [
                             (r1, r2)
-                            for r1, r2 in zip(srows, orows)
+                            for r1, r2 in zip(ssort, osort)
                             if r1 != r2
                         ][:2]
                         entry["first_diffs"] = repr(diff)[:600]
@@ -184,6 +194,9 @@ def main() -> int:
         entry["sec"] = round(time.time() - t0, 2)
         report[name] = entry
         print(f"{entry['status']:>15}  {name}  ({entry['sec']}s)", flush=True)
+        # queries are self-contained: drop any persist() a query's plan took
+        # so cached partitions don't accumulate across the 150-query sweep
+        spark.catalog.clearCache()
 
     print(
         f"\n{n_green} green, {n_dtype} dtype-artifact, {n_red} RED, "
