@@ -107,6 +107,56 @@ def extract_features(
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    + ", ".join(f"f{j} bigint" for j in range(8))
+)
+
+
+def extract_frame_features_int(media: DataFrame, frames_per_item: int = 2) -> DataFrame:
+    """1→N frame sampling through the real PNG decoder, with INTEGER
+    features so the whole path is value-oracle-checkable: decode → per-frame
+    row roll (frame f shifts row r to (r+f) mod h) → row-position-weighted
+    column sums → 8 bucket sums over the w·ch column axis (numpy
+    ``array_split`` boundaries).  Every output is an exact int64, closed-form
+    in (media_id, frame), so a SQL oracle reproduces it from the synth
+    formula — unlike the float mean-pool variant (``extract_features``),
+    which only supports rows-only checks.  The row weighting makes the
+    feature frame-sensitive (plain column sums are roll-invariant)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_png(bytes(row.content)).astype(np.int64)
+                h, w, chn = arr.shape
+                lin_n = w * chn
+                q, rem = divmod(lin_n, 8)
+                lin = np.arange(lin_n)
+                bucket = np.where(
+                    lin < rem * (q + 1),
+                    lin // (q + 1),
+                    rem + (lin - rem * (q + 1)) // q,
+                )
+                flat = arr.reshape(h, lin_n)
+                for f in range(frames_per_item):
+                    shifted = np.roll(flat, f, axis=0)
+                    wts = np.arange(1, h + 1, dtype=np.int64)[:, None]
+                    colsum = (shifted * wts).sum(axis=0)
+                    feats = np.zeros(8, dtype=np.int64)
+                    np.add.at(feats, bucket, colsum)
+                    out.append(
+                        (row.media_id, f, w, h) + tuple(int(x) for x in feats)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "width", "height"]
+                + [f"f{j}" for j in range(8)],
+            )
+
+    return media.mapInPandas(batches, FRAME_FEATURES_SCHEMA)
+
+
 def size_partitioned(media: DataFrame, target_bytes_per_partition: int = 128 << 20) -> DataFrame:
     """Repartition by cumulative payload size, not row count — media rows
     are wildly skewed in byte size."""

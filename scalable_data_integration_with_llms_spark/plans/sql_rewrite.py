@@ -18,17 +18,22 @@ against temp views named ``{namespace}_{table}``:
   ns_t AS (prior UNION ALL) SELECT ...`` handled by the executor
   (mapping_engine.py).
 
-Two qualification backends, selected by ``HAVE_SQLGLOT`` at import:
+Three qualification backends, preferred in this order:
 
-* **AST path** (``_replace_table_refs_ast``): when the public ``sqlglot``
-  package is importable, table nodes and table-qualified column references
-  are renamed on the parse tree — the reference's own mechanism.
-* **regex path** (``_replace_table_refs``): a conservative tokenizer-level
-  rewriter (word-boundary replacement outside string literals), the default
-  in this container where sqlglot is absent.  The admissible statement
-  shapes (LLM-emitted INSERT/SELECT/CREATE/DROP over simple identifiers)
-  are exactly what it handles; tests/test_mapping_streaming.py asserts the
-  two backends agree whenever sqlglot is present.
+* **sqlglot AST path** (``_replace_table_refs_ast``): when the public
+  ``sqlglot`` package is importable, table nodes and table-qualified column
+  references are renamed on the parse tree — the reference's own mechanism.
+* **built-in scope-aware path** (``plans/sql_ast.qualify_sql``): this
+  repo's own tokenizer + structural analysis, always available, with
+  statement-local names (aliases, CTEs) shadowing the mapping — the default
+  in this container where sqlglot is absent, so the AST-grade decision
+  procedure actually RUNS in CI rather than lying dormant behind an import
+  guard.
+* **regex path** (``_replace_table_refs``): the conservative word-boundary
+  rewriter, kept as the parity reference for the admissible statement
+  shapes (LLM-emitted INSERT/SELECT/CREATE/DROP over simple identifiers).
+  tests/test_mapping_streaming.py asserts built-in == regex on those
+  shapes, and == sqlglot whenever that package is present.
 """
 
 from __future__ import annotations
@@ -182,8 +187,12 @@ def qualify_namespaces(
         mapping[t] = f"{target_ns}_{t}"
     if not mapping:
         return stmt
-    impl = _replace_table_refs_ast if HAVE_SQLGLOT else _replace_table_refs
-    new_sql = impl(stmt.sql, mapping)
+    if HAVE_SQLGLOT:
+        new_sql = _replace_table_refs_ast(stmt.sql, mapping)
+    else:
+        from .sql_ast import qualify_sql
+
+        new_sql = qualify_sql(stmt.sql, mapping)
     return Statement(
         sql=new_sql,
         kind=stmt.kind,

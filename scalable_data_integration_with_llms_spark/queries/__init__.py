@@ -28,73 +28,76 @@ from . import er_q  # noqa: F401, E402
 from . import approx_q  # noqa: F401, E402
 from . import pipeline_q  # noqa: F401, E402
 
-# Verification-window priority (round 2): the reference-port core — stable
-# matching, bidirectional scoring, ensembles, PRF1/MRR/CI metrics, schema
-# mapping, prompt/parse ops — then the LLM-pipeline operators (dedup, MinHash/
-# LSH, ANN, streaming, tokenizer), then the 5 round-1 oracle-dtype fixes so
-# their rows flip green.  Round-1-green TPC-H/analytics rotate behind.
+# Verification-window priority (round 3): rounds 1+2 hard-verified 95
+# distinct queries; this round rotates the never-driver-checked remainder
+# into the 50-entry window — the full dedup/similarity/text/streaming tail,
+# the three oracles upgraded from rows-only this round (q_media_frames,
+# q_approx_distinct_users, q_approx_percentiles), the re-scored
+# q_source_drift (χ², engine-exact), and the new W5 q_demo_rating.  Seven
+# never-checked queries don't fit (q_udtf_tokens, q_prompt_with_samples,
+# q_zorder_locality, q_ntile_deciles, q_scd2_intervals, q_fuzzy_er_names,
+# q_knn_classify) — all pytest-covered and local-green in the committed
+# full-surface report (CORRECTNESS_FULL_r03.json); they rotate in next
+# round.  Previously-verified queries keep full-surface evidence there too.
 _VERIFY_FIRST = [
-    # Stable matching + candidate scoring (reference core)
-    "q_stable_matching",
-    "q_match_round2",
-    "q_mock_match_scores",
-    "q_bidirectional_scores",
-    "q_topk_alignments",
-    # Ensembles
-    "q_ensemble_union",
-    "q_ensemble_intersection",
-    "q_ensemble_majority",
-    "q_ensemble_disjoint",
-    "q_ensemble_gold_filter",
-    "q_filtered_preferences",
-    # Metrics / evaluation
-    "q_alignment_prf1",
-    "q_mrr",
-    "q_metric_ci",
-    "q_pass_rate",
-    "q_coverage",
-    "q_constraint_audit",
-    "q_fk_audit",
-    "q_metrics_by_category",
-    "q_pipeline_e2e",
-    # Schema mapping
-    "q_mapping_overlap",
-    "q_subsumed_rules",
-    "q_mapping_map_pk",
-    # Reference prompt/parse/validation ops
-    "q_parse_matches_json",
-    "q_mcq_scores",
-    "q_mcq_validation",
-    "q_yes_no_majority",
-    "q_icl_packing",
-    "q_example_selection",
-    "q_softmax_scores",
-    "q_prompt_assembly",
-    "q_parse_create_view",
-    # round-2 additions with explicit verdict criteria: real-BPE trainer,
-    # chat-template render, value-oracled multimodal decode (q_case_swap,
-    # q_gold_in_options, q_parse_tada_yes rotate to round 3)
-    "q_bpe_train",
-    "q_chat_prompt",
-    "q_multimodal_features",
-    # Dedup / similarity / streaming core
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_minhash_signatures",
-    "q_lsh_verified_pairs",
-    "q_dedup_clusters",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_stream_hourly",
-    "q_sessionization",
-    # Tokenizer (real BPE path this round)
-    "q_token_stats",
-    # Round-1 hash-artifact fixes (CAST in oracle) — keep in window to flip green
-    "q12_priority_by_status",
-    "q_pivot_status_priority",
-    "q_json_props",
-    "q_profile_orders",
-    "q_cms_supplier_counts",
+    # oracles upgraded from rows-only this round
+    "q_media_frames",
+    "q_approx_distinct_users",
+    "q_approx_percentiles",
+    # new + re-scored this round
+    "q_demo_rating",
+    "q_source_drift",
+    # dedup/similarity tail
+    "q_simhash",
+    "q_simhash_near_dup",
+    "q_dedup_containment",
+    "q_dedup_keepers",
+    "q_minhash_est_jaccard",
+    "q_media_metadata",
+    "q_incremental_dedup",
+    "q_cosine_topk",
+    "q_embedding_near_dup",
+    "q_lsh_hyperplane_buckets",
+    "q_label_centroids",
+    "q_ann_recall",
+    "q_ivf_recall",
+    "q_kmeans_iteration",
+    "q_embedding_quantize",
+    # text analysis tail
+    "q_text_quality",
+    "q_langid",
+    "q_doc_fingerprint",
+    "q_token_stats_t",
+    "q_top_bigrams",
+    "q_bpe_token_stats",
+    "q_repetition_ratio",
+    "q_pii_scrub",
+    "q_contamination",
+    "q_bloom_contamination",
+    "q_pack_sequences",
+    "q_vocab",
+    "q_tfidf_top_terms",
+    "q_inverted_index",
+    # corpus pipeline
+    "q_source_mixture",
+    "q_doc_commonness",
+    "q_shard_assignment",
+    "q_corpus_pipeline_e2e",
+    # streaming tail
+    "q_sessionization_stream",
+    "q_stream_enriched",
+    "q_stream_dedup",
+    "q_stream_stream_join",
+    "q_sliding_windows",
+    "q_session_window_native",
+    # reference-op tail
+    "q_gold_in_options",
+    "q_case_swap",
+    "q_parse_tada_yes",
+    "q_topk_sweep",
+    # analytics tail
+    "q_unpivot_status_metrics",
+    "q_events_gapfill",
 ]
 
 

@@ -226,16 +226,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_decode_stats(media)
 
 
-@query("q_media_frames")
+# Frame-sampling with a full value oracle: the per-frame roll moves source
+# row r to row (r+f) mod h, so the row-position-weighted bucket sums are
+# closed-form in (media_id, frame) and DuckDB recomputes them from the synth
+# pixel formula.  Bucket boundaries follow numpy array_split over the w*3
+# column axis: the first (L mod 8) buckets get one extra element.
+
+_MEDIA_FRAMES_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + doc_id % 17 AS INT) AS width,
+         CAST(16 + (doc_id * 7) % 13 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, f,
+         c * 3 + ch AS lin,
+         ((media_id * 31 + r * 7 + c * 3 + ch * 11) % 256)
+           * (((r + f) % height) + 1) AS wv
+  FROM dims,
+       unnest(range(0, height)) AS tr(r),
+       unnest(range(0, width)) AS tc(c),
+       unnest(range(0, 3)) AS tch(ch),
+       unnest(range(0, 2)) AS tf(f)
+),
+b AS (
+  SELECT media_id, width, height, CAST(f AS INT) AS frame_idx,
+         CASE WHEN lin < ((width * 3) % 8) * ((width * 3) // 8 + 1)
+              THEN lin // ((width * 3) // 8 + 1)
+              ELSE ((width * 3) % 8)
+                   + (lin - ((width * 3) % 8) * ((width * 3) // 8 + 1))
+                     // ((width * 3) // 8)
+         END AS bucket,
+         wv
+  FROM px
+)
+SELECT media_id, frame_idx, width, height,
+""" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN bucket = {j} THEN wv ELSE 0 END) AS BIGINT) AS f{j}"
+    for j in range(8)
+) + """
+FROM b GROUP BY media_id, frame_idx, width, height
+"""
+
+
+@query("q_media_frames", _MEDIA_FRAMES_ORACLE)
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling through the real PNG decoder: decode → per-frame
-    roll → mean-pool to an 8-dim float feature.  Rows-only (float features);
-    the value-level decode proof lives in q_multimodal_features."""
-    from ..operators.multimodal import extract_features, synthesize_png_media
+    row roll → position-weighted 8-bucket integer features, every value
+    reproduced by the SQL oracle from the generating formula (upgraded from
+    rows-only in r3; the float mean-pool variant stays available as
+    operators/multimodal.extract_features)."""
+    from ..operators.multimodal import extract_frame_features_int, synthesize_png_media
 
     d = load_table(spark, sf_dir, "documents")
     media = synthesize_png_media(d, "doc_id")
-    return extract_features(media, frames_per_item=2)
+    return extract_frame_features_int(media, frames_per_item=2)
 
 
 # -- the production dedup flow: LSH candidates -> exact-Jaccard verify --------

@@ -308,13 +308,19 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- distribution drift monitor -----------------------------------------------
-# Per-source unigram distribution vs the corpus-wide distribution, scored by
-# KL divergence — the drift check a pipeline runs when a new crawl/source
-# lands (did the token mix shift?).  Each term's contribution
-# p·log2(p/q) quantizes to a bigint BEFORE the sum, so the aggregate is
-# order-independent and engine-exact despite being float math inside.
-# Scale shape: two token-keyed aggregates (source-level and corpus-level
-# marginals both reduce map-side) and a vocabulary-sized broadcast join.
+# Per-source unigram distribution vs the corpus-wide distribution — the
+# drift check a pipeline runs when a new crawl/source lands (did the token
+# mix shift?).  Scored by the χ² divergence Σ (p−q)²/q: unlike KL, every
+# operation in the per-term score (±, ×, ÷) is IEEE-754 correctly-rounded,
+# so with identical expression order both engines produce BIT-IDENTICAL
+# doubles and the quantize-then-sum is engine-exact by construction.  KL's
+# log2 is transcendental — not correctly-rounded — so a 1-ulp JVM-vs-libm
+# divergence near a quantization boundary could flip a per-term bigint (the
+# latent cross-engine flake flagged in r2 ADVICE); a KL variant is the same
+# plan with F.log2 swapped in, but it cannot carry a hard value oracle.
+# Each term's contribution quantizes to a bigint BEFORE the sum, so the
+# aggregate is order-independent.  Scale shape: two token-keyed aggregates
+# (both reduce map-side) and a vocabulary-sized broadcast join.
 
 _DRIFT_QUANT = 1_000_000_000
 
@@ -330,8 +336,8 @@ corp_tot AS (SELECT COUNT(*) AS n FROM occ),
 corp_cnt AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok)
 SELECT s.source,
        CAST(COUNT(*) AS BIGINT) AS n_terms,
-       CAST(SUM(CAST(round((s.c / st.n) * log2((s.c / st.n) / (cc.c / ct.n))
-                           * {_DRIFT_QUANT}, 0) AS BIGINT)) AS BIGINT) AS kl_q
+       CAST(SUM(CAST(round(((s.c / st.n) - (cc.c / ct.n)) * ((s.c / st.n) - (cc.c / ct.n))
+                           / (cc.c / ct.n) * {_DRIFT_QUANT}, 0) AS BIGINT)) AS BIGINT) AS chi2_q
 FROM src_cnt s
 JOIN src_tot st USING (source)
 JOIN corp_cnt cc USING (tok)
@@ -342,8 +348,10 @@ GROUP BY s.source
 
 @query("q_source_drift", _drift_oracle())
 def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KL(source ‖ corpus) over unigram distributions, per source — exact
-    via per-term quantization before the sum."""
+    """χ²(source ‖ corpus) over unigram distributions, per source — exact
+    cross-engine via per-term quantization of a correctly-rounded-only
+    float expression (see module comment: KL's log2 can't make that
+    guarantee)."""
     d = load_table(spark, sf_dir, "documents")
     occ = d.select("source", F.explode(F.split("text", " ", -1)).alias("tok"))
     src_tot = occ.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
@@ -352,7 +360,8 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp_cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corp"))
     p = F.col("c_src") / F.col("n_src")
     q = F.col("c_corp") / F.col("n_corp")
-    term_q = F.round(p * F.log2(p / q) * F.lit(_DRIFT_QUANT), 0).cast("bigint")
+    # association order mirrors the oracle exactly: ((p-q)*(p-q)/q)*QUANT
+    term_q = F.round((p - q) * (p - q) / q * F.lit(_DRIFT_QUANT), 0).cast("bigint")
     return (
         src_cnt.join(src_tot, "source")
         .join(F.broadcast(corp_cnt), "tok")
@@ -360,6 +369,6 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
-            F.sum(term_q).alias("kl_q"),
+            F.sum(term_q).alias("chi2_q"),
         )
     )

@@ -680,3 +680,68 @@ def q_topk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tp") / F.lit(n_gold)).alias("recall"),
         )
     )
+
+
+# -- W5: MatchMaker demo selection (rating >= 4) -------------------------------
+# Reference semantics (eval/eval_MatchMaker.py:173-208): for every predicted
+# mapping's evaluation string, get_last_char_as_int takes the string's LAST
+# character as the rating (empty or non-digit -> dropped; the reference's
+# `rate <= 5 or rate >= 0` guard is vacuously true, so any digit 0-9 counts),
+# and get_demo keeps entries rated >= 4 as few-shot demonstrations, emitting
+# (idx, id, attr, seed, rating).
+
+DEMO_EVALS = [
+    (0, "case_a", "o_orderdate", 7, "The mapping is clearly correct. Rating: 5"),
+    (0, "case_a", "o_totalprice", 7, "Partial semantic match, rating 3"),
+    (1, "case_b", "c_name", 7, "Exact name-to-name correspondence: 4"),
+    (1, "case_b", "c_acctbal", 7, "I cannot rate this one."),
+    (1, "case_b", "c_phone", 7, "Formats differ but compatible 4"),
+    (2, "case_c", "s_address", 7, ""),
+    (2, "case_c", "s_comment", 7, "Weak evidence. 2"),
+    (3, "case_d", "p_brand", 13, "Brand-level match; confidence high. 5"),
+    (3, "case_d", "p_size", 13, "Size units disagree -> 1"),
+    (3, "case_d", "p_type", 13, "Type vocabularies align well: 9"),
+]
+
+
+def _demo_values_sql() -> str:
+    body = ",\n  ".join(
+        f"({i}, '{c}', '{a}', {s}, '{t}')" for i, c, a, s, t in DEMO_EVALS
+    )
+    return f"(VALUES\n  {body}) AS t(idx, case_id, attr, seed, resp_text)"
+
+
+_DEMO_ORACLE = f"""
+WITH resp AS (SELECT * FROM {_demo_values_sql()}),
+rated AS (
+  SELECT idx, case_id, attr, seed,
+         CAST(right(resp_text, 1) AS INT) AS rating
+  FROM resp
+  WHERE regexp_matches(right(resp_text, 1), '^[0-9]$')
+)
+SELECT idx, case_id, attr, seed, rating,
+       ROW_NUMBER() OVER (PARTITION BY seed ORDER BY idx, attr) AS demo_rank
+FROM rated WHERE rating >= 4
+"""
+
+
+@query("q_demo_rating", _DEMO_ORACLE)
+def q_demo_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 demo ranking (eval_MatchMaker.py:188-208): last-character rating
+    extraction (empty/non-digit evaluations dropped), keep rating >= 4,
+    deterministic per-seed demo order by (idx, attr)."""
+    resp = spark.createDataFrame(
+        DEMO_EVALS, "idx int, case_id string, attr string, seed int, resp_text string"
+    )
+    last = F.substring("resp_text", -1, 1)
+    rated = (
+        resp.withColumn("_last", last)
+        .filter(F.col("_last").rlike("^[0-9]$"))
+        .withColumn("rating", F.col("_last").cast("int"))
+        .drop("_last")
+        .filter(F.col("rating") >= 4)
+    )
+    win = W.partitionBy("seed").orderBy("idx", "attr")
+    return rated.withColumn("demo_rank", F.row_number().over(win)).select(
+        "idx", "case_id", "attr", "seed", "rating", "demo_rank"
+    )

@@ -85,24 +85,32 @@ def read_instance_csv(
     schema_cols: list[str],
     renames: Mapping[str, str] | None = None,
     drop_cols: Iterable[str] = ("row_id",),
+    add_missing: bool = True,
+    lowercase_cols: bool = False,
 ) -> DataFrame:
     """Untyped instance-data CSV read with the reference's realignment
     semantics (S3, ``InstanceDataHandler.py:104-410``):
 
-    every cell a string (no inferSchema), drift columns renamed, surrogate
-    ``row_id`` dropped, columns missing from the file added as NULL, and the
-    result projected in declared-schema order.
+    every cell a string (no inferSchema), optionally lowercased headers
+    (synthea, :306-309), drift columns renamed, surrogate ``row_id``
+    dropped, columns missing from the file added as NULL (or, with
+    ``add_missing=False``, the valentine policy: keep only the schema∩csv
+    intersection, :122-134), and the result projected in declared-schema
+    order.  Per-dataset front-ends live in ``sources/dataset_loaders.py``.
     """
     df = spark.read.csv(path, header=True, inferSchema=False)
+    if lowercase_cols:
+        df = df.toDF(*[c.lower() for c in df.columns])
     if renames:
         df = df.withColumnsRenamed(dict(renames))
     for c in drop_cols:
         if c in df.columns:
             df = df.drop(c)
     present = set(df.columns)
+    keep = schema_cols if add_missing else [c for c in schema_cols if c in present]
     return df.select(
         [
             (F.col(c) if c in present else F.lit(None).cast("string")).alias(c)
-            for c in schema_cols
+            for c in keep
         ]
     )

@@ -55,9 +55,88 @@ def test_sql_rewrite_qualified_columns_follow_rename():
     )
 
 
+_PARITY_MAPPING = {"src_t": "source_src_t", "tgt_t": "pred_tgt_t"}
+_PARITY_CASES = [
+    "INSERT INTO tgt_t SELECT a, b FROM src_t",
+    "SELECT src_t.a FROM src_t WHERE src_t.b > 3",
+    "SELECT * FROM src_t JOIN other ON src_t.k = other.k",
+    "SELECT 'src_t' AS lit, a FROM src_t",
+    "WITH c AS (SELECT * FROM src_t) SELECT * FROM c",
+    "CREATE VIEW v AS SELECT a FROM src_t WHERE a IN (SELECT a FROM tgt_t)",
+    "DROP TABLE src_t",
+    "SELECT count(*) FROM src_t GROUP BY a HAVING count(*) > 1 ORDER BY a LIMIT 5",
+]
+
+
+def test_sql_rewrite_builtin_ast_parity():
+    """The built-in scope-aware backend must agree with the regex backend on
+    every admissible statement shape — this parity gate always executes (no
+    third-party parser needed)."""
+    from scalable_data_integration_with_llms_spark.plans.sql_ast import qualify_sql
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import _replace_table_refs
+
+    for sql in _PARITY_CASES:
+        assert qualify_sql(sql, _PARITY_MAPPING) == _replace_table_refs(
+            sql, _PARITY_MAPPING
+        ), sql
+
+
+def test_sql_rewrite_builtin_scope_shadowing():
+    """Where the backends legitimately differ: names DEFINED in the
+    statement (aliases, CTEs) shadow the mapping in the built-in backend —
+    the regex rewriter cannot know that."""
+    from scalable_data_integration_with_llms_spark.plans.sql_ast import qualify_sql
+
+    # subquery alias colliding with a mapped table name: alias wins
+    out = qualify_sql(
+        "SELECT src_t.a FROM (SELECT 1 AS a) AS src_t",
+        {"src_t": "source_src_t"},
+    )
+    assert out == "SELECT src_t.a FROM (SELECT 1 AS a) AS src_t"
+    # CTE name colliding with a mapped table: the CTE shadows; tables inside
+    # the CTE body still rewrite
+    out = qualify_sql(
+        "WITH src_t AS (SELECT * FROM tgt_t) SELECT src_t.x FROM src_t",
+        {"src_t": "source_src_t", "tgt_t": "pred_tgt_t"},
+    )
+    assert out == "WITH src_t AS (SELECT * FROM pred_tgt_t) SELECT src_t.x FROM src_t"
+    # bare FROM alias shadows too; the table itself still rewrites
+    out = qualify_sql(
+        "SELECT t.a FROM src_t t WHERE t.b = 1", {"src_t": "source_src_t", "t": "BOOM"}
+    )
+    assert out == "SELECT t.a FROM source_src_t t WHERE t.b = 1"
+
+
+def test_sql_rewrite_builtin_structures():
+    """Structural coverage beyond the parity shapes: comments, quoted
+    literals with embedded names, multi-CTE chains, nested subqueries."""
+    from scalable_data_integration_with_llms_spark.plans.sql_ast import qualify_sql
+
+    m = {"src_t": "source_src_t", "tgt_t": "pred_tgt_t"}
+    out = qualify_sql(
+        "-- src_t in a comment\nSELECT a FROM src_t /* tgt_t too */ WHERE b = 'src_t'",
+        m,
+    )
+    assert "FROM source_src_t" in out
+    assert "-- src_t in a comment" in out and "/* tgt_t too */" in out
+    assert "'src_t'" in out
+    out = qualify_sql(
+        "WITH a AS (SELECT * FROM src_t), b AS (SELECT * FROM a JOIN tgt_t USING (k)) "
+        "SELECT * FROM b",
+        m,
+    )
+    assert "FROM source_src_t" in out and "JOIN pred_tgt_t" in out
+    assert out.endswith("FROM b")
+    out = qualify_sql(
+        "SELECT * FROM (SELECT x FROM (SELECT x FROM src_t) inner1) outer1, tgt_t",
+        m,
+    )
+    assert "FROM source_src_t" in out and "pred_tgt_t" in out
+
+
 def test_sql_rewrite_ast_parity():
-    """When the public sqlglot package is present, the AST backend must agree
-    with the regex backend on the admissible statement shapes."""
+    """When the public sqlglot package is present, it must agree with BOTH
+    in-repo backends on the admissible statement shapes."""
     from scalable_data_integration_with_llms_spark.plans.sql_rewrite import (
         HAVE_SQLGLOT,
         _replace_table_refs,
@@ -68,17 +147,9 @@ def test_sql_rewrite_ast_parity():
         pytest.skip("sqlglot not installed in this environment")
     import sqlglot
 
-    mapping = {"src_t": "source_src_t", "tgt_t": "pred_tgt_t"}
-    cases = [
-        "INSERT INTO tgt_t SELECT a, b FROM src_t",
-        "SELECT src_t.a FROM src_t WHERE src_t.b > 3",
-        "SELECT * FROM src_t JOIN other ON src_t.k = other.k",
-        "SELECT 'src_t' AS lit, a FROM src_t",
-        "WITH c AS (SELECT * FROM src_t) SELECT * FROM c",
-    ]
-    for sql in cases:
-        regex_out = sqlglot.parse_one(_replace_table_refs(sql, mapping)).sql()
-        ast_out = _replace_table_refs_ast(sql, mapping)
+    for sql in _PARITY_CASES:
+        regex_out = sqlglot.parse_one(_replace_table_refs(sql, _PARITY_MAPPING)).sql()
+        ast_out = _replace_table_refs_ast(sql, _PARITY_MAPPING)
         assert regex_out == ast_out, sql
 
 
