@@ -235,6 +235,62 @@ def _maybe_alias(toks: list[Tok], i: int, a: Analysis) -> int:
     return i
 
 
+# sqlite type names with no Spark SQL equivalent, mapped inside CAST(...)
+# expressions only (a bare column named "text" must not be touched)
+_SQLITE_CAST_TYPES = {"text": "STRING", "real": "DOUBLE", "blob": "BINARY"}
+
+
+def transpile_sqlite_to_spark(sql: str) -> str:
+    """Dialect render for Spark SQL — the analog of the reference's
+    ``query.ast.sql(dialect="sqlite")`` re-render before execution
+    (``Evaluator.py:257,271``), in the opposite direction: the LLM/gold SQL
+    is written for SQLite, the engine executes on Spark.  Only semantics-
+    preserving transforms:
+
+    * double-quoted identifiers → backticks (Spark reads ``"x"`` as a
+      string literal, SQLite as an identifier);
+    * ``CAST(e AS TEXT/REAL/BLOB)`` → STRING/DOUBLE/BINARY (types Spark
+      lacks), detected positionally inside a CAST group so columns that
+      happen to be NAMED ``text`` are untouched.
+
+    SQLite-isms that change semantics (``INSERT OR REPLACE``,
+    ``AUTOINCREMENT``) are deliberately NOT rewritten — they fail loudly at
+    execution and surface in the statement's ignore_reason, rather than
+    silently executing with different conflict behavior."""
+    toks = tokenize(sql)
+    out = []
+    depth = 0
+    cast_depths: list[int] = []
+    prev_meaningful: Tok | None = None
+    for t in toks:
+        text = t.text
+        if t.kind == "op":
+            if text == "(":
+                depth += 1
+                if prev_meaningful is not None and prev_meaningful.lower == "cast":
+                    cast_depths.append(depth)
+            elif text == ")":
+                if cast_depths and cast_depths[-1] == depth:
+                    cast_depths.pop()
+                depth -= 1
+        elif t.kind == "ident":
+            if text[0] == '"':
+                inner = text[1:-1].replace('""', '"')
+                text = "`" + inner.replace("`", "``") + "`"
+            elif (
+                cast_depths
+                and cast_depths[-1] == depth
+                and prev_meaningful is not None
+                and prev_meaningful.lower == "as"
+                and t.lower in _SQLITE_CAST_TYPES
+            ):
+                text = _SQLITE_CAST_TYPES[t.lower]
+        if t.text.strip() or t.kind != "op":
+            prev_meaningful = t
+        out.append(t.ws + text)
+    return "".join(out)
+
+
 def qualify_sql(sql: str, mapping: dict[str, str]) -> str:
     """Rewrite unqualified table references (and the column qualifiers that
     follow them) per ``mapping``; statement-local names shadow the mapping."""

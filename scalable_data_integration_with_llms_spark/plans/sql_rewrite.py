@@ -204,16 +204,29 @@ def qualify_namespaces(
 def prepare_response(
     response: str, source_tables: set[str], target_tables: set[str],
     source_ns: str = "source", target_ns: str = "pred",
+    dialect_normalize: bool = True,
 ) -> list[Statement]:
-    """Full pre-pass: fence-extract → split → classify → admit → qualify."""
+    """Full pre-pass: fence-extract → split → classify → admit → qualify →
+    dialect render (the reference renders per dialect at execution time,
+    ``Evaluator.py:257,271``; here SQLite-isms normalize to Spark SQL —
+    semantics-preserving transforms only, see sql_ast.transpile_sqlite_to_spark)."""
+    from .sql_ast import transpile_sqlite_to_spark
+
     stmts = [classify(s) for s in split_statements(extract_sql_blocks(response))]
     admit(stmts, target_tables)
-    return [
-        qualify_namespaces(s, source_tables, target_tables, source_ns, target_ns)
-        if s.admitted
-        else s
-        for s in stmts
-    ]
+    out = []
+    for s in stmts:
+        if s.admitted:
+            s = qualify_namespaces(s, source_tables, target_tables, source_ns, target_ns)
+            if dialect_normalize:
+                s = Statement(
+                    sql=transpile_sqlite_to_spark(s.sql),
+                    kind=s.kind,
+                    ignore_reason=s.ignore_reason,
+                    target_table=s.target_table,
+                )
+        out.append(s)
+    return out
 
 
 # -- U3: map_pk(tbl, attr, val) rewrite ---------------------------------------

@@ -221,3 +221,40 @@ def test_rewrite_map_pk_edge_cases():
     # wrong arity: left untouched
     sql4 = "SELECT map_pk(a, b) FROM t"
     assert rewrite_map_pk(sql4)[0] == sql4
+
+
+def test_transpile_sqlite_to_spark():
+    """Dialect render: double-quoted identifiers -> backticks, CAST types
+    TEXT/REAL/BLOB -> STRING/DOUBLE/BINARY; columns NAMED text untouched;
+    string literals untouched; semantics-changing sqlite-isms left alone."""
+    from scalable_data_integration_with_llms_spark.plans.sql_ast import transpile_sqlite_to_spark as tr
+
+    assert tr('SELECT "first name" FROM src_t') == "SELECT `first name` FROM src_t"
+    assert tr("SELECT CAST(a AS TEXT), CAST(b AS real) FROM t") == (
+        "SELECT CAST(a AS STRING), CAST(b AS DOUBLE) FROM t"
+    )
+    # a column named text is not a type reference
+    assert tr("SELECT text FROM documents WHERE text = 'TEXT'") == (
+        "SELECT text FROM documents WHERE text = 'TEXT'"
+    )
+    # alias 'AS text' outside a CAST group untouched
+    assert tr("SELECT a AS text FROM t") == "SELECT a AS text FROM t"
+    # nested: only the CAST-group AS maps
+    assert tr("SELECT CAST(x + (SELECT y AS text FROM u) AS BLOB) FROM t") == (
+        "SELECT CAST(x + (SELECT y AS text FROM u) AS BINARY) FROM t"
+    )
+    # deliberate non-rewrites (must fail loudly at execution instead)
+    assert tr("INSERT OR REPLACE INTO t VALUES (1)") == "INSERT OR REPLACE INTO t VALUES (1)"
+
+
+def test_prepare_response_applies_dialect_render():
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import prepare_response
+
+    stmts = prepare_response(
+        '```sql\nINSERT INTO tgt_t SELECT CAST("src col" AS TEXT) FROM src_t;\n```',
+        {"src_t"},
+        {"tgt_t"},
+    )
+    assert stmts[0].admitted
+    assert "CAST(`src col` AS STRING)" in stmts[0].sql
+    assert "FROM source_src_t" in stmts[0].sql

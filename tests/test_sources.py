@@ -147,3 +147,39 @@ def test_multimodal_query_registered(spark):
     assert "q_multimodal_features" in ORACLES  # real decode, value-oracled
     df = QUERIES["q_multimodal_features"](spark, "/root/testdata/sf0.001")
     assert df.count() == 500  # one stat row per document's synthesized PNG
+
+
+def test_xlsx_report_sink(spark, tmp_path):
+    """K2 Excel sink: the stdlib OOXML writer produces a structurally valid
+    .xlsx — zip parts present, workbook wired to the sheet, header + typed
+    cells round-trip through an XML parse."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from scalable_data_integration_with_llms_spark.sources.sinks import report_xlsx
+
+    df = spark.createDataFrame(
+        [("a & b", 3, 1.5, True), ("<c>", 4, 2.5, False)],
+        "name string, n int, score double, flag boolean",
+    )
+    path = str(tmp_path / "report.xlsx")
+    report_xlsx(df, path, sheet_name="metrics")
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {
+            "[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+            "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml",
+        } <= names
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+        assert wb.find("m:sheets/m:sheet", ns).get("name") == "metrics"
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = sheet.findall("m:sheetData/m:row", ns)
+        assert len(rows) == 3  # header + 2 data rows
+        header = [c.find("m:is/m:t", ns).text for c in rows[0]]
+        assert header == ["name", "n", "score", "flag"]
+        r1 = rows[1]
+        assert r1[0].find("m:is/m:t", ns).text == "a & b"  # escape round-trip
+        assert r1[1].get("t") is None and r1[1].find("m:v", ns).text == "3"
+        assert r1[3].get("t") == "b"
