@@ -245,3 +245,69 @@ def lsh_topk(
     return scored.withColumn("sim_rank", F.row_number().over(win)).filter(
         F.col("sim_rank") <= k
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Product-quantization codes — the compression half of IVF-PQ, the
+    standard billion-scale ANN layout: split each vector into ``m``
+    subvectors, assign each to its nearest codebook entry, emit the m-byte
+    code plus the total quantization error.
+
+    Codebook: the subvectors of the first ``k`` vectors (sample-initialized
+    codebooks — a valid PQ init; a trained variant iterates q_kmeans_iteration
+    per subspace).  Distances are exact BIGINT arithmetic on round(x·quant)
+    components, so assignment and error are engine-exact and oracle-checkable.
+
+    Scale shape: the codebook is k·m tiny rows → broadcast; the corpus
+    explodes to m rows per vector (subspace axis), joins map-side, and the
+    argmin + code assembly is one (id)-keyed aggregation.  At 100 TB this is
+    the pattern that turns a 256 GB float corpus into m bytes/vector."""
+    from pyspark.sql import Window as W
+
+    def quantized_sub(s: int) -> Column:
+        return F.transform(
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+            lambda x: F.round(x.cast("double") * F.lit(quant), 0).cast("bigint"),
+        )
+
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("s"), quantized_sub(s).alias("qv"))
+                for s in range(m)
+            ]
+        )
+    ).alias("sub")
+    corpus = df.select(F.col(id_col), subs).select(
+        F.col(id_col), F.col("sub.s").alias("s"), F.col("sub.qv").alias("qv")
+    )
+    codebook = (
+        df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("code_id"), subs)
+        .select("code_id", F.col("sub.s").alias("s"), F.col("sub.qv").alias("cv"))
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(codebook), "s").select(
+        F.col(id_col), "s", "code_id", dist.alias("dist")
+    )
+    win = W.partitionBy(id_col, "s").orderBy(F.asc("dist"), F.asc("code_id"))
+    best = scored.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") == 1)
+    return best.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("code_id"))).cast("int").alias(f"code_{s}")
+            for s in range(m)
+        ],
+        F.sum("dist").alias("err_q"),
+    )

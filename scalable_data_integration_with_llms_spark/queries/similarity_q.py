@@ -517,3 +517,49 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("q8"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_q8"),
         F.round(F.array_max(err) * F.lit(1e9), 0).cast("bigint").alias("max_err_q"),
     )
+
+
+# -- product quantization (the compression half of IVF-PQ) --------------------
+
+_PQ_ORACLE = """
+WITH subs AS (
+  SELECT vec_id, s.s AS s,
+         list_transform(embedding[s.s*16 + 1 : s.s*16 + 16],
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+  FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
+),
+cb AS (SELECT vec_id AS code_id, s, qv AS cv FROM subs WHERE vec_id < 8),
+scored AS (
+  SELECT c.vec_id, c.s, cb.code_id,
+         list_sum(list_transform(range(1, 17),
+                  i -> (c.qv[i] - cb.cv[i]) * (c.qv[i] - cb.cv[i]))) AS dist
+  FROM subs c JOIN cb USING (s)
+),
+best AS (
+  SELECT vec_id, s, code_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist ASC, code_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN s = 0 THEN code_id END) AS INT) AS code_0,
+       CAST(MAX(CASE WHEN s = 1 THEN code_id END) AS INT) AS code_1,
+       CAST(MAX(CASE WHEN s = 2 THEN code_id END) AS INT) AS code_2,
+       CAST(MAX(CASE WHEN s = 3 THEN code_id END) AS INT) AS code_3,
+       CAST(SUM(dist) AS BIGINT) AS err_q
+FROM best WHERE rk = 1
+GROUP BY vec_id
+"""
+
+
+@query("q_pq_codes", _PQ_ORACLE)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embedding corpus: 4 subspaces ×
+    16 dims, 8 sample-initialized codebook entries, exact-bigint nearest-
+    code assignment + total quantization error (operators/similarity.pq_codes).
+    The m-byte code column is what an IVF-PQ index stores per vector at
+    billion scale."""
+    from ..operators.similarity import pq_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(e, m=4, k=8, sub_dim=16)

@@ -82,7 +82,49 @@ SHOWCASE = [
         "q_simhash_near_dup",
         "Banded SimHash: candidates from a hash equi-join on "
         "(band, band_sig) — the all-pairs space never materializes; "
-        "verify is xor+popcount in codegen.",
+        "verify is xor+popcount in codegen.  The doc-level signature frame "
+        "is persisted (InMemoryTableScan on both join sides) so the "
+        "fingerprint pipeline runs once, not per side.",
+    ),
+    (
+        "q_dedup_ngram_jaccard",
+        "Shingle self-join with the max_df skew guard as a broadcast "
+        "ANTI-join against the (tiny) heavy-hitter set: the shingle frame "
+        "is never shuffled to apply the guard; only the intersection "
+        "aggregation shuffles.",
+    ),
+    (
+        "q_dedup_containment",
+        "Containment near-dups bounded end-to-end: heavy-hitter anti-join "
+        "before the self-join, feasibility bound inter >= ceil(t*min_sz) "
+        "in the same stage as the intersection aggregate — the unfiltered "
+        "pair set never reaches an exchange.",
+    ),
+    (
+        "q_ann_lsh",
+        "Hyperplane LSH buckets computed MAP-ONLY: per-plane projections "
+        "are aggregate(zip_with) folds against literal sign arrays — no "
+        "posexplode, no sign-table join, no shuffle until the bucket "
+        "equi-join; exact cosine verify touches candidates only.",
+    ),
+    (
+        "q_top_bigrams",
+        "Corpus n-gram ranking as TakeOrderedAndProject (per-partition "
+        "top-k heaps, driver merge) — never an unpartitioned window over "
+        "the full count table; the rank window runs on 20 rows post-limit.",
+    ),
+    (
+        "q_paragraph_dedup",
+        "Chunk-level dedup: non-overlapping chunk hashes (corpus size x1, "
+        "unlike shingles' xN) — one shuffle on the chunk hash serves both "
+        "owner assignment and the per-doc attrition rollup; text never "
+        "shuffles.",
+    ),
+    (
+        "q_pq_codes",
+        "Product quantization: k*m codebook rows broadcast into the "
+        "m-rows-per-vector subspace expand; argmin + code assembly is one "
+        "(id)-keyed window + aggregation — the IVF-PQ compression pattern.",
     ),
     (
         "q_corpus_pipeline_e2e",
