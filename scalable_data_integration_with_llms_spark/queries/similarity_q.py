@@ -563,3 +563,45 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pq_codes(e, m=4, k=8, sub_dim=16)
+
+
+# -- metadata-filtered ANN (pre-filtering) ------------------------------------
+
+_ANN_FILTERED_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, ve AS qv,
+             sqrt(list_dot_product(ve, ve)) AS qn
+      FROM v WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, ve AS cv,
+             sqrt(list_dot_product(ve, ve)) AS cn
+      FROM v WHERE label % 2 = 0),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (qn * cn) AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, sim_rank FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC) AS sim_rank
+  FROM scored
+) WHERE sim_rank <= 3
+"""
+
+
+@query("q_ann_filtered", _ANN_FILTERED_ORACLE)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search with PRE-filtering (the vector-DB
+    correctness rule: apply the attribute predicate BEFORE candidate
+    generation, or top-k recall silently drops when matches are filtered
+    away afterwards).  The label predicate reaches the parquet scan
+    (PushedFilters) so the filtered corpus never materializes unfiltered;
+    then exact cosine top-3 per query over the survivors."""
+    from ..operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    corpus = e.filter(F.col("label") % 2 == 0)
+    return cosine_topk(queries, corpus, k=3)

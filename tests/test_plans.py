@@ -274,3 +274,11 @@ def test_langid_single_pass(spark):
     # token array is traversed via ONE aggregate expression: the per-language
     # filter scans are gone
     assert plan.count("aggregate(") >= 1
+
+
+def test_ann_filtered_pushes_label_predicate(spark):
+    """Pre-filter ANN: the metadata predicate must reach the corpus scan
+    (PushedFilters on label), not evaluate post-join."""
+    plan = _plan(spark, "q_ann_filtered")
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "label" in pushed, pushed
