@@ -81,6 +81,10 @@ HEADLINE = [
     "q_top_bigrams",
     "q_bpe_train",
     "q_lsh_verified_pairs",
+    # round-3 retrieval/data-selection operators
+    "q_duplicate_spans",
+    "q_bm25_topk",
+    "q_domain_affinity",
 ]
 
 

@@ -412,3 +412,55 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = 12, min_docs: int = 2
+) -> DataFrame:
+    """Substring-level duplicate spans: maximal runs of consecutive token
+    positions whose ``w``-token windows each occur in ≥ ``min_docs``
+    documents (the distributed re-expression of suffix-array training-data
+    dedup — window-hash → document-frequency filter → gaps-and-islands).
+
+    Returns (doc, span_start, span_end, n_windows) with 1-based token
+    positions; span_end = last covered token.  Every shuffle is keyed by
+    either the 128-bit window hash (uniform by construction) or the doc id
+    (island merge, bounded by doc length) — no global window, no UDF.
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), " ", -1)
+    base = df.select(F.col(id_col).alias("doc"), words.alias("w")).filter(
+        F.size("w") >= w
+    )
+    wins = base.select(
+        "doc",
+        F.explode(F.sequence(F.lit(1), F.size("w") - w + 1)).alias("pos"),
+        "w",
+    ).select(
+        "doc",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("pos"), w))).alias("h"),
+    )
+    dup = (
+        wins.select("h", "doc")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi").select("doc", "pos")
+    grp = F.col("pos") - F.row_number().over(
+        W.partitionBy("doc").orderBy("pos")
+    )
+    return (
+        hits.withColumn("grp", grp)
+        .groupBy("doc", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + w - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )

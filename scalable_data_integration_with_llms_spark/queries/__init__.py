@@ -27,6 +27,7 @@ from . import reference_ops  # noqa: F401, E402
 from . import er_q  # noqa: F401, E402
 from . import approx_q  # noqa: F401, E402
 from . import pipeline_q  # noqa: F401, E402
+from . import retrieval_q  # noqa: F401, E402
 
 # Verification-window priority (round 3): rounds 1+2 hard-verified 95
 # distinct queries; this round rotates the never-driver-checked remainder

@@ -282,3 +282,42 @@ def test_ann_filtered_pushes_label_predicate(spark):
     plan = _plan(spark, "q_ann_filtered")
     pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "label" in pushed, pushed
+
+
+def test_bm25_takeordered_and_broadcasts(spark):
+    """BM25 retrieval: top-k must be TakeOrderedAndProject (heap, no global
+    sort); df and corpus stats broadcast; term filter below the tf groupBy;
+    no Python in the plan."""
+    plan = _plan(spark, "q_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the IN-list filter must run before the tf aggregate (pre-shuffle)
+    assert plan.index("token#") > -1 and "partial_count" in plan
+
+
+def test_domain_affinity_broadcasts_weights(spark):
+    """DSIR selection: the 4096-row bucket-weight table must broadcast into
+    the per-doc scoring join, and selection must be TakeOrderedAndProject."""
+    plan = _plan(spark, "q_domain_affinity")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan, "weight join must not shuffle the bigram stream"
+
+
+def test_duplicate_spans_no_global_window(spark):
+    """Span merge: the only Window runs partitioned by doc — a global
+    (unpartitioned) window would single-partition the corpus."""
+    plan = _plan(spark, "q_duplicate_spans")
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "doc" in line, f"unpartitioned window: {line}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_chunks_map_only(spark):
+    """Chunking must not shuffle: scan -> generate -> project, so it fuses
+    with a downstream shard writer."""
+    plan = _plan(spark, "q_token_chunks")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
