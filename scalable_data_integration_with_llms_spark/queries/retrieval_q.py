@@ -520,3 +520,68 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") == _CHUNK_SIZE)
         | (F.col("n_tokens") >= _CHUNK_MIN_TAIL)
     )
+
+
+# -- deterministic train/val/test split ---------------------------------------
+# Hash-threshold assignment: split(doc) = md5('split42:' || doc_id) mod 1000
+# against 800/100/100 per-mille cut points.  Unlike a per-stratum ranked
+# window (exact proportions but a per-stratum sort), the hash threshold is
+# MAP-ONLY — no shuffle to assign, proportions concentrate at corpus scale
+# (Chernoff), assignment is stable under reruns/retries/engine choice, and
+# adding documents never reassigns existing ones (the property that keeps
+# eval sets uncontaminated across corpus versions).
+
+_SPLIT_SEED = "split42:"
+_SPLIT_TRAIN_PM = 800
+_SPLIT_VAL_PM = 900
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars, doc_id,
+         ('0x' || substr(md5('{_SPLIT_SEED}' || doc_id), 1, 15))::BIGINT
+           % 1000 AS pm
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN pm < {_SPLIT_TRAIN_PM} THEN 'train'
+            WHEN pm < {_SPLIT_VAL_PM} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@query("q_train_val_split", _SPLIT_ORACLE)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment audit per language:
+    the split column is a pure map-side expression (md5 threshold), so the
+    only shuffle is the audit rollup itself — the assignment fuses into any
+    downstream writer at zero cost."""
+    d = load_table(spark, sf_dir, "documents")
+    pm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SPLIT_SEED), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    split = (
+        F.when(pm < _SPLIT_TRAIN_PM, "train")
+        .when(pm < _SPLIT_VAL_PM, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars", "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -605,3 +605,40 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % 50 == 0)
     corpus = e.filter(F.col("label") % 2 == 0)
     return cosine_topk(queries, corpus, k=3)
+
+
+# -- embedding dup CLUSTERS (pairs -> groups, the dedup closure) -------------
+
+_EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COS_EXPR.replace('q.', 'a.').replace('c.', 'b.')} >= {_NEAR_DUP_TAU}
+),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach AS (
+  SELECT src AS vec, dst AS reach FROM edges
+  UNION
+  SELECT r.vec, e.dst FROM reach r JOIN edges e ON r.reach = e.src
+)
+SELECT vec AS vec_id, LEAST(vec, MIN(reach)) AS cluster_id
+FROM reach GROUP BY vec
+"""
+
+
+@query("q_embedding_dup_clusters", _EMB_CLUSTERS_ORACLE)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level duplicate GROUPS: the cosine near-dup pairs
+    (IVF-restricted, τ = 0.92) closed into connected components, cluster_id
+    = min vec_id — the embedding twin of q_dedup_clusters, completing the
+    modality: a pipeline drops `vec_id != cluster_id` rows.  Same iterative
+    min-label + pointer-jumping operator (O(log n) rounds, lineage cut per
+    round); the oracle replays the closure with a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    pairs = q_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    return (
+        connected_components(pairs, a_col="vec_a", b_col="vec_b")
+        .withColumnRenamed("doc", "vec_id")
+    )

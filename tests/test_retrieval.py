@@ -12,6 +12,8 @@ NAMES = [
     "q_domain_affinity",
     "q_strip_duplicate_spans",
     "q_token_chunks",
+    "q_train_val_split",
+    "q_embedding_dup_clusters",
 ]
 
 
@@ -154,3 +156,67 @@ def test_token_chunks_cover_each_doc_exactly(spark):
         for t in tails:
             assert _CHUNK_MIN_TAIL <= t["n_tokens"] < _CHUNK_SIZE
             assert t["chunk_idx"] == idxs[-1]
+
+
+# -- property test: duplicate_spans vs brute force ----------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _brute_spans(docs, w):
+    from collections import defaultdict
+
+    wins = defaultdict(list)  # doc -> positions
+    seen = defaultdict(set)  # window -> docs
+    toks = {i: t.split(" ") for i, t in docs}
+    for i, ts in toks.items():
+        for p in range(len(ts) - w + 1):
+            seen[" ".join(ts[p : p + w])].add(i)
+    dup = {win for win, ds in seen.items() if len(ds) >= 2}
+    out = set()
+    for i, ts in toks.items():
+        hits = [
+            p + 1
+            for p in range(len(ts) - w + 1)
+            if " ".join(ts[p : p + w]) in dup
+        ]
+        run = []
+        for p in hits:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.add((i, run[0], run[-1] + w - 1, len(run)))
+                run = [p]
+        if run:
+            out.add((i, run[0], run[-1] + w - 1, len(run)))
+    return out
+
+
+@st.composite
+def _corpora(draw):
+    n_docs = draw(st.integers(2, 6))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(
+            st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=14)
+        )
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_corpora())
+def test_duplicate_spans_matches_brute_force(spark, docs):
+    from scalable_data_integration_with_llms_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    w = 3
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(df, "doc_id", "text", w=w).collect()
+    }
+    assert got == _brute_spans(docs, w)
