@@ -417,3 +417,55 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
     )
+
+
+# -- streaming corpus ingestion: quality gate + dedup vs the static corpus ----
+
+_STREAM_INGEST_ORACLE = """
+WITH incoming AS (
+  SELECT source, md5(text) AS h FROM documents
+  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 20
+),
+corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT i.source, COUNT(*) AS n_admitted
+FROM incoming i LEFT JOIN corpus c ON i.h = c.h
+WHERE c.h IS NULL
+GROUP BY i.source
+"""
+
+
+@query("q_stream_corpus_ingest", _STREAM_INGEST_ORACLE)
+def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion gate: arriving documents (doc_id % 10 = 0
+    plays the incoming feed) pass a map-side quality filter (≥ 20 tokens)
+    and a stream-static LEFT ANTI join against the already-ingested corpus
+    hash set, rolled up per source.
+
+    Shape notes: the anti join is STATELESS (static build side re-broadcast
+    per micro-batch), the quality gate never leaves the map stage, and the
+    rollup runs complete-mode — the standing ingestion counter a pipeline
+    dashboard reads.  The corpus side reduces to distinct 32-char hashes
+    before the join, never shipping text, exactly like the batch twin
+    (q_incremental_dedup).  Oracle = the batch equivalent of the drained
+    stream."""
+    from ..streaming.events import read_document_stream, run_to_memory
+
+    stream = read_document_stream(spark, sf_dir).filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.size(F.split("text", " ", -1)) >= 20)
+    )
+    corpus = F.broadcast(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    admitted = stream.withColumn("h", F.md5("text")).join(
+        corpus, "h", "left_anti"
+    )
+    rolled = admitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    return run_to_memory(spark, rolled, "sdi_stream_ingest")

@@ -124,3 +124,24 @@ def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "co
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as an ingestion stream (the corpus-pipeline twin of
+    read_event_stream): declared schema, pathGlobFilter on the documents
+    parquet.  No event-time column — document ingestion is arrival-ordered,
+    so consumers use stateless ops or complete-mode aggregation."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )

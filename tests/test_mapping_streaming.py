@@ -4,7 +4,7 @@ import pytest
 
 from conftest import assert_oracle_match
 
-NAMES = ["q_mapping_overlap", "q_mapping_map_pk", "q_stream_hourly", "q_sessionization", "q_stream_enriched", "q_stream_dedup", "q_stream_stream_join", "q_sliding_windows", "q_session_window_native"]
+NAMES = ["q_mapping_overlap", "q_mapping_map_pk", "q_stream_hourly", "q_sessionization", "q_stream_enriched", "q_stream_dedup", "q_stream_stream_join", "q_sliding_windows", "q_session_window_native", "q_stream_corpus_ingest"]
 
 
 @pytest.mark.parametrize("name", NAMES)
