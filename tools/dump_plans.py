@@ -132,6 +132,30 @@ SHOWCASE = [
         "budget, shard rollup) fused into one plan: scans fuse map-side; "
         "the only wide exchanges are the dedup window and final rollup.",
     ),
+    (
+        "q_duplicate_spans",
+        "Substring-level dedup: window-hash stream, distinct(hash, doc) "
+        "partial-aggregated, df≥2 set broadcast into a LeftSemi probe; the "
+        "only Window is doc-partitioned (gaps-and-islands span merge).",
+    ),
+    (
+        "q_bm25_topk",
+        "Retrieval: term filter below the tf aggregate, df + corpus stats "
+        "broadcast, TakeOrderedAndProject for the k-heap — no global sort, "
+        "integer BM25 keeps ranking engine-stable.",
+    ),
+    (
+        "q_domain_affinity",
+        "DSIR selection: the ≤4096-row bucket-weight table broadcasts into "
+        "the bigram stream; only the per-doc sum shuffles (doc_id keys); "
+        "TakeOrderedAndProject selection.",
+    ),
+    (
+        "q_token_chunks",
+        "Context-window chunking: scan → generate → project, ZERO "
+        "exchanges — fuses with the deterministic shard writer in a single "
+        "stage pass over the corpus.",
+    ),
 ]
 
 
