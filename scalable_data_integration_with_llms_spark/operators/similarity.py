@@ -247,6 +247,49 @@ def lsh_topk(
     )
 
 
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    sub_dim: int,
+    quant: float,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """Explode each vector into ``m`` quantized-bigint subvectors:
+    (out_id, s, qv) — the shared front half of PQ encoding and ADC lookup
+    tables.  Quantization is per-component round(x·quant) so all downstream
+    distance arithmetic is exact integer."""
+
+    def quantized_sub(s: int) -> Column:
+        return F.transform(
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+            lambda x: F.round(x.cast("double") * F.lit(quant), 0).cast("bigint"),
+        )
+
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("s"), quantized_sub(s).alias("qv"))
+                for s in range(m)
+            ]
+        )
+    ).alias("sub")
+    return df.select(F.col(id_col).alias(out_id), subs).select(
+        out_id, F.col("sub.s").alias("s"), F.col("sub.qv").alias("qv")
+    )
+
+
+def _pq_dist() -> Column:
+    """Exact bigint squared distance between the quantized subvector pair
+    (qv, cv) in scope."""
+    return F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_codes(
     df: DataFrame,
     m: int = 4,
@@ -272,35 +315,12 @@ def pq_codes(
     the pattern that turns a 256 GB float corpus into m bytes/vector."""
     from pyspark.sql import Window as W
 
-    def quantized_sub(s: int) -> Column:
-        return F.transform(
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
-            lambda x: F.round(x.cast("double") * F.lit(quant), 0).cast("bigint"),
-        )
-
-    subs = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(s).alias("s"), quantized_sub(s).alias("qv"))
-                for s in range(m)
-            ]
-        )
-    ).alias("sub")
-    corpus = df.select(F.col(id_col), subs).select(
-        F.col(id_col), F.col("sub.s").alias("s"), F.col("sub.qv").alias("qv")
-    )
-    codebook = (
-        df.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("code_id"), subs)
-        .select("code_id", F.col("sub.s").alias("s"), F.col("sub.qv").alias("cv"))
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    corpus = pq_subvectors(df, m, sub_dim, quant, id_col, vec_col, id_col)
+    codebook = pq_subvectors(
+        df.filter(F.col(id_col) < k), m, sub_dim, quant, id_col, vec_col, "code_id"
+    ).withColumnRenamed("qv", "cv")
     scored = corpus.join(F.broadcast(codebook), "s").select(
-        F.col(id_col), "s", "code_id", dist.alias("dist")
+        F.col(id_col), "s", "code_id", _pq_dist().alias("dist")
     )
     win = W.partitionBy(id_col, "s").orderBy(F.asc("dist"), F.asc("code_id"))
     best = scored.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") == 1)
@@ -310,4 +330,78 @@ def pq_codes(
             for s in range(m)
         ],
         F.sum("dist").alias("err_q"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k_codes: int = 8,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    part_col: str = "label",
+    quant: float = 1e6,
+) -> DataFrame:
+    """IVF-PQ search with ADC (asymmetric distance computation) — the full
+    billion-scale ANN read path: candidates come only from the query's
+    coarse partition (IVF equi-join on ``part_col``), and each candidate's
+    distance is looked up from its m-byte PQ code via a per-query distance
+    table instead of touching the float vector.
+
+    The distance table (query × subspace × codebook entry) has
+    |Q|·m·k_codes rows — tiny, broadcast — so scoring a candidate is m
+    integer lookups + a sum: the corpus float vectors are read exactly once
+    (at encode time), never at query time.  All distances are exact BIGINT
+    on round(x·quant) components, so ranking is engine-exact.
+
+    Scale shape: codes+partition form the index table (m bytes + 1 key per
+    vector); the search is one equi-join on the partition key, one broadcast
+    lut join, one (query, candidate) aggregation — no shuffle touches
+    anything vector-sized."""
+    from pyspark.sql import Window as W
+
+    codes = pq_codes(
+        corpus, m=m, k=k_codes, sub_dim=sub_dim, id_col=id_col,
+        vec_col=vec_col, quant=quant,
+    ).join(corpus.select(F.col(id_col), F.col(part_col)), id_col)
+
+    codebook = pq_subvectors(
+        corpus.filter(F.col(id_col) < k_codes), m, sub_dim, quant,
+        id_col, vec_col, "code_id",
+    ).withColumnRenamed("qv", "cv")
+    qsubs = pq_subvectors(queries, m, sub_dim, quant, id_col, vec_col, "query_id")
+    lut = qsubs.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code_id", _pq_dist().alias("dist")
+    )
+
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(part_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code_id")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub"),
+    ).select("neighbor_id", part_col, F.col("sub.s").alias("s"), F.col("sub.code_id").alias("code_id"))
+
+    q_part = queries.select(F.col(id_col).alias("query_id"), F.col(part_col))
+    scored = (
+        cand.join(F.broadcast(q_part), part_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(lut), ["query_id", "s", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dist").alias("adc_q"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("adc_rank", F.row_number().over(win))
+        .filter(F.col("adc_rank") <= k_neighbors)
     )

@@ -700,3 +700,144 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
         )
     )
+
+
+# -- cohort retention (classic product-analytics rollup) ---------------------
+# Cohort = the calendar day of a user's first event; retention = for each
+# (cohort_day, day_offset) cell, how many of that cohort's users were active
+# offset days later.  Scale shape: two hash aggregations keyed on user_id
+# (first-event day; distinct active days) that share a shuffle key, one
+# same-key join, then a cells aggregation on (cohort_day, offset) whose
+# cardinality is days² — tiny.  Cohort sizes are a broadcast dimension.
+# No windows, no skew (user_id is uniform), every step partial-aggregates
+# map-side — this plan is unchanged at 1000 executors.
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+),
+sizes AS (
+  SELECT cohort_day, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_day
+),
+cells AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.active_day) AS day_offset,
+         COUNT(*) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_day, c.day_offset, c.n_active, s.n_cohort,
+       c.n_active * 1.0 / s.n_cohort AS retention
+FROM cells c JOIN sizes s USING (cohort_day)
+"""
+
+
+@query("q_cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = e.select("user_id", day.alias("active_day")).distinct()
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active") * F.lit(1.0) / F.col("n_cohort")).alias("retention"),
+    )
+
+
+# -- ordered event funnel (view -> click -> purchase) ------------------------
+# Strict-order funnel: a click counts only if the same user had an earlier
+# view; a purchase only if it follows such a click.  Single-shuffle plan:
+# one window sort per user computes running "earliest qualifying previous
+# stage" timestamps, so the whole funnel is scan -> one shuffle+sort ->
+# aggregate.  The naive alternative (one join per stage) shuffles the events
+# table once per funnel step — at 100 TB that's 3 full shuffles vs 1 here.
+# The strictness predicate is an explicit `<` comparison, so same-timestamp
+# stage pairs never qualify (deterministic regardless of within-ts order).
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+  FROM events
+),
+s2 AS (
+  SELECT user_id, ts, event_type, prior_view,
+         MIN(CASE WHEN event_type = 'click' AND prior_view < ts THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+  FROM s1
+),
+flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+         MAX(CASE WHEN event_type = 'click' AND prior_view < ts THEN 1 ELSE 0 END) AS did_click,
+         MAX(CASE WHEN event_type = 'purchase' AND prior_click < ts THEN 1 ELSE 0 END) AS did_purchase
+  FROM s2 GROUP BY user_id
+)
+SELECT CAST(SUM(did_view) AS BIGINT) AS n_view,
+       CAST(SUM(did_click) AS BIGINT) AS n_click,
+       CAST(SUM(did_purchase) AS BIGINT) AS n_purchase,
+       SUM(did_click) * 1.0 / SUM(did_view) AS view_to_click,
+       SUM(did_purchase) * 1.0 / SUM(did_click) AS click_to_purchase
+FROM flags
+"""
+
+
+@query("q_event_funnel", _FUNNEL_ORACLE)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    # Ties on ts are ordered by event_id in stage 1 so the frame is
+    # deterministic; stage 2's frame orders by ts alone (the qualifying-click
+    # timestamp is unique per user once the strict `<` predicate holds), which
+    # matches the oracle exactly.
+    w1 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s1 = e.withColumn(
+        "prior_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w1),
+    )
+    w2 = (
+        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ok = (F.col("event_type") == "click") & (F.col("prior_view") < F.col("ts"))
+    s2 = s1.withColumn(
+        "prior_click", F.min(F.when(click_ok, F.col("ts"))).over(w2)
+    )
+    purchase_ok = (F.col("event_type") == "purchase") & (
+        F.col("prior_click") < F.col("ts")
+    )
+    flags = s2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("did_view"),
+        F.max(F.when(click_ok, 1).otherwise(0)).alias("did_click"),
+        F.max(F.when(purchase_ok, 1).otherwise(0)).alias("did_purchase"),
+    )
+    return flags.agg(
+        F.sum("did_view").alias("n_view"),
+        F.sum("did_click").alias("n_click"),
+        F.sum("did_purchase").alias("n_purchase"),
+        (F.sum("did_click") * F.lit(1.0) / F.sum("did_view")).alias("view_to_click"),
+        (F.sum("did_purchase") * F.lit(1.0) / F.sum("did_click")).alias(
+            "click_to_purchase"
+        ),
+    )

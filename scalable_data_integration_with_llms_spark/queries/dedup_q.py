@@ -76,7 +76,7 @@ WHERE inter / (x.sz + y.sz - inter) >= 0.5
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3)
-    return jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF)
+    return jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True)
 
 
 # -- MinHash-LSH band signatures ----------------------------------------------
@@ -379,7 +379,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3)
-    pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF)
+    pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True)
     return connected_components(pairs)
 
 
@@ -463,7 +463,7 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3)
-    clusters = connected_components(jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF))
+    clusters = connected_components(jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True))
     joined = clusters.join(
         d.select("doc_id", "n_chars"), clusters.doc == F.col("doc_id")
     )
@@ -515,7 +515,7 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=3).persist()
-    pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF).select(
+    pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True).select(
         "doc_a", "doc_b", F.col("jaccard").alias("true_jaccard")
     )
     perms = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("p")

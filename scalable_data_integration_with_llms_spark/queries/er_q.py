@@ -206,3 +206,56 @@ def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total"),
         )
     )
+
+
+# -- changelog compaction (CDC upsert/tombstone materialization) -------------
+# The events table is read as a changelog on user_id: every event is an
+# upsert carrying (event_type, value), except 'error' events, which act as
+# tombstones.  Materializing the current snapshot = latest-wins per key with
+# tombstone suppression — the core of any CDC merge / incremental-view
+# maintenance path (Debezium -> warehouse, or a streaming upsert sink).
+# Scale shape: ONE shuffle on the key, per-partition sort, row_number == 1;
+# the change-count aggregate rides the same shuffle via the window's
+# partition.  Keys are uniform (no skew); at 100 TB this is the textbook
+# merge-on-read compaction plan, and the same code runs inside foreachBatch
+# for continuous apply.
+
+_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_type AS last_op,
+       CAST(round(value * 1000, 0) AS BIGINT) AS last_value_milli,
+       ts AS last_ts, CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("q_cdc_apply", _CDC_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = W.partitionBy("user_id")
+    ranked = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_changes"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            cents("value", 1000).alias("last_value_milli"),
+            F.col("ts").alias("last_ts"),
+            F.col("n_changes").cast("bigint").alias("n_changes"),
+        )
+    )

@@ -560,3 +560,86 @@ def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - kept).cast("bigint").alias("n_capped"),
         F.min(F.when(F.col("rk") <= _SOURCE_CAP, F.col("doc_id"))).alias("sample_kept_doc"),
     )
+
+
+# -- CCNet-style perplexity bucketing (unigram surprisal, integer-exact) ------
+# CCNet splits each crawl slice into head/middle/tail quality buckets by LM
+# perplexity.  The engine's re-expression scores each document by its mean
+# unigram surprisal against the corpus itself, measured in WHOLE BITS so the
+# oracle is integer-exact with no transcendental functions:
+#
+#     bits(token) = floor(log2(N / c))  =  length(bin(N DIV c)) - 1
+#
+# (the identity floor(log2(x)) = floor(log2(floor(x))) holds for x >= 1, and
+# bin() of a BIGINT has no leading zeros in either engine).  Common tokens
+# contribute few bits, rare tokens many — the integer skeleton of -log2 p.
+# Scale shape: token counts are one hash aggregation; the per-doc rollup a
+# second; the corpus total a 1-row broadcast.  The tercile split uses an
+# exact per-source ntile here (sorts each source on one task — exactness
+# demo); production uses FIXED bit thresholds calibrated offline, which makes
+# bucketing map-only (CCNet itself buckets on precomputed cutoffs).
+
+_PPLX_ORACLE = """
+WITH occ AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM occ),
+doc_bits AS (
+  SELECT o.doc_id, ANY_VALUE(o.source) AS source,
+         SUM(length(bin(t.n // c.c)) - 1) AS total_bits,
+         COUNT(*) AS n_tok
+  FROM occ o JOIN cnt c USING (tok) CROSS JOIN tot t
+  GROUP BY o.doc_id
+),
+scored AS (
+  SELECT source, doc_id, (total_bits * 1000) // n_tok AS avg_bits_milli,
+         NTILE(3) OVER (PARTITION BY source
+                        ORDER BY (total_bits * 1000) // n_tok, doc_id) AS tercile
+  FROM doc_bits
+)
+SELECT source,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(avg_bits_milli) AS BIGINT) AS sum_bits_milli,
+       CAST(MIN(avg_bits_milli) AS BIGINT) AS min_bits_milli,
+       CAST(MAX(avg_bits_milli) AS BIGINT) AS max_bits_milli
+FROM scored GROUP BY source, bucket
+"""
+
+
+@query("q_perplexity_buckets", _PPLX_ORACLE)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", "source", F.explode(F.split("text", " ", -1)).alias("tok"))
+    cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = occ.agg(F.count(F.lit(1)).alias("n"))
+    bits = F.length(F.bin(F.expr("n DIV c"))) - 1
+    doc_bits = (
+        occ.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum(bits).alias("total_bits"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    scored = doc_bits.select(
+        "source",
+        "doc_id",
+        F.expr("(total_bits * 1000) DIV n_tok").alias("avg_bits_milli"),
+    )
+    win = Window.partitionBy("source").orderBy("avg_bits_milli", "doc_id")
+    terciled = scored.withColumn("tercile", F.ntile(3).over(win))
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return terciled.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("avg_bits_milli").cast("bigint").alias("sum_bits_milli"),
+        F.min("avg_bits_milli").cast("bigint").alias("min_bits_milli"),
+        F.max("avg_bits_milli").cast("bigint").alias("max_bits_milli"),
+    )

@@ -642,3 +642,195 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components(pairs, a_col="vec_a", b_col="vec_b")
         .withColumnRenamed("doc", "vec_id")
     )
+
+
+# -- SemDeDup: cluster-scoped semantic deduplication --------------------------
+# SemDeDup (Abbas et al., 2023) prunes semantic duplicates by comparing
+# embeddings only WITHIN k-means clusters: candidate generation is an
+# equi-join on the cluster id (N²/k pairwise work instead of N²), and within
+# each similar pair the vector FARTHER from its centroid is pruned — keeping
+# the most prototypical exemplar.  The engine composes its existing exact
+# pieces: quantized label centroids, broadcast nearest-centroid assignment
+# (bit-exact d2), and the sequential-fold cosine — so the whole pipeline
+# carries a hard value oracle.  Scale shape: one broadcast assign pass, one
+# equi-join on cluster (bounded by the largest cluster — k is chosen so
+# clusters fit; skewed clusters would be salted), one anti-join rollup.
+
+_SEMDEDUP_TAU = 0.9
+
+_SEMDEDUP_ORACLE = f"""
+WITH ex AS (
+  SELECT label, t.i AS i,
+         CAST(round(embedding[t.i]::DOUBLE * 10000000, 0) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cents AS (
+  SELECT label AS c_label, i, CAST(SUM(xq) AS BIGINT) AS sum_q, COUNT(*) AS cnt
+  FROM ex GROUP BY label, i
+),
+carr AS (
+  SELECT c_label,
+         list(CAST(sum_q AS DOUBLE) / 10000000.0 / cnt ORDER BY i) AS cvec
+  FROM cents GROUP BY c_label
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, c.c_label,
+         list_dot_product(ve, ve) - 2 * list_dot_product(ve, cvec)
+           + list_dot_product(cvec, cvec) AS d2
+  FROM v CROSS JOIN carr c
+),
+assigned AS (
+  SELECT vec_id, c_label AS cluster, d2 FROM (
+    SELECT vec_id, c_label, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS prune_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE (a.d2 < b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id))
+    AND list_dot_product(va.ve, vb.ve)
+        / (sqrt(list_dot_product(va.ve, va.ve)) * sqrt(list_dot_product(vb.ve, vb.ve)))
+        >= {_SEMDEDUP_TAU}
+),
+pruned AS (SELECT DISTINCT prune_id FROM pairs)
+SELECT cluster,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN p.prune_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN p.prune_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MIN(CASE WHEN p.prune_id IS NOT NULL THEN a.vec_id END) AS BIGINT) AS sample_pruned_id
+FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.prune_id
+GROUP BY cluster
+"""
+
+
+@query("q_semdedup", _SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_assign, label_centroid_arrays
+    from ..operators.similarity import cosine_with_norms, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroid_arrays(emb)
+    assigned = kmeans_assign(emb, cents).select("vec_id", "cluster", "d2")
+    withv = (
+        assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("v_norm", norm(F.col("embedding")))
+    )
+    a = withv.select(
+        F.col("vec_id").alias("keep_id"), F.col("cluster"),
+        F.col("d2").alias("d2_a"), F.col("embedding").alias("va"),
+        F.col("v_norm").alias("na"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("prune_id"), F.col("cluster"),
+        F.col("d2").alias("d2_b"), F.col("embedding").alias("vb"),
+        F.col("v_norm").alias("nb"),
+    )
+    better = (F.col("d2_a") < F.col("d2_b")) | (
+        (F.col("d2_a") == F.col("d2_b")) & (F.col("keep_id") < F.col("prune_id"))
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") != F.col("prune_id"))
+        .filter(better)
+        .filter(
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            )
+            >= _SEMDEDUP_TAU
+        )
+        .select("prune_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, assigned.vec_id == pruned.prune_id, "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("is_pruned").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.sum(F.when(F.col("is_pruned").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.min(F.when(F.col("is_pruned").isNotNull(), F.col("vec_id")))
+            .cast("bigint")
+            .alias("sample_pruned_id"),
+        )
+    )
+
+
+# -- IVF-PQ search with ADC lookup tables -------------------------------------
+
+_IVFPQ_ORACLE = """
+WITH subs AS (
+  SELECT vec_id, s.s AS s,
+         list_transform(embedding[s.s*16 + 1 : s.s*16 + 16],
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+  FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
+),
+cb AS (SELECT vec_id AS code_id, s, qv AS cv FROM subs WHERE vec_id < 8),
+scored AS (
+  SELECT c.vec_id, c.s, cb.code_id,
+         list_sum(list_transform(range(1, 17),
+                  i -> (c.qv[i] - cb.cv[i]) * (c.qv[i] - cb.cv[i]))) AS dist
+  FROM subs c JOIN cb USING (s)
+),
+codes AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT vec_id, s, code_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, code_id ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, sc.s, sc.code_id, sc.dist
+  FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0) q
+  JOIN scored sc ON sc.vec_id = q.vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, co.s, co.code_id
+  FROM embeddings q
+  JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+  JOIN codes co ON co.vec_id = c.vec_id
+  WHERE q.vec_id % 50 = 0
+),
+adc AS (
+  SELECT cand.query_id, cand.neighbor_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+  FROM cand JOIN lut l ON l.query_id = cand.query_id
+                      AND l.s = cand.s AND l.code_id = cand.code_id
+  GROUP BY cand.query_id, cand.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_q, adc_rank FROM (
+  SELECT query_id, neighbor_id, adc_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_q ASC, neighbor_id ASC) AS adc_rank
+  FROM adc
+) WHERE adc_rank <= 5
+"""
+
+
+@query("q_ivfpq_adc", _IVFPQ_ORACLE)
+def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ read path (billion-scale ANN): coarse IVF partition
+    restricts candidates, PQ codes replace vectors, and each candidate's
+    distance is m integer lookups in a broadcast per-query ADC table —
+    query-time work never touches a float vector
+    (operators/similarity.pq_adc_topk).  Exact-bigint distances keep the
+    ranking engine-exact, so even the approximate path carries a hard
+    value oracle."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(queries_df, emb, k_neighbors=5)

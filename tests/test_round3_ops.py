@@ -1,0 +1,118 @@
+"""Round-3 additions: cohort retention, ordered funnel, CDC compaction,
+perplexity bucketing (integer surprisal), SemDeDup, IVF-PQ ADC search."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import assert_oracle_match
+
+NEW_QUERIES = [
+    "q_cohort_retention",
+    "q_event_funnel",
+    "q_cdc_apply",
+    "q_perplexity_buckets",
+    "q_semdedup",
+    "q_ivfpq_adc",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_round3_oracle_match(spark, duck, name):
+    assert_oracle_match(spark, duck, name)
+
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_requires_strict_stage_order(spark, tmp_path):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: click BEFORE view, purchase after click -> only the view
+        # counts (no qualifying click, hence no qualifying purchase)
+        (1, t(1), 1, "click", 1.0, ""),
+        (2, t(2), 1, "view", 1.0, ""),
+        (3, t(3), 1, "purchase", 1.0, ""),
+        # user 2: proper view -> click -> purchase
+        (4, t(1), 2, "view", 1.0, ""),
+        (5, t(2), 2, "click", 1.0, ""),
+        (6, t(3), 2, "purchase", 1.0, ""),
+        # user 3: view and click at the SAME timestamp -> strict < fails
+        (7, t(5), 3, "view", 1.0, ""),
+        (8, t(5), 3, "click", 1.0, ""),
+    ]
+    out = QUERIES["q_event_funnel"](spark, _events_dir(spark, tmp_path, rows)).collect()[0]
+    assert out.n_view == 3
+    assert out.n_click == 1
+    assert out.n_purchase == 1
+
+
+def test_cdc_tombstone_suppression(spark, tmp_path):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), 1, "signup", 1.0, ""),
+        (2, t(2), 1, "error", 0.0, ""),     # tombstone last -> user 1 gone
+        (3, t(1), 2, "signup", 1.0, ""),
+        (4, t(2), 2, "error", 0.0, ""),
+        (5, t(3), 2, "click", 7.5, ""),     # re-inserted after tombstone
+    ]
+    out = {r.user_id: r for r in QUERIES["q_cdc_apply"](spark, _events_dir(spark, tmp_path, rows)).collect()}
+    assert 1 not in out
+    assert out[2].last_op == "click" and out[2].n_changes == 3
+    assert out[2].last_value_milli == 7500
+
+
+def test_semdedup_counts_partition_cleanly(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    rows = QUERIES["q_semdedup"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "semdedup returned no clusters"
+    for r in rows:
+        assert r.n_pruned + r.n_kept == r.n_vectors
+    total = sum(r.n_vectors for r in rows)
+    n_emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert total == n_emb  # every vector assigned to exactly one cluster
+
+
+def test_surprisal_bits_identity():
+    """length(bin(N DIV c)) - 1 == floor(log2(N / c)) for 1 <= c <= N —
+    the integer identity q_perplexity_buckets rests on."""
+    import math
+
+    for n in [1, 2, 3, 7, 64, 1000, 10**6, 10**12]:
+        for c in [1, 2, 3, 5, 63, 64, 65, 999, n]:
+            if c > n:
+                continue
+            expect = math.floor(math.log2(n / c))
+            got = len(bin(n // c)) - 2 - 1  # strip '0b', then the -1
+            assert got == expect, (n, c, got, expect)
+
+
+def test_ivfpq_neighbor_counts(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cluster_sizes = {r.label: r.c for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()}
+    q_labels = {r.vec_id: r.label for r in emb.filter(F.col("vec_id") % 50 == 0).collect()}
+    got = QUERIES["q_ivfpq_adc"](spark, "/root/testdata/sf0.001").collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.adc_rank)
+    for qid, ranks in per_q.items():
+        expect = min(5, cluster_sizes[q_labels[qid]] - 1)
+        assert sorted(ranks) == list(range(1, expect + 1))
+    assert set(per_q) == set(q_labels)
