@@ -85,6 +85,13 @@ HEADLINE = [
     "q_duplicate_spans",
     "q_bm25_topk",
     "q_domain_affinity",
+    # round-3 analytics/curation additions
+    "q_cohort_retention",
+    "q_event_funnel",
+    "q_cdc_apply",
+    "q_perplexity_buckets",
+    "q_semdedup",
+    "q_ivfpq_adc",
 ]
 
 

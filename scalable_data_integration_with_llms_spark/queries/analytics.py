@@ -841,3 +841,77 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase"
         ),
     )
+
+
+# -- session path mining (top event-type sequences) --------------------------
+# Clickstream path analysis: 30-minute-gap sessionization (gaps-and-islands
+# via lag + running sum), each session reduced to its first five event types
+# joined "a>b>c", then the top-10 most common paths.  Scale shape: ONE
+# shuffle+sort per user computes gap flags, session ids, AND the in-session
+# event order; the per-path rollup is a hash agg on a short string; top-10
+# is TakeOrderedAndProject.  Path extraction uses sort_array(collect_list)
+# per session — bounded by the session-length cap, not corpus size.
+
+_SESSION_PATHS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+),
+paths AS (
+  SELECT user_id, sess,
+         array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+  FROM sessioned GROUP BY user_id, sess
+)
+SELECT path, cnt, path_rank FROM (
+  SELECT path, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS path_rank
+  FROM paths GROUP BY path
+) WHERE path_rank <= 10
+"""
+
+
+@query("q_session_paths", _SESSION_PATHS_ORACLE)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    ) <= 1800
+    marked = e.withColumn("is_new", F.when(gap_ok, 0).otherwise(1))
+    sessioned = marked.withColumn(
+        "sess", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    paths = (
+        sessioned.groupBy("user_id", "sess")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("path")).limit(10)
+    win = W.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("path"))
+    return top.withColumn("path_rank", F.row_number().over(win))

@@ -724,30 +724,33 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(emb.select("vec_id", "embedding"), "vec_id")
         .withColumn("v_norm", norm(F.col("embedding")))
     )
+    # Each unordered pair is scored ONCE (vec_a < vec_b); "better" (closer
+    # to centroid, ties by id) is a total order, so every similar pair has
+    # exactly one loser — the union of losers equals the exists-a-better-
+    # neighbor pruned set at half the pairwise cosine work.
     a = withv.select(
-        F.col("vec_id").alias("keep_id"), F.col("cluster"),
+        F.col("vec_id").alias("vec_a"), F.col("cluster"),
         F.col("d2").alias("d2_a"), F.col("embedding").alias("va"),
         F.col("v_norm").alias("na"),
     )
     b = withv.select(
-        F.col("vec_id").alias("prune_id"), F.col("cluster"),
+        F.col("vec_id").alias("vec_b"), F.col("cluster"),
         F.col("d2").alias("d2_b"), F.col("embedding").alias("vb"),
         F.col("v_norm").alias("nb"),
     )
-    better = (F.col("d2_a") < F.col("d2_b")) | (
-        (F.col("d2_a") == F.col("d2_b")) & (F.col("keep_id") < F.col("prune_id"))
+    a_better = (F.col("d2_a") < F.col("d2_b")) | (
+        (F.col("d2_a") == F.col("d2_b")) & (F.col("vec_a") < F.col("vec_b"))
     )
     pruned = (
         a.join(b, "cluster")
-        .filter(F.col("keep_id") != F.col("prune_id"))
-        .filter(better)
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(
             cosine_with_norms(
                 F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
             )
             >= _SEMDEDUP_TAU
         )
-        .select("prune_id")
+        .select(F.when(a_better, F.col("vec_b")).otherwise(F.col("vec_a")).alias("prune_id"))
         .distinct()
         .withColumn("is_pruned", F.lit(1))
     )

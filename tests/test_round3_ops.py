@@ -15,6 +15,8 @@ NEW_QUERIES = [
     "q_perplexity_buckets",
     "q_semdedup",
     "q_ivfpq_adc",
+    "q_kn_bigram_lm",
+    "q_session_paths",
 ]
 
 
@@ -116,3 +118,28 @@ def test_ivfpq_neighbor_counts(spark):
         expect = min(5, cluster_sizes[q_labels[qid]] - 1)
         assert sorted(ranks) == list(range(1, expect + 1))
     assert set(per_q) == set(q_labels)
+
+
+def test_kn_probabilities_bounded(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    rows = QUERIES["q_kn_bigram_lm"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "KN LM returned no bigrams"
+    assert len({r.w1 for r in rows}) <= 10  # top-10 contexts only
+    for r in rows:
+        assert 0 < r.kn_prob_milli <= 1_000_000
+        assert r.c12 <= r.c1
+
+
+def test_session_paths_ranked(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    rows = QUERIES["q_session_paths"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 10
+    ranks = [r.path_rank for r in rows]
+    assert sorted(ranks) == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.path_rank)
+    cnts = [r.cnt for r in by_rank]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 5
