@@ -518,21 +518,32 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True).select(
         "doc_a", "doc_b", F.col("jaccard").alias("true_jaccard")
     )
-    perms = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("p")
-    minh = (
-        sh.select("doc", perms, "shingle")
-        .withColumn("h", _hash60(F.col("p"), F.col("shingle")))
-        .groupBy("doc", "p")
-        .agg(F.min("h").alias("minh"))
+    # wide minhash layout (one agg, 12 min columns — same shape as
+    # minhash_signatures): the per-pair estimate is then a column
+    # expression over two co-keyed joins, not a 12-way (doc, p) join + agg
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(_hash60(F.lit(p), F.col("shingle"))).alias(f"m{p}")
+            for p in range(12)
+        ]
     )
-    ma = minh.select(F.col("doc").alias("doc_a"), "p", F.col("minh").alias("minh_a"))
-    mb = minh.select(F.col("doc").alias("mb_doc"), F.col("p").alias("pb"), F.col("minh").alias("minh_b"))
+    ma = mins.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(12)]
+    )
+    mb = mins.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"m{p}").alias(f"b{p}") for p in range(12)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0) for p in range(12)
+    )
     return (
         pairs.join(ma, "doc_a")
-        .join(mb, (F.col("doc_b") == F.col("mb_doc")) & (F.col("p") == F.col("pb")))
-        .groupBy("doc_a", "doc_b", "true_jaccard")
-        .agg(
-            F.sum(F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0)).alias("matching_perms"),
-            (F.sum(F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0)) / F.lit(12.0)).alias("est_jaccard"),
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "true_jaccard",
+            matches.cast("bigint").alias("matching_perms"),
+            (matches / F.lit(12.0)).alias("est_jaccard"),
         )
     )

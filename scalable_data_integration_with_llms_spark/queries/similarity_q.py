@@ -720,9 +720,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroid_arrays(emb)
     assigned = kmeans_assign(emb, cents).select("vec_id", "cluster", "d2")
+    # persist: the assigned+norm frame feeds both self-join sides and the
+    # final rollup — three recomputes of the centroid assignment otherwise
     withv = (
         assigned.join(emb.select("vec_id", "embedding"), "vec_id")
         .withColumn("v_norm", norm(F.col("embedding")))
+        .persist()
     )
     # Each unordered pair is scored ONCE (vec_a < vec_b); "better" (closer
     # to centroid, ties by id) is a total order, so every similar pair has
@@ -755,7 +758,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_pruned", F.lit(1))
     )
     return (
-        assigned.join(pruned, assigned.vec_id == pruned.prune_id, "left")
+        withv.select("vec_id", "cluster")
+        .join(pruned, withv.vec_id == pruned.prune_id, "left")
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
