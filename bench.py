@@ -92,6 +92,10 @@ HEADLINE = [
     "q_perplexity_buckets",
     "q_semdedup",
     "q_ivfpq_adc",
+    "q_kn_bigram_lm",
+    "q_session_paths",
+    "q_kcenter_coreset",
+    "q_corr_qty_price",
 ]
 
 

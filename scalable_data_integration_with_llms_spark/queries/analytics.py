@@ -915,3 +915,72 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("cnt"), F.asc("path")).limit(10)
     win = W.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("path"))
     return top.withColumn("path_rank", F.row_number().over(win))
+
+
+# -- grouped correlation / OLS from exact integer sums ------------------------
+# Pearson r and the OLS slope per group, but NOT via corr()/covar_samp():
+# float accumulation order differs between engines (and between Spark's
+# partial aggregates and any single-node engine), so those built-ins can't
+# carry a hard oracle.  Instead all five moments (Σx, Σy, Σxy, Σx², Σy²)
+# accumulate as exact BIGINTs on per-row quantized values — order-free —
+# and the closing formula is one double expression over identical integers
+# in both engines, hence bit-identical.  Scale shape: one map-side-combined
+# hash aggregation; the moment tuple is constant-size per group.
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS pearson_r,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) / 100.0 AS ols_slope,
+       (sy / 100.0 / n)
+         - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) / 100.0)
+           * (CAST(sx AS DOUBLE) / n) AS ols_intercept
+FROM m
+"""
+
+
+@query("q_corr_qty_price", _CORR_ORACLE)
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    # moment products exceed int64 (Σy² is ~1e18 at sf0.1 alone), so the
+    # closing arithmetic runs in decimal(38,0) — exact integers, mirrored by
+    # HUGEINT in the oracle — and converts to double only once at the end
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = (dec(n) * dec(sxy) - dec(sx) * dec(sy)).cast("double")
+    var_x = (dec(n) * dec(sxx) - dec(sx) * dec(sx)).cast("double")
+    var_y = (dec(n) * dec(syy) - dec(sy) * dec(sy)).cast("double")
+    slope = cov_n / var_x / F.lit(100.0)
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("pearson_r"),
+        slope.alias("ols_slope"),
+        ((sy / F.lit(100.0) / n) - slope * (sx.cast("double") / n)).alias(
+            "ols_intercept"
+        ),
+    )

@@ -585,3 +585,95 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# -- k-center greedy coreset (diversity sampling) -----------------------------
+# Farthest-point (Gonzalez) selection: start from the lowest-id vector, then
+# repeatedly take the vector MAXIMIZING its distance to the nearest already-
+# chosen one — the classic 2-approximation to the k-center problem and the
+# standard diversity-coreset picker for training-data curation (cover the
+# embedding space with k exemplars).
+#
+# Scale shape: the state is one bigint column (running min-distance to the
+# chosen set) carried by the corpus frame; each of the k-1 rounds is
+# (a) a TakeOrderedAndProject argmax (per-partition heaps, no global sort)
+# and (b) a map-only column update against the newly chosen vector
+# broadcast as a literal.  The driver holds only the k chosen rows — the
+# corpus is never collected.  k is small by definition (exemplar count).
+#
+# Exactness: components quantize to bigint at 1e7 before squared distances,
+# so the argmax and every reported distance are integer arithmetic; ties
+# break on vec_id.  The oracle unrolls the same k rounds as a CTE chain.
+
+_KCENTER_K = 6
+_KC_QV = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000, 0) AS BIGINT))"
+)
+
+
+def _kc_dist(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    parts = [f"WITH v AS (SELECT vec_id, {_KC_QV} AS qv FROM embeddings)"]
+    parts.append(", c0 AS (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 1)")
+    parts.append(
+        ", m0 AS (SELECT v.vec_id, v.qv, "
+        + _kc_dist("v.qv", "c.qv")
+        + " AS mind2 FROM v, c0 c WHERE v.vec_id <> c.vec_id)"
+    )
+    for r in range(1, k):
+        prev_m = f"m{r - 1}"
+        parts.append(
+            f", c{r} AS (SELECT vec_id, qv, mind2 FROM {prev_m}"
+            f" ORDER BY mind2 DESC, vec_id ASC LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f", m{r} AS (SELECT m.vec_id, m.qv,"
+                f" LEAST(m.mind2, {_kc_dist('m.qv', 'c.qv')}) AS mind2"
+                f" FROM {prev_m} m, c{r} c WHERE m.vec_id <> c.vec_id)"
+            )
+    selects = ["SELECT 1 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS mind2_q FROM c0"]
+    for r in range(1, k):
+        selects.append(f"SELECT {r + 1}, vec_id, CAST(mind2 AS BIGINT) FROM c{r}")
+    parts.append(" " + " UNION ALL ".join(selects))
+    return "\n".join(parts)
+
+
+@query("q_kcenter_coreset", _kcenter_oracle(_KCENTER_K))
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1e7), 0).cast("bigint"),
+    )
+    v = emb.select("vec_id", qv.alias("qv")).persist()
+
+    def d2_to(vec: list) -> F.Column:
+        const = F.array(*[F.lit(int(x)).cast("bigint") for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), const, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = v.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    picked = [(1, seed.vec_id, None)]
+    cur = v.filter(F.col("vec_id") != seed.vec_id).withColumn(
+        "mind2", d2_to(seed.qv)
+    )
+    for r in range(2, _KCENTER_K + 1):
+        top = cur.orderBy(F.desc("mind2"), F.asc("vec_id")).limit(1).collect()[0]
+        picked.append((r, top.vec_id, top.mind2))
+        if r < _KCENTER_K:
+            cur = cur.filter(F.col("vec_id") != top.vec_id).withColumn(
+                "mind2", F.least(F.col("mind2"), d2_to(top.qv))
+            )
+    return spark.createDataFrame(
+        picked, "sel_rank int, vec_id bigint, mind2_q bigint"
+    )

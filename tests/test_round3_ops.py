@@ -17,6 +17,8 @@ NEW_QUERIES = [
     "q_ivfpq_adc",
     "q_kn_bigram_lm",
     "q_session_paths",
+    "q_kcenter_coreset",
+    "q_corr_qty_price",
 ]
 
 
@@ -143,3 +145,26 @@ def test_session_paths_ranked(spark):
     assert cnts == sorted(cnts, reverse=True)
     for r in rows:
         assert 1 <= len(r.path.split(">")) <= 5
+
+
+def test_kcenter_distances_non_increasing(spark):
+    """Gonzalez greedy: the max-min distance of successive picks never
+    increases."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["q_kcenter_coreset"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.sel_rank for r in rows] == list(range(1, len(rows) + 1))
+    dists = [r.mind2_q for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_corr_bounds(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    for r in QUERIES["q_corr_qty_price"](spark, "/root/testdata/sf0.001").collect():
+        assert -1.0 <= r.pearson_r <= 1.0
+        assert r.n > 1
