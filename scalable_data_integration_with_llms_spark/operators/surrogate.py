@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 
 def map_pk(df: DataFrame, value_col: str, out_col: str = "pk_id") -> DataFrame:
-    """Dense 0-based surrogate id per distinct value, rank-by-value order."""
+    """Dense 0-based surrogate id per distinct value, rank-by-value order.
+
+    The unpartitioned rank window implements the declared map_pk contract on
+    DIMENSION-sized inputs (the reference re-keys lookup tables, not facts —
+    ``DatabaseManager.py:84-95``); it moves the frame to one task, so the
+    input must stay modest.  For anything fact-sized use :func:`map_pk_dim`,
+    which ranks only the distinct-value dimension and joins back."""
     win = W.orderBy(F.col(value_col))
     return df.withColumn(out_col, (F.dense_rank().over(win) - 1).cast("bigint"))
 

@@ -15,6 +15,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHOWCASE = [
     (
+        "q_event_funnel",
+        "Single-shuffle funnel: one Exchange on user_id feeds the sort, "
+        "both window stages, and the per-user aggregate — no per-stage "
+        "event-table joins.",
+    ),
+    (
+        "q_semdedup",
+        "Cluster-scoped semantic dedup: candidate join keyed on the "
+        "cluster id (equi-join, not cross join); the assignment frame is "
+        "an InMemoryTableScan reused by both sides and the rollup.",
+    ),
+    (
+        "q_ivfpq_adc",
+        "IVF-PQ read path: every join carrying PQ codes is a "
+        "BroadcastHashJoin (LUT, queries, codebook) — the only wide "
+        "exchanges move (id, s, code) ints, never vectors.",
+    ),
+    (
+        "q_minhash_signatures",
+        "Wide MinHash: all 12 permutation minima computed in ONE "
+        "partial→final hash agg (no row-per-permutation explode before "
+        "the exchange).",
+    ),
+    (
+        "q_corr_qty_price",
+        "One-pass moments: five bigint sums in a single partial→final "
+        "agg; the decimal close-out is per-group scalar math above the "
+        "combine.",
+    ),
+    (
         "q6_forecast_revenue",
         "Pure pushdown scan: every filter reaches the parquet reader "
         "(PushedFilters), ReadSchema is exactly the 4 needed columns, one "
