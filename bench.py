@@ -96,6 +96,7 @@ HEADLINE = [
     "q_session_paths",
     "q_kcenter_coreset",
     "q_corr_qty_price",
+    "q_bloom_join_pushdown",
 ]
 
 

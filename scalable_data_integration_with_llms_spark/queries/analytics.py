@@ -984,3 +984,43 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ols_intercept"
         ),
     )
+
+
+# -- Bloom runtime-filter join pushdown --------------------------------------
+# Revenue of URGENT orders by month, with the lineitem scan pre-pruned by a
+# Bloom filter built over the filtered orders' keys (operators/
+# runtime_filter.py): the membership predicate sits in the fact's scan
+# stage BELOW the join Exchange, so only ~1/5th of lineitem rows shuffle.
+# The bitmap is 4 KiB regardless of scale — this is the join-pruning
+# pattern that survives when the dimension's key set itself is too big to
+# broadcast.  The oracle is the PLAIN join: the Bloom can only pass extra
+# rows and the exact join drops them, so results are identical by
+# construction (the filter shapes the plan, never the answer).
+
+_BLOOM_JOIN_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       COUNT(*) AS n_items,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""
+
+
+@query("q_bloom_join_pushdown", _BLOOM_JOIN_ORACLE)
+def q_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.runtime_filter import bloom_probe_predicate, build_bloom_hex
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    mask = build_bloom_hex(o, "o_orderkey")
+    pruned = li.filter(bloom_probe_predicate(mask, "l_orderkey"))
+    joined = pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+    return joined.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),
+    )

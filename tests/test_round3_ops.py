@@ -168,3 +168,34 @@ def test_corr_bounds(spark):
     for r in QUERIES["q_corr_qty_price"](spark, "/root/testdata/sf0.001").collect():
         assert -1.0 <= r.pearson_r <= 1.0
         assert r.n > 1
+
+
+def test_bloom_runtime_filter_prunes_and_preserves(spark, duck):
+    """The Bloom predicate must (a) never drop a matching row, (b) prune a
+    large share of the fact scan, and (c) sit in the scan stage below the
+    join exchange."""
+    from scalable_data_integration_with_llms_spark.operators.runtime_filter import (
+        bloom_probe_predicate,
+        build_bloom_hex,
+    )
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = load_table(spark, sf, "lineitem")
+    mask = build_bloom_hex(o, "o_orderkey")
+    pruned = li.filter(bloom_probe_predicate(mask, "l_orderkey"))
+    n_li, n_pruned = li.count(), pruned.count()
+    n_match = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    assert n_match <= n_pruned < n_li * 0.6  # superset of matches, real pruning
+
+    plan = (
+        QUERIES["q_bloom_join_pushdown"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the conv(substr(...)) membership test must appear in a Filter, and the
+    # lineitem scan feeding it must not sit above an Exchange
+    assert "conv(substr" in plan.replace("substring", "substr")
