@@ -97,6 +97,7 @@ HEADLINE = [
     "q_kcenter_coreset",
     "q_corr_qty_price",
     "q_bloom_join_pushdown",
+    "q_stream_cdc_apply",
 ]
 
 

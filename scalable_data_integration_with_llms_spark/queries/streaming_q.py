@@ -469,3 +469,75 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_admitted")
     )
     return run_to_memory(spark, rolled, "sdi_stream_ingest")
+
+
+# -- streaming CDC upsert (foreachBatch merge) --------------------------------
+# The streaming twin of q_cdc_apply: the event stream is a changelog on
+# user_id; each micro-batch pre-reduces to one (latest-op struct, change
+# count) row per key, then merges into the running snapshot with an
+# associative combine — max of the (ts, event_id)-ordered struct + sum of
+# counts — so the final state is IDENTICAL for any micro-batch partitioning
+# (the oracle is literally the batch compaction's SQL).  Per batch: one
+# key-shuffled aggregation over the batch + one over the merged frame;
+# the snapshot is localCheckpoint'ed each round to cut lineage, exactly the
+# foreachBatch upsert loop a warehouse sink runs continuously.
+
+_STREAM_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_type AS last_op,
+       CAST(round(value * 1000, 0) AS BIGINT) AS last_value_milli,
+       ts AS last_ts, CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("q_stream_cdc_apply", _STREAM_CDC_ORACLE)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    state: dict[str, DataFrame] = {}
+
+    def reduce_batch(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        b = reduce_batch(batch_df)
+        prev = state.get("snap")
+        merged = b if prev is None else (
+            prev.unionByName(b)
+            .groupBy("user_id")
+            .agg(F.max("last").alias("last"), F.sum("n_changes").alias("n_changes"))
+        )
+        state["snap"] = merged.localCheckpoint()
+
+    for q in spark.streams.active:
+        if q.name == "sdi_stream_cdc":
+            q.stop()
+    # fresh checkpoint per invocation: a reused one would mark the source
+    # files already-processed and the second call would drain ZERO batches
+    import tempfile
+
+    handle = (
+        stream.writeStream.foreachBatch(upsert)
+        .queryName("sdi_stream_cdc")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_ckpt_cdc_"))
+        .start()
+    )
+    handle.awaitTermination()
+    snap = state["snap"]
+    return snap.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("last_op"),
+        F.round(F.col("last.value") * 1000, 0).cast("bigint").alias("last_value_milli"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )

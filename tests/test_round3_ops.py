@@ -199,3 +199,15 @@ def test_bloom_runtime_filter_prunes_and_preserves(spark, duck):
     # the conv(substr(...)) membership test must appear in a Filter, and the
     # lineitem scan feeding it must not sit above an Exchange
     assert "conv(substr" in plan.replace("substring", "substr")
+
+
+def test_stream_cdc_matches_batch(spark):
+    """The foreachBatch upsert's final snapshot must equal the batch
+    compaction — micro-batch boundaries cannot change an associative
+    merge."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(str, QUERIES["q_cdc_apply"](spark, sf).collect()))
+    stream = sorted(map(str, QUERIES["q_stream_cdc_apply"](spark, sf).collect()))
+    assert batch == stream
