@@ -98,6 +98,7 @@ HEADLINE = [
     "q_corr_qty_price",
     "q_bloom_join_pushdown",
     "q_stream_cdc_apply",
+    "q_hard_negatives",
 ]
 
 

@@ -801,43 +801,16 @@ FROM flags
 
 @query("q_event_funnel", _FUNNEL_ORACLE)
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.funnel import funnel_user_flags
 
     e = load_table(spark, sf_dir, "events")
-    # Ties on ts are ordered by event_id in stage 1 so the frame is
-    # deterministic; stage 2's frame orders by ts alone (the qualifying-click
-    # timestamp is unique per user once the strict `<` predicate holds), which
-    # matches the oracle exactly.
-    w1 = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    s1 = e.withColumn(
-        "prior_view",
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w1),
-    )
-    w2 = (
-        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, -1)
-    )
-    click_ok = (F.col("event_type") == "click") & (F.col("prior_view") < F.col("ts"))
-    s2 = s1.withColumn(
-        "prior_click", F.min(F.when(click_ok, F.col("ts"))).over(w2)
-    )
-    purchase_ok = (F.col("event_type") == "purchase") & (
-        F.col("prior_click") < F.col("ts")
-    )
-    flags = s2.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("did_view"),
-        F.max(F.when(click_ok, 1).otherwise(0)).alias("did_click"),
-        F.max(F.when(purchase_ok, 1).otherwise(0)).alias("did_purchase"),
-    )
+    flags = funnel_user_flags(e, ["view", "click", "purchase"])
     return flags.agg(
-        F.sum("did_view").alias("n_view"),
-        F.sum("did_click").alias("n_click"),
-        F.sum("did_purchase").alias("n_purchase"),
-        (F.sum("did_click") * F.lit(1.0) / F.sum("did_view")).alias("view_to_click"),
-        (F.sum("did_purchase") * F.lit(1.0) / F.sum("did_click")).alias(
+        F.sum("did_0").alias("n_view"),
+        F.sum("did_1").alias("n_click"),
+        F.sum("did_2").alias("n_purchase"),
+        (F.sum("did_1") * F.lit(1.0) / F.sum("did_0")).alias("view_to_click"),
+        (F.sum("did_2") * F.lit(1.0) / F.sum("did_1")).alias(
             "click_to_purchase"
         ),
     )
@@ -1019,7 +992,7 @@ def q_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = li.filter(bloom_probe_predicate(mask, "l_orderkey"))
     joined = pruned.join(o, pruned.l_orderkey == o.o_orderkey)
     return joined.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("order_month")
+        F.trunc("o_orderdate", "month").alias("order_month")
     ).agg(
         F.count(F.lit(1)).alias("n_items"),
         (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),

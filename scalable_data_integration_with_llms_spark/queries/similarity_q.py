@@ -841,3 +841,61 @@ def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return pq_adc_topk(queries_df, emb, k_neighbors=5)
+
+
+# -- hard-negative mining (contrastive training pairs) ------------------------
+
+_HARD_NEG_ORACLE = f"""
+SELECT query_id, neighbor_id, neg_label, cos_sim, neg_rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+         {_COS_EXPR} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS neg_rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id % 50 = 0 AND q.label <> c.label
+) WHERE neg_rank <= 4
+"""
+
+
+@query("q_hard_negatives", _HARD_NEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-similar vectors with a DIFFERENT label — the examples a triplet /
+    InfoNCE loss learns most from.  Same broadcast-anchors shape as
+    cosine_topk with the label-inequality predicate fused into the join; at
+    scale the cross join becomes the IVF/LSH candidate path with the label
+    filter applied before scoring."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_with_norms, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_label") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(win))
+        .filter(F.col("neg_rank") <= 4)
+    )

@@ -19,6 +19,9 @@ NEW_QUERIES = [
     "q_session_paths",
     "q_kcenter_coreset",
     "q_corr_qty_price",
+    "q_bloom_join_pushdown",
+    "q_stream_cdc_apply",
+    "q_hard_negatives",
 ]
 
 
