@@ -677,3 +677,18 @@ def q_filtered_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") < F.col("nm_rank"))
         .select("case_id", "side", "query_attr", "candidate_attr", "score_milli", "rank")
     )
+
+
+@query("q_stable_matching_dist", _STABLE_GOLDEN_ORACLE)
+def q_stable_matching_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed round engine (operators/stable_matching_dist.py):
+    Gale–Shapley as iterative DataFrame joins for cases too large for one
+    task, emulating the reference's sequential pass semantics (seasoned-B
+    stickiness, incumbent-wins-ties, schema-order tie-break).  Pinned to
+    the SAME golden oracle as q_stable_matching — both implementations
+    must produce byte-identical rounds."""
+    from ..operators.stable_matching_dist import stable_match_distributed
+
+    return stable_match_distributed(_spark_preferences(spark), top_k=5).withColumn(
+        "round", F.col("round").cast("int")
+    )
