@@ -99,6 +99,7 @@ HEADLINE = [
     "q_bloom_join_pushdown",
     "q_stream_cdc_apply",
     "q_hard_negatives",
+    "q_hot_cold_join_revenue",
 ]
 
 

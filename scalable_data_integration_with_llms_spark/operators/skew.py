@@ -56,3 +56,39 @@ def key_histogram(df: DataFrame, key: str | Column, top_n: int = 20) -> DataFram
         .orderBy(F.desc("cnt"))
         .limit(top_n)
     )
+
+
+def hot_cold_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_threshold: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew join via hot-key split — the other classic remedy besides
+    salting: keys whose fact-side frequency exceeds ``hot_threshold`` take
+    the broadcast path (their dim rows are few — it's the FACT side that's
+    heavy — so broadcasting the hot slice of the dim costs ~nothing and the
+    hot fact rows never shuffle), while the cold long tail takes the normal
+    shuffled join.  Union of the two paths is the exact join.
+
+    vs. salting: salting spreads a hot key over `factor` partitions but
+    still shuffles every fact row and replicates the whole dim `factor`
+    ways; the hot/cold split shuffles ONLY the cold tail and touches each
+    dim row once.  Salting wins when the hot-key set is too large to
+    enumerate; the split wins when skew is concentrated (the usual case).
+
+    The hot-key set is discovered from the fact itself (one groupBy —
+    map-side combine makes it cheap even on the skewed key) and is
+    broadcast to both path filters; at most |fact|/hot_threshold keys, so
+    it is bounded by construction.
+    """
+    counts = fact.groupBy(on).agg(F.count(F.lit(1)).alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(on)
+    fact_hot = fact.join(F.broadcast(hot_keys), on, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot_keys), on, "left_anti")
+    dim_hot = dim.join(F.broadcast(hot_keys), on, "left_semi")
+    dim_cold = dim.join(F.broadcast(hot_keys), on, "left_anti")
+    hot_path = fact_hot.join(F.broadcast(dim_hot), on, how)
+    cold_path = fact_cold.join(dim_cold, on, how)
+    return hot_path.unionByName(cold_path)

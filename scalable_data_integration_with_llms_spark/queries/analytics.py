@@ -997,3 +997,35 @@ def q_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),
     )
+
+
+# -- hot/cold split skew join as a declared query -----------------------------
+
+_HOTCOLD_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_lineitems,
+       SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * 100), 0) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+@query("q_hot_cold_join_revenue", _HOTCOLD_ORACLE)
+def q_hot_cold_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handling #2 (complementing q_salted_join_revenue's salting):
+    hot keys (fact frequency > 4) take a broadcast path that never
+    shuffles their fact rows; the cold tail takes the normal shuffled
+    join; union is the exact join (operators/skew.hot_cold_join).  The
+    threshold is set low so both paths carry real rows at every test sf —
+    the oracle is the plain join either way."""
+    from ..operators.skew import hot_cold_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = hot_cold_join(li, o, "o_orderkey", hot_threshold=4)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),
+    )

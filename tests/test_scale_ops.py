@@ -97,3 +97,25 @@ def test_observation_counters_single_pass(spark):
     ).first()
     assert obs.get["rows_seen"] == want["n"]
     assert obs.get["rows_kept"] == want["k"] == kept
+
+
+def test_hot_cold_join_parity_and_split(spark):
+    from scalable_data_integration_with_llms_spark.operators.skew import hot_cold_join
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    plain = li.join(o, "o_orderkey").select("o_orderkey", "l_linenumber", "o_orderstatus")
+    split = hot_cold_join(li, o, "o_orderkey", hot_threshold=4).select(
+        "o_orderkey", "l_linenumber", "o_orderstatus"
+    )
+    assert sorted(map(str, plain.collect())) == sorted(map(str, split.collect()))
+    # both paths must carry rows at this threshold (the demo is two-path)
+    from pyspark.sql import functions as F
+
+    counts = li.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    n_hot = counts.filter(F.col("n") > 4).count()
+    n_cold = counts.filter(F.col("n") <= 4).count()
+    assert n_hot > 0 and n_cold > 0
