@@ -40,6 +40,21 @@ from . import retrieval_q  # noqa: F401, E402
 # q_knn_classify) — all pytest-covered and local-green in the committed
 # full-surface report (CORRECTNESS_FULL_r03.json); they rotate in next
 # round.  Previously-verified queries keep full-surface evidence there too.
+#
+# ROUND-4 TODO (window rotation): after the r3 driver check, the
+# never-driver-verified set is the 7 above plus every round-3 addition not
+# in _VERIFY_FIRST — the retrieval/curation block (q_duplicate_spans,
+# q_strip_duplicate_spans, q_bm25_topk, q_domain_affinity, q_token_chunks,
+# q_train_val_split, q_kcenter_coreset), the pipeline additions
+# (q_paragraph_dedup, q_filter_funnel, q_source_caps, q_perplexity_buckets),
+# similarity additions (q_pq_codes, q_ann_filtered, q_embedding_dup_clusters,
+# q_semdedup, q_ivfpq_adc, q_hard_negatives), analytics/er additions
+# (q_cohort_retention, q_event_funnel, q_cdc_apply, q_session_paths,
+# q_corr_qty_price, q_bloom_join_pushdown, q_hot_cold_join_revenue,
+# q_demo_rating was checked), LM/text (q_kn_bigram_lm), matching
+# (q_stable_matching_dist), and streaming (q_stream_corpus_ingest,
+# q_stream_cdc_apply) — rebuild _VERIFY_FIRST from that list (~35 names,
+# fits one window) and keep full-surface evidence for the rest.
 _VERIFY_FIRST = [
     # oracles upgraded from rows-only this round
     "q_media_frames",

@@ -982,14 +982,14 @@ GROUP BY 1
 
 @query("q_bloom_join_pushdown", _BLOOM_JOIN_ORACLE)
 def q_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.runtime_filter import bloom_probe_predicate, build_bloom_hex
+    from ..operators.runtime_filter import bloom_probe_predicate, build_bloom_words
 
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     li = load_table(spark, sf_dir, "lineitem")
-    mask = build_bloom_hex(o, "o_orderkey")
-    pruned = li.filter(bloom_probe_predicate(mask, "l_orderkey"))
+    words = build_bloom_words(o, "o_orderkey")
+    pruned = li.filter(bloom_probe_predicate(words, "l_orderkey"))
     joined = pruned.join(o, pruned.l_orderkey == o.o_orderkey)
     return joined.groupBy(
         F.trunc("o_orderdate", "month").alias("order_month")
