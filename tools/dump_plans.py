@@ -15,6 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHOWCASE = [
     (
+        "q_bloom_join_pushdown",
+        "Runtime-filter pushdown: the Bloom word-array probe (element_at "
+        "+ bitwise AND on folded literals) filters the lineitem scan "
+        "BELOW the join exchange — only ~30% of fact rows shuffle.",
+    ),
+    (
         "q_event_funnel",
         "Single-shuffle funnel: one Exchange on user_id feeds the sort, "
         "both window stages, and the per-user aggregate — no per-stage "
