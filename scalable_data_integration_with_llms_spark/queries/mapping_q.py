@@ -248,3 +248,46 @@ def q_mapping_map_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.overlap import overlap_counts_df
 
     return overlap_counts_df(spark, result.counts)
+
+
+# -- S6: BibTeX import (sources/bibtex.py) ------------------------------------
+# The Amalgam data blob isn't shipped (reference .MISSING_LARGE_BLOBS), so
+# the loader is pinned on a synthesized fixture exercising the public
+# format's corners: brace-nested values, quoted values, bare numbers,
+# @comment skipping, "Last, First" / "von Last, Jr, First" re-ordering,
+# co-author splitting, unknown-entry-type skipping, and both surrogate
+# regimes (occurrence AuthIDs + shared pk counter).  The oracle is the
+# hand-computed golden link table.
+
+_BIB_FIXTURE = """
+@article{k1, author = {Doe, John and Alice B. Smith}, title = {A Title},
+         year = 1999, journal = {J. Data}}
+@comment{ignore me}
+@book{k2, author = {von Neumann, Jr, John}, title = {The {Big} Book},
+      publisher = "Pub House", year = {2001}}
+@phdthesis{k3, author = {Eve Adams}, title = {Thesis}}
+@inproceedings{k4, author = {Smith, Alice B. and Doe, John},
+               title = {Proc Paper}, booktitle = {Conf}}
+"""
+
+_BIBTEX_ORACLE = """
+SELECT * FROM (VALUES
+  (0, 'Article', 'k1', 0, 'John Doe'),
+  (0, 'Article', 'k1', 1, 'Alice B. Smith'),
+  (1, 'Book', 'k2', 2, 'John von Neumann Jr'),
+  (2, 'InProceedings', 'k4', 4, 'Alice B. Smith'),
+  (2, 'InProceedings', 'k4', 5, 'John Doe')
+) AS t(pk_id, relation, key, auth_id, name)
+"""
+
+
+@query("q_bibtex_import", _BIBTEX_ORACLE)
+def q_bibtex_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bibtex import author_occurrences, bib_entries_df, route_entries
+
+    entries = bib_entries_df(spark, _BIB_FIXTURE)
+    routed = route_entries(entries).select("entry_idx", "pk_id", "relation", "key")
+    occ = author_occurrences(entries)
+    return routed.join(occ, "entry_idx").select(
+        "pk_id", "relation", "key", "auth_id", "name"
+    )

@@ -183,3 +183,51 @@ def test_xlsx_report_sink(spark, tmp_path):
         assert r1[0].find("m:is/m:t", ns).text == "a & b"  # escape round-trip
         assert r1[1].get("t") is None and r1[1].find("m:v", ns).text == "3"
         assert r1[3].get("t") == "b"
+
+
+def test_bibtex_parser_grammar():
+    from scalable_data_integration_with_llms_spark.sources.bibtex import (
+        merge_first_name_first,
+        parse_bib_text,
+        split_authors,
+    )
+
+    text = """
+    @string{me = {unused}}
+    @article(paren1, title = "Quoted Title", year = 2000)
+    @Book{caps, title = {Braces {Keep} Case}, note = {a,
+      multiline, value}}
+    """
+    es = parse_bib_text(text)
+    assert [e["entry_type"] for e in es] == ["article", "book"]
+    assert es[0]["key"] == "paren1" and es[0]["fields"]["title"] == "Quoted Title"
+    assert es[0]["fields"]["year"] == "2000"
+    assert es[1]["fields"]["title"] == "Braces {Keep} Case"
+    assert es[1]["fields"]["note"] == "a, multiline, value"
+
+    assert split_authors("Doe, John and Alice Smith and {Research and Co}") == [
+        "Doe, John",
+        "Alice Smith",
+        "{Research and Co}",
+    ]
+    assert merge_first_name_first("Doe, John") == "John Doe"
+    assert merge_first_name_first("von Neumann, Jr, John") == "John von Neumann Jr"
+    assert merge_first_name_first("Plain Name") == "Plain Name"
+    assert merge_first_name_first("{Research and Co}") == "Research and Co"
+
+
+def test_bibtex_first_seen_dim(spark):
+    from scalable_data_integration_with_llms_spark.sources.bibtex import (
+        author_dim_first_seen,
+        author_occurrences,
+        bib_entries_df,
+    )
+
+    text = """
+    @article{a, author = {Doe, John and Alice Smith}}
+    @article{b, author = {john doe and Bob Crow}}
+    """
+    occ = author_occurrences(bib_entries_df(spark, text))
+    ids = {r.name: r.name_id for r in author_dim_first_seen(occ).collect()}
+    # title-casing folds "john doe" into "John Doe"; first-seen order ids
+    assert ids == {"John Doe": 0, "Alice Smith": 1, "Bob Crow": 2}
