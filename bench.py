@@ -100,6 +100,7 @@ HEADLINE = [
     "q_stream_cdc_apply",
     "q_hard_negatives",
     "q_hot_cold_join_revenue",
+    "q_stream_topk_types",
 ]
 
 

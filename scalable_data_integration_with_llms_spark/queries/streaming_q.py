@@ -541,3 +541,42 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.ts").alias("last_ts"),
         F.col("n_changes").cast("bigint").alias("n_changes"),
     )
+
+
+# -- streaming trending: top event types per 6-hour window --------------------
+# The standing "what's trending" dashboard: a complete-mode windowed count
+# drained with availableNow, then a per-window top-3 rank over the (tiny)
+# aggregate — ranking runs on the sink-side batch frame, where it belongs
+# (per-window state in the stream stays a plain count; no streaming rank
+# operator needed).  Oracle = the batch equivalent over the same 6-hour
+# epoch-aligned buckets.
+
+_STREAM_TOPK_ORACLE = """
+SELECT window_start, event_type, n_events, type_rank FROM (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
+         event_type, COUNT(*) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+                            ORDER BY COUNT(*) DESC, event_type ASC) AS type_rank
+  FROM events GROUP BY 1, 2
+) WHERE type_rank <= 3
+"""
+
+
+@query("q_stream_topk_types", _STREAM_TOPK_ORACLE)
+def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    counts = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    drained = run_to_memory(spark, counts, "sdi_stream_topk")
+    win = W.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        drained.withColumn("type_rank", F.row_number().over(win))
+        .filter(F.col("type_rank") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "type_rank",
+        )
+    )
