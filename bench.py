@@ -101,6 +101,8 @@ HEADLINE = [
     "q_hard_negatives",
     "q_hot_cold_join_revenue",
     "q_stream_topk_types",
+    "q_session_overlap_join",
+    "q_user_value_trend",
 ]
 
 

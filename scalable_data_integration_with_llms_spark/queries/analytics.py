@@ -1029,3 +1029,192 @@ def q_hot_cold_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),
     )
+
+
+# -- batch interval-overlap join (bucketized, each pair exactly once) --------
+# Cross-user session concurrency: how many OTHER users' sessions overlap
+# each user's sessions in time.  The scale-safe interval join: sessions
+# emit one row per 6-hour bucket they touch (bounded fan-out), candidates
+# equi-join on the bucket, and each qualifying pair is COUNTED EXACTLY
+# ONCE by requiring the join bucket to be the bucket of the later start —
+# the standard dedup rule that turns interval joins into equi-joins
+# without a global interval index.  The oracle is the plain (unbucketed)
+# overlap self-join — the bucketing must be invisible in the result.
+
+_BUCKET_S = 21600
+
+_SESSION_CTE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+         ts
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY user_id, session_id
+)
+"""
+
+_OVERLAP_ORACLE = _SESSION_CTE + """
+SELECT a.user_id, COUNT(*) AS n_overlaps
+FROM spans a JOIN spans b
+  ON a.user_id <> b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.user_id
+"""
+
+
+@query("q_session_overlap_join", _OVERLAP_ORACLE)
+def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    order_win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(order_win)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    spans = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(order_win.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        # the self-join reads this twice; one shuffle+agg, then cache
+        .persist()
+    )
+    bucket_of = lambda c: (F.unix_seconds(c) / _BUCKET_S).cast("bigint")  # noqa: E731
+    with_buckets = spans.withColumn(
+        "bks", F.sequence(bucket_of(F.col("s")), bucket_of(F.col("e")))
+    )
+    a = with_buckets.select(
+        F.col("user_id").alias("ua"), F.col("s").alias("sa"), F.col("e").alias("ea"),
+        F.explode("bks").alias("bk"),
+    )
+    b = with_buckets.select(
+        F.col("user_id").alias("ub"), F.col("s").alias("sb"), F.col("e").alias("eb"),
+        F.explode("bks").alias("bk"),
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("ua") != F.col("ub"))
+        .filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        # exactly-once: the pair belongs to the bucket of the LATER start
+        .filter(F.col("bk") == bucket_of(F.greatest(F.col("sa"), F.col("sb"))))
+    )
+    return pairs.groupBy(F.col("ua").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+# -- per-group trend fit (exact-moment OLS over time) -------------------------
+# Per-user linear trend of event value over time: the one-pass moment
+# aggregation from q_corr_qty_price applied per group with time as the
+# regressor.  x = whole minutes since 2024-01-01 (bigint — a FIXED epoch
+# offset keeps the pass single and the integers small), y = value in
+# exact milli units.  decimal(38,0)/HUGEINT close-out as before.
+
+_TREND_ORACLE = """
+WITH m AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 60 - 28401120 AS x,
+           CAST(round(value * 1000, 0) AS BIGINT) AS y
+    FROM events
+  )
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope_milli_per_min,
+       (CAST(sy AS DOUBLE) / n)
+         - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / n) AS intercept_milli
+FROM m
+"""
+
+
+@query("q_user_value_trend", _TREND_ORACLE)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_seconds("ts") / 60).cast("bigint") - F.lit(28401120)
+    y = cents("value", 1000)
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    cov_n = (dec(n) * dec(sxy) - dec(sx) * dec(sy)).cast("double")
+    var_x = (dec(n) * dec(sxx) - dec(sx) * dec(sx)).cast("double")
+    slope = cov_n / var_x
+    return m.select(
+        "user_id",
+        n.cast("bigint").alias("n_events"),
+        slope.alias("slope_milli_per_min"),
+        ((sy.cast("double") / n) - slope * (sx.cast("double") / n)).alias(
+            "intercept_milli"
+        ),
+    )
+
+
+# -- NOT IN vs NOT EXISTS null semantics (null-aware anti join) --------------
+# The SQL trap every engine must get right: `x NOT IN (subquery)` is
+# three-valued — one NULL in the subquery list makes EVERY row's predicate
+# UNKNOWN, so the count collapses to 0 — while NOT EXISTS (an anti join)
+# ignores NULLs.  Spark plans the former as a null-aware anti join
+# (BroadcastNestedLoopJoin with a null check), the latter as a plain left
+# anti.  Both engines implement ANSI semantics, so the pair is fully
+# value-oracled; the query emits both counts side by side.
+
+_NOTIN_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                       ELSE o_custkey END
+                           FROM orders WHERE o_totalprice > 150000)) AS notin_count,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o_totalprice > 150000
+                       AND (CASE WHEN o_orderstatus = 'P' THEN NULL
+                            ELSE o_custkey END) = c.c_custkey)) AS notexists_count
+"""
+
+
+@query("q_notin_null_semantics", _NOTIN_ORACLE)
+def q_notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM v_customer
+           WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                               ELSE o_custkey END
+                                   FROM v_orders WHERE o_totalprice > 150000)) AS notin_count,
+          (SELECT COUNT(*) FROM v_customer c
+           WHERE NOT EXISTS (SELECT 1 FROM v_orders o
+                             WHERE o_totalprice > 150000
+                               AND (CASE WHEN o_orderstatus = 'P' THEN NULL
+                                    ELSE o_custkey END) = c.c_custkey)) AS notexists_count
+        """
+    )

@@ -553,9 +553,9 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_TOPK_ORACLE = """
 SELECT window_start, event_type, n_events, type_rank FROM (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP) AS window_start,
          event_type, COUNT(*) AS n_events,
-         ROW_NUMBER() OVER (PARTITION BY to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+         ROW_NUMBER() OVER (PARTITION BY CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP)
                             ORDER BY COUNT(*) DESC, event_type ASC) AS type_rank
   FROM events GROUP BY 1, 2
 ) WHERE type_rank <= 3

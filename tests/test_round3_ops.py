@@ -214,3 +214,19 @@ def test_stream_cdc_matches_batch(spark):
     batch = sorted(map(str, QUERIES["q_cdc_apply"](spark, sf).collect()))
     stream = sorted(map(str, QUERIES["q_stream_cdc_apply"](spark, sf).collect()))
     assert batch == stream
+
+
+def test_round3_late_queries_oracle(spark, duck):
+    for name in ("q_session_overlap_join", "q_user_value_trend",
+                 "q_notin_null_semantics", "q_bibtex_import",
+                 "q_stream_topk_types"):
+        assert_oracle_match(spark, duck, name)
+
+
+def test_notin_trap_demonstrated(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    row = QUERIES["q_notin_null_semantics"](spark, "/root/testdata/sf0.001").collect()[0]
+    # a NULL in the NOT IN list makes the predicate UNKNOWN everywhere
+    assert row.notin_count == 0
+    assert row.notexists_count > 0  # with nulls filtered, real non-buyers exist
