@@ -18,16 +18,29 @@ from .matching import _base_cte, _runs_cte, _spark_preferences, _spark_runs
 from .registry import query
 
 
+_PRED_MEMO: dict[int, DataFrame] = {}
+
+
 def _predicted_top1(spark: SparkSession) -> DataFrame:
     """Deterministic predicted alignments: best avg-merged candidate per
-    (case, target attr)."""
-    merged = bidirectional_merge(_spark_preferences(spark), agg="avg")
-    win = W.partitionBy("case_id", "tgt").orderBy(F.desc("score"), F.asc("src"))
-    return (
-        merged.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") == 1)
-        .select("case_id", "src", "tgt")
-    )
+    (case, target attr).
+
+    Memoized+persisted per session like ``_spark_preferences``: the frame
+    is a few hundred rows but its plan (bidirectional merge + rank window)
+    is rebuilt by every metrics consumer (PRF1, MRR, category rollup) —
+    caching the OUTPUT collapses those to an InMemoryTableScan."""
+    key = id(spark._jsparkSession)
+    if key not in _PRED_MEMO:
+        merged = bidirectional_merge(_spark_preferences(spark), agg="avg")
+        win = W.partitionBy("case_id", "tgt").orderBy(F.desc("score"), F.asc("src"))
+        _PRED_MEMO[key] = (
+            merged.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select("case_id", "src", "tgt")
+            .coalesce(1)
+            .persist()
+        )
+    return _PRED_MEMO[key]
 
 
 _PRED_CTE = """,
