@@ -103,6 +103,7 @@ HEADLINE = [
     "q_stream_topk_types",
     "q_session_overlap_join",
     "q_user_value_trend",
+    "q_er_entities",
 ]
 
 

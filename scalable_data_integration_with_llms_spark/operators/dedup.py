@@ -400,10 +400,28 @@ def connected_components(
     )
     edges.count()
     converged = False
-    # labels only ever decrease, so the labeling is stable iff sum(label)
-    # is unchanged — a one-column agg over the cached frame, far cheaper
-    # than the join-based per-row diff
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # labels only ever decrease, so for NUMERIC ids the labeling is stable
+    # iff sum(label) is unchanged — a one-column agg over the cached frame.
+    # String ids (e.g. entity names) have no sum: fall back to an exact
+    # per-node diff join between rounds (both frames are checkpointed, so
+    # the extra join is over cached data).
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+
+    def _stable(new_l: DataFrame, old_l: DataFrame) -> bool:
+        return (
+            new_l.alias("n")
+            .join(old_l.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    prev_sum = (
+        labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -429,12 +447,16 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        if numeric_ids:
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            stable = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            stable = _stable(new_labels, labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        if stable:
             converged = True
             break
-        prev_sum = new_sum
     edges.unpersist()
     pairs.unpersist()
     if not converged:

@@ -259,3 +259,90 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_changes").cast("bigint").alias("n_changes"),
         )
     )
+
+
+# -- ER end-to-end: fuzzy pairs -> components -> canonical entity table -------
+# The full record-linkage flow on part names: blocked fuzzy pairs (the
+# q_fuzzy_er_names candidate step), transitive closure into entity
+# clusters (the same min-label + pointer-jumping components the dedup
+# pipeline uses — labels are lexicographic here), then one canonical row
+# per entity rolling up every member name's pre-aggregated stats.
+# Singleton names (no fuzzy partner) remain their own entity via the left
+# join + coalesce.  Scale: identical shape to q_dedup_clusters; the
+# entity rollup is one hash agg on the cluster id.
+
+_ER_ENTITIES_ORACLE = """
+WITH RECURSIVE names AS (
+  SELECT p_name,
+         split_part(p_name, ' ', 2) AS block_key,
+         COUNT(*) AS n_parts,
+         SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS price_cents
+  FROM part GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON a.block_key = b.block_key AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+          UNION SELECT name_b, name_a FROM pairs),
+reach AS (
+  SELECT src AS nm, dst AS reach FROM edges
+  UNION
+  SELECT r.nm, e.dst FROM reach r JOIN edges e ON r.reach = e.src
+),
+clusters AS (
+  SELECT nm, LEAST(nm, MIN(reach)) AS entity_id FROM reach GROUP BY nm
+),
+membership AS (
+  SELECT n.p_name, COALESCE(c.entity_id, n.p_name) AS entity_id,
+         n.n_parts, n.price_cents
+  FROM names n LEFT JOIN clusters c ON n.p_name = c.nm
+)
+SELECT entity_id,
+       COUNT(*) AS n_names,
+       CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+       SUM(price_cents) / 100.0 AS total_price
+FROM membership GROUP BY entity_id
+"""
+
+
+@query("q_er_entities", _ER_ENTITIES_ORACLE)
+def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import cents as _cents
+    from ..operators.dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy(
+            "p_name",
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_cents("p_retailprice")).alias("price_cents"),
+        )
+        .persist()
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block_key")
+    b = names.select(F.col("p_name").alias("name_b"), "block_key")
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select("name_a", "name_b")
+    )
+    clusters = connected_components(pairs, a_col="name_a", b_col="name_b")
+    membership = names.join(
+        clusters, names.p_name == clusters.doc, "left"
+    ).select(
+        F.coalesce(F.col("cluster_id"), F.col("p_name")).alias("entity_id"),
+        "n_parts",
+        "price_cents",
+    )
+    return membership.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.sum("n_parts").cast("bigint").alias("n_parts"),
+        (F.sum("price_cents") / F.lit(100.0)).alias("total_price"),
+    )

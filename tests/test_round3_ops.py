@@ -230,3 +230,19 @@ def test_notin_trap_demonstrated(spark):
     # a NULL in the NOT IN list makes the predicate UNKNOWN everywhere
     assert row.notin_count == 0
     assert row.notexists_count > 0  # with nulls filtered, real non-buyers exist
+
+
+def test_er_entities_oracle_and_structure(spark, duck):
+    assert_oracle_match(spark, duck, "q_er_entities")
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    rows = QUERIES["q_er_entities"](spark, "/root/testdata/sf0.001").collect()
+    # entities partition the distinct-name dimension: member counts sum to it
+    n_names = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select("p_name")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_names for r in rows) == n_names
+    assert any(r.n_names > 1 for r in rows)  # real merges happen
