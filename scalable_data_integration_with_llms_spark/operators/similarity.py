@@ -230,9 +230,14 @@ def lsh_topk(
         F.col("v_norm").alias("c_norm"),
         "bucket",
     )
-    scored = (
+    # Each unordered pair is scored ONCE (query_id < neighbor_id) and then
+    # mirrored: x*y and the fold order are symmetric, so the mirrored score
+    # is bit-identical while the dominant cosine fold costs half.  Every
+    # vector has exactly one bucket, so a pair can't duplicate across
+    # buckets.
+    pairs = (
         q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("query_id") < F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -241,6 +246,20 @@ def lsh_topk(
             ).alias("cos_sim"),
         )
     )
+    # mirror via a row-local explode (NOT a self-union, which would run the
+    # join+cosine subtree once per branch)
+    scored = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("query_id"), F.col("neighbor_id")),
+                F.struct(
+                    F.col("neighbor_id").alias("query_id"),
+                    F.col("query_id").alias("neighbor_id"),
+                ),
+            )
+        ).alias("p"),
+        "cos_sim",
+    ).select("p.query_id", "p.neighbor_id", "cos_sim")
     win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("sim_rank", F.row_number().over(win)).filter(
         F.col("sim_rank") <= k
@@ -404,4 +423,61 @@ def pq_adc_topk(
     return (
         scored.withColumn("adc_rank", F.row_number().over(win))
         .filter(F.col("adc_rank") <= k_neighbors)
+    )
+
+
+def cosine_topk_self(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over the corpus against ITSELF — same contract as
+    ``cosine_topk(df, df, k)`` but each unordered pair's cosine is computed
+    once and mirrored row-locally (multiplication and the fold are
+    symmetric, so the mirrored score is bit-identical).  Halves the
+    dominant O(N²·dim) fold of all-query harnesses like q_ann_recall."""
+    from pyspark.sql import Window as W
+
+    withn = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    ).persist()
+    a = withn.select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    b = withn.select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
+        )
+    )
+    scored = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("query_id"), F.col("neighbor_id")),
+                F.struct(
+                    F.col("neighbor_id").alias("query_id"),
+                    F.col("query_id").alias("neighbor_id"),
+                ),
+            )
+        ).alias("p"),
+        "cos_sim",
+    ).select("p.query_id", "p.neighbor_id", "cos_sim")
+    win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(win))
+        .filter(F.col("sim_rank") <= k)
     )

@@ -315,11 +315,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query that tunes n_planes: more planes → smaller buckets → faster but
     lower recall.  Both paths and the hit-join run in one plan; integer hit
     counts divide exactly."""
-    from ..operators.similarity import lsh_topk
+    from ..operators.similarity import cosine_topk_self, lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     ann = lsh_topk(e, k=_K, n_planes=6).select("query_id", "neighbor_id")
-    exact = cosine_topk(e, e, _K).select("query_id", "neighbor_id")
+    exact = cosine_topk_self(e, _K).select("query_id", "neighbor_id")
     joined = exact.alias("e").join(
         ann.alias("a"),
         (F.col("e.query_id") == F.col("a.query_id"))
