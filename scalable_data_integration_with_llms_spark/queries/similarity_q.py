@@ -372,9 +372,11 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF quality harness: recall@5 of the coarse-partition path against
     exact brute force, every vector as a query — the nprobe/partition-count
     tuning measurement (q_ann_recall's twin for the learned-partition path)."""
+    from ..operators.similarity import cosine_topk_self
+
     e = load_table(spark, sf_dir, "embeddings")
     ann = ivf_topk(e, e, _K).select("query_id", "neighbor_id")
-    exact = cosine_topk(e, e, _K).select("query_id", "neighbor_id")
+    exact = cosine_topk_self(e, _K).select("query_id", "neighbor_id")
     joined = exact.alias("e").join(
         ann.alias("a"),
         (F.col("e.query_id") == F.col("a.query_id"))
