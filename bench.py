@@ -104,6 +104,7 @@ HEADLINE = [
     "q_session_overlap_join",
     "q_user_value_trend",
     "q_er_entities",
+    "q_value_outliers",
 ]
 
 

@@ -1218,3 +1218,53 @@ def q_notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ELSE o_custkey END) = c.c_custkey)) AS notexists_count
         """
     )
+
+
+# -- robust outlier detection (IQR fences on exact quantiles) ----------------
+# Tukey fences per event type: exact interpolated quartiles (Spark
+# `percentile` == DuckDB `quantile_cont` bit-for-bit on identical inputs),
+# fences at q1/q3 ± 1.5·IQR, and a second conditional-aggregation pass
+# counting rows beyond each fence.  Two scans total: quartiles are
+# per-group scalars (broadcast back), so the flagging pass is map-side —
+# the shape of every robust data-quality monitor over a fact table.
+
+_OUTLIER_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       q.q1, q.q3,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.q1, q.q3
+"""
+
+
+@query("q_value_outliers", _OUTLIER_ORACLE)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    low = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    high = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") < low, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select("event_type", "n_events", "q1", "q3", "n_low", "n_high")
+    )
