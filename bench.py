@@ -105,6 +105,10 @@ HEADLINE = [
     "q_user_value_trend",
     "q_er_entities",
     "q_value_outliers",
+    "q_event_transitions",
+    "q_rfm_segments",
+    "q_funnel_by_cohort",
+    "q_seasonality_profile",
 ]
 
 

@@ -1268,3 +1268,198 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_events", "q1", "q3", "n_low", "n_high")
     )
+
+
+# -- Markov transition matrix of event types ---------------------------------
+# Per-user event-type bigrams (lag window) rolled into a corpus transition
+# matrix with exact row-normalized probabilities (integer milli via DIV —
+# no float accumulation).  One shuffle+sort per user, then a tiny hash agg:
+# the sequence-mining primitive behind next-action prediction features.
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT prev_type, SUM(n) AS row_n FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+       CAST((t.n * 1000000) // r.row_n AS BIGINT) AS prob_milli
+FROM t JOIN r USING (prev_type)
+"""
+
+
+@query("q_event_transitions", _TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = t.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(r, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(n * 1000000) DIV row_n").alias("prob_milli"),
+        )
+    )
+
+
+# -- RFM segmentation --------------------------------------------------------
+# Recency / frequency / monetary per user with FIXED thresholds (the
+# production choice — calibrated cutoffs make segmentation map-only after
+# the per-user rollup, where ntile would cost a global sort).  Recency is
+# measured against the corpus max timestamp (1-row broadcast).
+
+_RFM_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', MAX(ts), (SELECT mx FROM mx)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT CASE WHEN recency_days <= 2 THEN 'active' WHEN recency_days <= 7 THEN 'cooling'
+            ELSE 'dormant' END AS r_band,
+       CASE WHEN frequency >= 80 THEN 'high' WHEN frequency >= 50 THEN 'mid'
+            ELSE 'low' END AS f_band,
+       CASE WHEN monetary_cents >= 400000 THEN 'big' ELSE 'small' END AS m_band,
+       COUNT(*) AS n_users,
+       CAST(SUM(monetary_cents) AS BIGINT) AS total_cents
+FROM per_user
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q_rfm_segments", _RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    per_user = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.to_date(F.first("mx")), F.to_date(F.max("ts"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents("value")).alias("monetary_cents"),
+        )
+    )
+    r_band = (
+        F.when(F.col("recency_days") <= 2, "active")
+        .when(F.col("recency_days") <= 7, "cooling")
+        .otherwise("dormant")
+    )
+    f_band = (
+        F.when(F.col("frequency") >= 80, "high")
+        .when(F.col("frequency") >= 50, "mid")
+        .otherwise("low")
+    )
+    m_band = F.when(F.col("monetary_cents") >= 400000, "big").otherwise("small")
+    return per_user.groupBy(
+        r_band.alias("r_band"), f_band.alias("f_band"), m_band.alias("m_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# -- funnel conversion by signup cohort --------------------------------------
+# The funnel operator composed with weekly cohorts: per signup-week cohort,
+# how many users completed each strict-order stage.  Same single-shuffle
+# funnel core; the cohort dimension joins on user_id (co-keyed with the
+# funnel aggregate's own shuffle).
+
+_FUNNEL_COHORT_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+  FROM events
+),
+s2 AS (
+  SELECT user_id, ts, event_type, prior_view,
+         MIN(CASE WHEN event_type = 'click' AND prior_view < ts THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+  FROM s1
+),
+flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_0,
+         MAX(CASE WHEN event_type = 'click' AND prior_view < ts THEN 1 ELSE 0 END) AS did_1,
+         MAX(CASE WHEN event_type = 'purchase' AND prior_click < ts THEN 1 ELSE 0 END) AS did_2
+  FROM s2 GROUP BY user_id
+),
+cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+)
+SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+       COUNT(*) AS n_users,
+       CAST(SUM(did_0) AS BIGINT) AS n_view,
+       CAST(SUM(did_1) AS BIGINT) AS n_click,
+       CAST(SUM(did_2) AS BIGINT) AS n_purchase
+FROM flags f JOIN cohorts c USING (user_id)
+GROUP BY 1
+"""
+
+
+@query("q_funnel_by_cohort", _FUNNEL_COHORT_ORACLE)
+def q_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_user_flags
+
+    e = load_table(spark, sf_dir, "events")
+    flags = funnel_user_flags(e, ["view", "click", "purchase"])
+    cohorts = e.groupBy("user_id").agg(
+        F.trunc(F.min("ts").cast("date"), "week").alias("cohort_week")
+    )
+    return (
+        flags.join(cohorts, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("did_0").cast("bigint").alias("n_view"),
+            F.sum("did_1").cast("bigint").alias("n_click"),
+            F.sum("did_2").cast("bigint").alias("n_purchase"),
+        )
+    )
+
+
+# -- seasonality profile (hour-of-day x day-of-week) -------------------------
+
+_SEASONALITY_ORACLE = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- DuckDB Sunday=0, Spark Sunday=1
+       CAST(hour(ts) AS INT) AS hod,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("q_seasonality_profile", _SEASONALITY_ORACLE)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """168-cell seasonality matrix — one map-side-combined hash agg; the
+    classic traffic-shape profile behind anomaly baselines."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents("value", 10000)) / F.lit(10000.0)).alias("sum_value"),
+    )

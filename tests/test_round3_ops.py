@@ -219,7 +219,9 @@ def test_stream_cdc_matches_batch(spark):
 def test_round3_late_queries_oracle(spark, duck):
     for name in ("q_session_overlap_join", "q_user_value_trend",
                  "q_notin_null_semantics", "q_bibtex_import",
-                 "q_stream_topk_types", "q_value_outliers"):
+                 "q_stream_topk_types", "q_value_outliers",
+                 "q_event_transitions", "q_rfm_segments",
+                 "q_funnel_by_cohort", "q_seasonality_profile"):
         assert_oracle_match(spark, duck, name)
 
 
