@@ -109,6 +109,8 @@ HEADLINE = [
     "q_rfm_segments",
     "q_funnel_by_cohort",
     "q_seasonality_profile",
+    "q_ngram_novelty",
+    "q_embedding_drift",
 ]
 
 

@@ -901,3 +901,72 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("neg_rank", F.row_number().over(win))
         .filter(F.col("neg_rank") <= 4)
     )
+
+
+# -- per-source embedding drift (centroid shift) ------------------------------
+# Distribution monitoring in embedding space: each source's centroid vs the
+# corpus centroid, as an exact quantized squared distance.  Centroids use
+# the integer-sum discipline of q_label_centroids (order-independent
+# bigint component sums); the distance closes over the same
+# exactly-representable doubles in both engines.  Embeddings align to
+# documents by id (vec_id = doc_id in the driver tables).
+
+_DRIFT_EMB_ORACLE = """
+WITH ex AS (
+  SELECT d.source, t.i AS i,
+         CAST(round(e.embedding[t.i]::DOUBLE * 10000000, 0) AS BIGINT) AS xq
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id,
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+),
+src AS (
+  SELECT source, i, CAST(SUM(xq) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+  FROM ex GROUP BY source, i
+),
+corp AS (
+  SELECT i, CAST(SUM(xq) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+  FROM ex GROUP BY i
+)
+SELECT s.source,
+       CAST(COUNT(*) AS INT) AS dim,
+       CAST(SUM(CAST(round((s.c - g.c) * (s.c - g.c) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS shift_q
+FROM src s JOIN corp g USING (i)
+GROUP BY s.source
+"""
+
+
+@query("q_embedding_drift", _DRIFT_EMB_ORACLE)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select(
+            "source",
+            F.posexplode(F.col("embedding")).alias("i0", "x"),
+        )
+        .select(
+            "source",
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("x").cast("double") * F.lit(1e7), 0)
+            .cast("bigint")
+            .alias("xq"),
+        )
+        # two aggregations (per-source and corpus) read this frame
+        .persist()
+    )
+    src = ex.groupBy("source", "i").agg(
+        (F.sum("xq").cast("double") / F.lit(1e7) / F.count(F.lit(1))).alias("c")
+    )
+    corp = ex.groupBy("i").agg(
+        (F.sum("xq").cast("double") / F.lit(1e7) / F.count(F.lit(1))).alias("gc")
+    )
+    term = F.round((F.col("c") - F.col("gc")) * (F.col("c") - F.col("gc")) * F.lit(1e9), 0).cast("bigint")
+    return (
+        src.join(corp, "i")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("dim"),
+            F.sum(term).cast("bigint").alias("shift_q"),
+        )
+    )
