@@ -41,20 +41,26 @@ from . import retrieval_q  # noqa: F401, E402
 # full-surface report (CORRECTNESS_FULL_r03.json); they rotate in next
 # round.  Previously-verified queries keep full-surface evidence there too.
 #
-# ROUND-4 TODO (window rotation): after the r3 driver check, the
-# never-driver-verified set is the 7 above plus every round-3 addition not
-# in _VERIFY_FIRST — the retrieval/curation block (q_duplicate_spans,
-# q_strip_duplicate_spans, q_bm25_topk, q_domain_affinity, q_token_chunks,
-# q_train_val_split, q_kcenter_coreset), the pipeline additions
-# (q_paragraph_dedup, q_filter_funnel, q_source_caps, q_perplexity_buckets),
-# similarity additions (q_pq_codes, q_ann_filtered, q_embedding_dup_clusters,
-# q_semdedup, q_ivfpq_adc, q_hard_negatives), analytics/er additions
-# (q_cohort_retention, q_event_funnel, q_cdc_apply, q_session_paths,
-# q_corr_qty_price, q_bloom_join_pushdown, q_hot_cold_join_revenue,
-# q_demo_rating was checked), LM/text (q_kn_bigram_lm), matching
-# (q_stable_matching_dist), and streaming (q_stream_corpus_ingest,
-# q_stream_cdc_apply) — rebuild _VERIFY_FIRST from that list (~35 names,
-# fits one window) and keep full-surface evidence for the rest.
+# ROUND-4 TODO (window rotation): after the r3 driver check, exactly 48
+# queries have never been driver-verified (computed: registry minus
+# CORRECTNESS_r01/r02 minus this round's window) — they fit one 50-entry
+# window.  Rebuild _VERIFY_FIRST from this list next round:
+#   q_ann_filtered q_bibtex_import q_bloom_join_pushdown q_bm25_topk
+#   q_cdc_apply q_cohort_retention q_corr_qty_price q_domain_affinity
+#   q_duplicate_spans q_embedding_drift q_embedding_dup_clusters
+#   q_er_entities q_event_funnel q_event_transitions q_filter_funnel
+#   q_funnel_by_cohort q_fuzzy_er_names q_hard_negatives
+#   q_hot_cold_join_revenue q_ivfpq_adc q_kcenter_coreset q_kn_bigram_lm
+#   q_knn_classify q_ngram_novelty q_notin_null_semantics q_ntile_deciles
+#   q_paragraph_dedup q_perplexity_buckets q_pq_codes
+#   q_prompt_with_samples q_rfm_segments q_scd2_intervals
+#   q_seasonality_profile q_semdedup q_session_overlap_join
+#   q_session_paths q_source_caps q_stable_matching_dist
+#   q_stream_cdc_apply q_stream_corpus_ingest q_stream_topk_types
+#   q_strip_duplicate_spans q_token_chunks q_train_val_split
+#   q_udtf_tokens q_user_value_trend q_value_outliers q_zorder_locality
+# All are green in CORRECTNESS_FULL_r03.json; keep full-surface evidence
+# for the rest.
 _VERIFY_FIRST = [
     # oracles upgraded from rows-only this round
     "q_media_frames",
