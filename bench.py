@@ -111,6 +111,7 @@ HEADLINE = [
     "q_seasonality_profile",
     "q_ngram_novelty",
     "q_embedding_drift",
+    "q_pmi_collocations",
 ]
 
 
