@@ -112,6 +112,7 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_embedding_drift",
     "q_pmi_collocations",
+    "q_brand_hhi",
 ]
 
 

@@ -41,7 +41,7 @@ from . import retrieval_q  # noqa: F401, E402
 # full-surface report (CORRECTNESS_FULL_r03.json); they rotate in next
 # round.  Previously-verified queries keep full-surface evidence there too.
 #
-# ROUND-4 TODO (window rotation): after the r3 driver check, exactly 49
+# ROUND-4 TODO (window rotation): after the r3 driver check, exactly 50
 # queries have never been driver-verified (computed: registry minus
 # CORRECTNESS_r01/r02 minus this round's window) — they fit one 50-entry
 # window.  Rebuild _VERIFY_FIRST from this list next round:
@@ -59,7 +59,7 @@ from . import retrieval_q  # noqa: F401, E402
 #   q_stream_cdc_apply q_stream_corpus_ingest q_stream_topk_types
 #   q_strip_duplicate_spans q_token_chunks q_train_val_split
 #   q_udtf_tokens q_user_value_trend q_value_outliers q_zorder_locality
-#   q_pmi_collocations
+#   q_pmi_collocations q_brand_hhi
 # All are green in CORRECTNESS_FULL_r03.json; keep full-surface evidence
 # for the rest.
 _VERIFY_FIRST = [

@@ -1463,3 +1463,47 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(cents("value", 10000)) / F.lit(10000.0)).alias("sum_value"),
     )
+
+
+# -- market concentration (Herfindahl index per brand) ------------------------
+# Supplier revenue concentration per part brand: two-level aggregation
+# (revenue per (brand, supplier) in exact cents, then per-brand HHI =
+# Σ share²).  The close-out squares bigint cents — decimal(38,0)/HUGEINT
+# like the correlation query — and converts to double once, so the index
+# is bit-identical cross-engine.  Shape: two hash aggs sharing the brand
+# key; no windows, no broadcast needed.
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT p.p_brand, l.l_suppkey,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand,
+       COUNT(*) AS n_suppliers,
+       SUM(cents) / 100.0 AS total_revenue,
+       CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+         / (CAST(CAST(SUM(cents) AS HUGEINT) * SUM(cents) AS DOUBLE)) AS hhi
+FROM rev GROUP BY p_brand
+"""
+
+
+@query("q_brand_hhi", _HHI_ORACLE)
+def q_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("cents"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (F.sum("cents") / F.lit(100.0)).alias("total_revenue"),
+        (
+            F.sum(dec(F.col("cents")) * dec(F.col("cents"))).cast("double")
+            / (dec(F.sum("cents")) * dec(F.sum("cents"))).cast("double")
+        ).alias("hhi"),
+    )

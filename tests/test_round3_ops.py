@@ -222,7 +222,8 @@ def test_round3_late_queries_oracle(spark, duck):
                  "q_stream_topk_types", "q_value_outliers",
                  "q_event_transitions", "q_rfm_segments",
                  "q_funnel_by_cohort", "q_seasonality_profile",
-                 "q_ngram_novelty", "q_embedding_drift", "q_pmi_collocations"):
+                 "q_ngram_novelty", "q_embedding_drift", "q_pmi_collocations",
+                 "q_brand_hhi"):
         assert_oracle_match(spark, duck, name)
 
 
