@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 
 def content_key(text: Column | str) -> Column:
     """Canonical content hash for exact dedup (md5 of raw text)."""
@@ -112,7 +114,7 @@ def jaccard_pairs(
 
     sized = shingles.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
     if materialize:
-        sized = sized.persist()
+        sized = scoped_persist(sized)
     a = sized.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
     b = sized.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
     return (
@@ -151,9 +153,10 @@ def _drop_heavy_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
         # the heavy set is referenced by every consumer branch of the
         # guarded frame; without this persist each branch re-runs the full
         # frequency scan (measured 4x wall time at sf0.1).  Bounded size:
-        # at most |shingle rows| / max_df distinct values.
-        .persist()
+        # at most |shingle rows| / max_df distinct values.  Scoped: the
+        # harness releases it after the consuming action (caching.py).
     )
+    heavy = scoped_persist(heavy)
     return shingles.join(heavy, "shingle", "left_anti")
 
 
@@ -177,9 +180,9 @@ def containment_pairs(
         shingles = _drop_heavy_shingles(shingles, max_df)
     from pyspark.sql import Window as W
 
-    sized = shingles.withColumn(
-        "sz", F.count(F.lit(1)).over(W.partitionBy("doc"))
-    ).persist()
+    sized = scoped_persist(
+        shingles.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
+    )
     a = sized.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
     b = sized.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
     sz_min = F.least(F.col("sz_a"), F.col("sz_b"))
@@ -319,7 +322,7 @@ def simhash_near_dup(
     the full fingerprint pipeline (token explode + ``bits``-column agg) —
     the dominant cost.  Doc-level (id, fingerprint) rows are tiny relative
     to the corpus, so the cache is bounded."""
-    sigs = sigs.persist()
+    sigs = scoped_persist(sigs)
     mask = (1 << band_bits) - 1
     banded = sigs.select(
         F.col(id_col).alias("doc"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -213,10 +215,9 @@ def lsh_topk(
 
     # persist: the bucket self-join references the signature frame twice and
     # Spark would otherwise recompute the explode+agg once per branch
-    sigs = (
+    sigs = scoped_persist(
         hyperplane_signature(df, n_planes, id_col, vec_col, dim=dim)
         .withColumn("v_norm", norm(F.col(vec_col)))
-        .persist()
     )
     q = sigs.select(
         F.col(id_col).alias("query_id"),
@@ -439,11 +440,13 @@ def cosine_topk_self(
     dominant O(N²·dim) fold of all-query harnesses like q_ann_recall."""
     from pyspark.sql import Window as W
 
-    withn = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("vnorm"),
-    ).persist()
+    withn = scoped_persist(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("vnorm"),
+        )
+    )
     a = withn.select(
         F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"),
         F.col("vnorm").alias("q_norm"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..functions.determinism import cents
 from ..functions.normalize import normalize_colname, option_letter, truncate_values
 from ..operators.sampling import most_frequent, random_sample, weighted_sample
@@ -1092,8 +1093,8 @@ def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
         # the self-join reads this twice; one shuffle+agg, then cache
-        .persist()
     )
+    spans = scoped_persist(spans)
     bucket_of = lambda c: (F.unix_seconds(c) / _BUCKET_S).cast("bigint")  # noqa: E731
     with_buckets = spans.withColumn(
         "bks", F.sequence(bucket_of(F.col("s")), bucket_of(F.col("e")))

@@ -25,6 +25,7 @@ from ..operators.dedup import (
 # unchanged — while on a real corpus this is the bound that keeps the join
 # fan-out at O(max_df · n_shingles) instead of O(df²) on viral boilerplate.
 MAX_DF = 64
+from ..caching import scoped_persist
 from ..sources.readers import load_table
 from .registry import query
 
@@ -320,7 +321,7 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only.  At corpus scale the verify join touches just the candidate set,
     not the corpus square."""
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", "text", n=3).persist()
+    sh = scoped_persist(word_shingles(d, "doc_id", "text", n=3))
     sigs = minhash_signatures(sh, n_perm=12, n_bands=4)
     from ..operators.dedup import lsh_candidate_pairs
 
@@ -514,7 +515,7 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _hash60, jaccard_pairs, word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", "text", n=3).persist()
+    sh = scoped_persist(word_shingles(d, "doc_id", "text", n=3))
     pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True).select(
         "doc_a", "doc_b", F.col("jaccard").alias("true_jaccard")
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..caching import scoped_persist
 from ..functions.determinism import cents
 from ..sources.readers import load_table
 from .registry import query
@@ -66,8 +67,8 @@ def q_fuzzy_er_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the dimension feeds both join sides: persist so the base table is
         # scanned once, not once per side (the self-join duplicates lineage)
-        .persist()
     )
+    names = scoped_persist(names)
     a = names.select(
         F.col("p_name").alias("name_a"),
         "block_key",
@@ -323,8 +324,8 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.sum(_cents("p_retailprice")).alias("price_cents"),
         )
-        .persist()
     )
+    names = scoped_persist(names)
     a = names.select(F.col("p_name").alias("name_a"), "block_key")
     b = names.select(F.col("p_name").alias("name_b"), "block_key")
     pairs = (

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..caching import SessionMemo
 from ..catalog.cases import case_catalog_df, cases_values_sql, gold_values_sql
 from ..functions.determinism import det_rand
 from ..llm.boundary import mock_score_candidates
@@ -95,27 +96,29 @@ merged AS (
 """
 
 
-_PREFS_MEMO: dict[int, DataFrame] = {}
+_PREFS_MEMO = SessionMemo()
 
 
 def _spark_preferences(spark: SparkSession) -> DataFrame:
     """Scored+ranked preference frame for the static matching cases.
 
-    Persisted and memoized per session: the frame feeds many downstream
-    consumers (both merge directions, ensembles, metrics), and without a
-    persist every consumer would re-run the mapInPandas scorer — the exact
-    recompute trap SURVEY §4 warns about for sampled/external-call frames.
+    Persisted and memoized per session (caching.SessionMemo — keyed by the
+    live session object, so a recycled id can never serve a dead session's
+    frame): the frame feeds many downstream consumers (both merge
+    directions, ensembles, metrics), and without a persist every consumer
+    would re-run the mapInPandas scorer — the exact recompute trap SURVEY
+    §4 warns about for sampled/external-call frames.
     """
-    key = id(spark._jsparkSession)
-    if key not in _PREFS_MEMO:
+
+    def build() -> DataFrame:
         # coalesce(1) before the Python boundary: the static case set is a
         # few hundred rows, and one Arrow batch through one Python worker
         # beats spinning a worker per partition; coalesce again after the
         # ranking shuffle so every consumer schedules few tasks
         cands = generate_candidates(case_catalog_df(spark)).coalesce(1)
-        prefs = rank_preferences(mock_score_candidates(cands)).coalesce(4).persist()
-        _PREFS_MEMO[key] = prefs
-    return _PREFS_MEMO[key]
+        return rank_preferences(mock_score_candidates(cands)).coalesce(4)
+
+    return _PREFS_MEMO.get_or_build(spark, build)
 
 
 # -- J1: candidate generation ------------------------------------------------
@@ -209,34 +212,38 @@ runs AS (
 """
 
 
-_RUNS_MEMO: dict[int, DataFrame] = {}
+_RUNS_MEMO = SessionMemo()
 
 
 def _spark_runs(spark: SparkSession) -> DataFrame:
-    key = id(spark._jsparkSession)
-    if key in _RUNS_MEMO:
-        return _RUNS_MEMO[key]
-    prefs = _spark_preferences(spark)
-    seeds = spark.createDataFrame([(s,) for s in ENSEMBLE_SEEDS], "seed int")
-    perturbed = (
-        prefs.filter((F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH))
-        .crossJoin(F.broadcast(seeds))
-        .filter(
-            det_rand_str("seed", "case_id", "query_attr", "candidate_attr") >= 0.15
+    def build() -> DataFrame:
+        prefs = _spark_preferences(spark)
+        seeds = spark.createDataFrame([(s,) for s in ENSEMBLE_SEEDS], "seed int")
+        perturbed = (
+            prefs.filter(
+                (F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH)
+            )
+            .crossJoin(F.broadcast(seeds))
+            .filter(
+                det_rand_str("seed", "case_id", "query_attr", "candidate_attr") >= 0.15
+            )
         )
-    )
-    win = W.partitionBy("seed", "case_id", "query_attr").orderBy(
-        F.desc("score_milli"), F.asc("candidate_attr")
-    )
-    runs = (
-        perturbed.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") == 1)
-        .select("seed", "case_id", F.col("candidate_attr").alias("src"), F.col("query_attr").alias("tgt"))
-        .coalesce(4)
-        .persist()
-    )
-    _RUNS_MEMO[key] = runs
-    return runs
+        win = W.partitionBy("seed", "case_id", "query_attr").orderBy(
+            F.desc("score_milli"), F.asc("candidate_attr")
+        )
+        return (
+            perturbed.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select(
+                "seed",
+                "case_id",
+                F.col("candidate_attr").alias("src"),
+                F.col("query_attr").alias("tgt"),
+            )
+            .coalesce(4)
+        )
+
+    return _RUNS_MEMO.get_or_build(spark, build)
 
 
 def det_rand_str(seed_col: str, *key_cols: str):

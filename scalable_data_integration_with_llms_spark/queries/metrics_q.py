@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..caching import SessionMemo
 from ..catalog.cases import case_catalog_df, gold_alignments_df, gold_values_sql
 from ..catalog.schema_catalog import testdata_catalog
 from ..operators.audit import audit_relation
@@ -18,29 +19,30 @@ from .matching import _base_cte, _runs_cte, _spark_preferences, _spark_runs
 from .registry import query
 
 
-_PRED_MEMO: dict[int, DataFrame] = {}
+_PRED_MEMO = SessionMemo()
 
 
 def _predicted_top1(spark: SparkSession) -> DataFrame:
     """Deterministic predicted alignments: best avg-merged candidate per
     (case, target attr).
 
-    Memoized+persisted per session like ``_spark_preferences``: the frame
-    is a few hundred rows but its plan (bidirectional merge + rank window)
-    is rebuilt by every metrics consumer (PRF1, MRR, category rollup) —
-    caching the OUTPUT collapses those to an InMemoryTableScan."""
-    key = id(spark._jsparkSession)
-    if key not in _PRED_MEMO:
+    Memoized+persisted per session like ``_spark_preferences``
+    (caching.SessionMemo — live-object keys, stopped sessions evicted): the
+    frame is a few hundred rows but its plan (bidirectional merge + rank
+    window) is rebuilt by every metrics consumer (PRF1, MRR, category
+    rollup) — caching the OUTPUT collapses those to an InMemoryTableScan."""
+
+    def build() -> DataFrame:
         merged = bidirectional_merge(_spark_preferences(spark), agg="avg")
         win = W.partitionBy("case_id", "tgt").orderBy(F.desc("score"), F.asc("src"))
-        _PRED_MEMO[key] = (
+        return (
             merged.withColumn("rk", F.row_number().over(win))
             .filter(F.col("rk") == 1)
             .select("case_id", "src", "tgt")
             .coalesce(1)
-            .persist()
         )
-    return _PRED_MEMO[key]
+
+    return _PRED_MEMO.get_or_build(spark, build)
 
 
 _PRED_CTE = """,

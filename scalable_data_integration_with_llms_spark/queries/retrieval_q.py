@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..sources.readers import load_table
 from .registry import query
 
@@ -652,7 +653,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * F.lit(1e7), 0).cast("bigint"),
     )
-    v = emb.select("vec_id", qv.alias("qv")).persist()
+    v = scoped_persist(emb.select("vec_id", qv.alias("qv")))
 
     def d2_to(vec: list) -> F.Column:
         const = F.array(*[F.lit(int(x)).cast("bigint") for x in vec])

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators.similarity import cosine_topk, ivf_topk
 from ..sources.readers import load_table
 from .registry import query
@@ -724,10 +725,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = kmeans_assign(emb, cents).select("vec_id", "cluster", "d2")
     # persist: the assigned+norm frame feeds both self-join sides and the
     # final rollup — three recomputes of the centroid assignment otherwise
-    withv = (
+    withv = scoped_persist(
         assigned.join(emb.select("vec_id", "embedding"), "vec_id")
         .withColumn("v_norm", norm(F.col("embedding")))
-        .persist()
     )
     # Each unordered pair is scored ONCE (vec_a < vec_b); "better" (closer
     # to centroid, ties by id) is a total order, so every similar pair has
@@ -953,8 +953,8 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("xq"),
         )
         # two aggregations (per-source and corpus) read this frame
-        .persist()
     )
+    ex = scoped_persist(ex)
     src = ex.groupBy("source", "i").agg(
         (F.sum("xq").cast("double") / F.lit(1e7) / F.count(F.lit(1))).alias("c")
     )
