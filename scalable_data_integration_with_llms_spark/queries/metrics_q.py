@@ -471,3 +471,148 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit_foreign_keys(o, c, "o_custkey", "c_custkey", "orders.o_custkey->customer"))
         .unionByName(audit_foreign_keys(c, n, "c_nationkey", "n_nationkey", "customer.c_nationkey->nation"))
     )
+
+
+# -- Confidence-score evaluation regimes --------------------------------------
+# The reference's three TP/FP/TN/FN classification schemes over 0/100-scored
+# MCQ answers (eval_confidence_score.py:12-169; operator semantics documented
+# in operators/confidence.py).  The deterministic answer set is derived from
+# the mock-scored preference frame: per (case, attribute) the top-ranked
+# option is "scored 100" and every other offered option "scored 0" — the
+# confidence-mode answer shape (ask_LLM.py:89-115) without the external
+# model, so both engines classify the identical rows.  The none-option is
+# "scored 100" when the best concrete candidate is weak (score < 0.5 of the
+# max) — the deterministic stand-in for a model confidently answering
+# "None of the options", which puts real rows through the none-regime
+# TP/FP branches (:118-125), not just the fixture test.
+
+_CONF_FLAGS_CTE = _base_cte() + f""",
+gold AS (SELECT * FROM {gold_values_sql()}),
+answers AS (
+  SELECT case_id, query_attr AS attribute, candidate_attr AS prediction,
+         CASE WHEN candidate_attr = 'none of the options'
+              THEN CASE WHEN MAX(CASE WHEN candidate_attr <> 'none of the options'
+                                      THEN score_milli END)
+                          OVER (PARTITION BY case_id, query_attr) < 500000
+                   THEN 100 ELSE 0 END
+              ELSE CASE WHEN rank = 1 THEN 100 ELSE 0 END END AS bucket
+  FROM ranked WHERE side = 'n_to_one'
+),
+flags AS (
+  SELECT a.*,
+         (prediction = 'none of the options') AS is_none,
+         EXISTS (SELECT 1 FROM gold g
+                 WHERE g.case_id = a.case_id AND g.tgt = a.attribute) AS attr_in_gold,
+         EXISTS (SELECT 1 FROM gold g
+                 WHERE g.case_id = a.case_id AND g.tgt = a.attribute
+                   AND g.src = a.prediction) AS pair_in_gold,
+         EXISTS (SELECT 1 FROM gold g
+                 JOIN answers o ON o.case_id = g.case_id AND o.attribute = g.tgt
+                              AND o.prediction = g.src
+                 WHERE g.case_id = a.case_id AND g.tgt = a.attribute) AS gold_in_options
+  FROM answers a
+),
+counts AS (
+  SELECT case_id,
+    CAST(SUM(CASE WHEN bucket = 100 AND is_none AND NOT (attr_in_gold AND gold_in_options) THEN 1 ELSE 0 END) AS BIGINT) AS tp_none,
+    CAST(SUM(CASE WHEN bucket = 100 AND is_none AND attr_in_gold AND gold_in_options THEN 1 ELSE 0 END) AS BIGINT) AS fp_none,
+    CAST(SUM(CASE WHEN bucket = 0 AND is_none AND NOT (attr_in_gold AND gold_in_options) THEN 1 ELSE 0 END) AS BIGINT) AS fn_none,
+    CAST(SUM(CASE WHEN bucket = 0 AND is_none AND attr_in_gold AND gold_in_options THEN 1 ELSE 0 END) AS BIGINT) AS tn_none,
+    CAST(SUM(CASE WHEN bucket = 100 AND NOT is_none AND pair_in_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp_attr,
+    CAST(SUM(CASE WHEN bucket = 100 AND NOT is_none AND NOT pair_in_gold THEN 1 ELSE 0 END) AS BIGINT) AS fp_attr,
+    CAST(SUM(CASE WHEN bucket = 0 AND NOT is_none AND pair_in_gold THEN 1 ELSE 0 END) AS BIGINT) AS fn_attr,
+    CAST(SUM(CASE WHEN bucket = 0 AND NOT is_none AND NOT pair_in_gold THEN 1 ELSE 0 END) AS BIGINT) AS tn_attr
+  FROM flags GROUP BY case_id
+),
+stacked AS (
+  SELECT case_id, 'None of the options' AS metric_group,
+         tp_none AS tp, fp_none AS fp, fn_none AS fn, tn_none AS tn FROM counts
+  UNION ALL
+  SELECT case_id, '(attr, query)', tp_attr, fp_attr, fn_attr, tn_attr FROM counts
+  UNION ALL
+  SELECT case_id, 'All', tp_none + tp_attr, fp_none + fp_attr,
+         fn_none + fn_attr, tn_none + tn_attr FROM counts
+),
+conf_metrics AS (
+  SELECT case_id, metric_group, tp, fp, fn, tn,
+         CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS precision,
+         CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall,
+         CASE WHEN tp + fp + fn + tn > 0 THEN (tp + tn) / (tp + fp + fn + tn) ELSE 0.0 END AS accuracy,
+         CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+                 + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END) > 0
+              THEN (2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+                      * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END))
+                 / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+                  + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END))
+              ELSE 0.0 END AS f1
+  FROM stacked
+)
+"""
+
+_CONF_EVAL_ORACLE = _CONF_FLAGS_CTE + """
+SELECT * FROM conf_metrics
+"""
+
+
+def _confidence_answers(spark: SparkSession) -> DataFrame:
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    win = W.partitionBy("case_id", "query_attr")
+    best = F.max(
+        F.when(F.col("candidate_attr") != NO_MATCH, F.col("score_milli"))
+    ).over(win)
+    bucket = F.when(
+        F.col("candidate_attr") == NO_MATCH,
+        F.when(best < 500000, F.lit(100)).otherwise(F.lit(0)),
+    ).otherwise(F.when(F.col("rank") == 1, F.lit(100)).otherwise(F.lit(0)))
+    return prefs.select(
+        "case_id",
+        F.col("query_attr").alias("attribute"),
+        F.col("candidate_attr").alias("prediction"),
+        bucket.alias("bucket"),
+    )
+
+
+@query("q_confidence_eval", _CONF_EVAL_ORACLE)
+def q_confidence_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-case R/P/accuracy/F1 under all three confidence regimes
+    (evaluate_none_of_options / evaluate_attr_options /
+    evaluate_confidence_score, eval_confidence_score.py:12-169)."""
+    from ..operators.confidence import confidence_counts, confidence_metrics
+
+    return confidence_metrics(
+        confidence_counts(_confidence_answers(spark), gold_alignments_df(spark))
+    )
+
+
+_CONF_SUMMARY_ORACLE = _CONF_FLAGS_CTE + """
+SELECT metric_group,
+       CAST(COUNT(*) AS BIGINT) AS n_cases,
+       SUM(CAST(round(precision * 1000000, 0) AS BIGINT)) / 1000000.0 / COUNT(*) AS mean_precision,
+       SUM(CAST(round(recall * 1000000, 0) AS BIGINT)) / 1000000.0 / COUNT(*) AS mean_recall,
+       SUM(CAST(round(accuracy * 1000000, 0) AS BIGINT)) / 1000000.0 / COUNT(*) AS mean_accuracy,
+       SUM(CAST(round(f1 * 1000000, 0) AS BIGINT)) / 1000000.0 / COUNT(*) AS mean_f1
+FROM conf_metrics
+GROUP BY metric_group
+"""
+
+
+@query("q_confidence_summary", _CONF_SUMMARY_ORACLE)
+def q_confidence_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mean-metrics report (evaluate_test_cases,
+    eval_confidence_score.py:204-218): per-regime means across cases, one
+    row per Metric Group.  Per-case metrics are rounded to exact micro
+    units before summing so the cross-case mean is an integer sum — order-
+    independent and bit-identical in both engines (the q_mrr idiom)."""
+    from ..operators.confidence import confidence_counts, confidence_metrics
+
+    per_case = confidence_metrics(
+        confidence_counts(_confidence_answers(spark), gold_alignments_df(spark))
+    )
+    micro = lambda c: F.round(F.col(c) * 1000000, 0).cast("bigint")  # noqa: E731
+    return per_case.groupBy("metric_group").agg(
+        F.count(F.lit(1)).alias("n_cases"),
+        (F.sum(micro("precision")) / 1e6 / F.count(F.lit(1))).alias("mean_precision"),
+        (F.sum(micro("recall")) / 1e6 / F.count(F.lit(1))).alias("mean_recall"),
+        (F.sum(micro("accuracy")) / 1e6 / F.count(F.lit(1))).alias("mean_accuracy"),
+        (F.sum(micro("f1")) / 1e6 / F.count(F.lit(1))).alias("mean_f1"),
+    )
