@@ -128,3 +128,15 @@ def fingerprint(text: Column | str, prefix_len: int = 16) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.lower(c), " +", " ")
     return F.substring(F.md5(norm), 1, prefix_len)
+
+
+def gram_indices(words: Column, n: int) -> Column:
+    """0-based start indices of the n-grams of ``words`` — EMPTY when the
+    document has fewer than n tokens.  The bare
+    ``sequence(0, greatest(size - n, -1))`` idiom DESCENDS to [0, -1] for a
+    short document (Spark picks step -1 when start > stop), and a 0 start
+    index then crashes slice/element_at at runtime — one 1-token document
+    would kill a whole corpus query."""
+    return F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))

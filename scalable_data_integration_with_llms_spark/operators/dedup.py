@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
+from ..functions.text import gram_indices
 
 
 def content_key(text: Column | str) -> Column:
@@ -69,7 +70,7 @@ def word_shingles(
     if spread:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    idx = gram_indices(words, n)
     shingles = F.transform(
         idx,
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
