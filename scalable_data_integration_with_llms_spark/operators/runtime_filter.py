@@ -23,6 +23,16 @@ probe — which benchmarked 20× slower than the word-array form.)
 Correctness never depends on the filter: it can only pass extra rows, and
 the exact join drops them — so any query using this keeps its plain-join
 oracle.
+
+Keys are canonicalized with ``CAST(key AS STRING)`` before hashing on BOTH
+the build and probe side.  ``xxhash64`` hashes by *input type*, so without
+the cast a bigint probe key against an int build key (a pairing the
+equi-join itself tolerates via implicit widening) would hash differently
+and silently drop matching rows — violating the pass-extra-rows-only
+guarantee.  The string cast makes the integral/string families agree
+(``5`` and ``5L`` both hash as ``"5"``); fractional build/probe type
+mismatches (int vs double) are outside the contract, as they are for the
+equi-join's own key semantics.
 """
 
 from __future__ import annotations
@@ -45,7 +55,9 @@ def build_bloom_words(
     pow2 = F.lit(
         [b - (1 << 64) if (b := 1 << i) >= (1 << 63) else b for i in range(64)]
     )
-    pos = F.pmod(F.xxhash64(F.col("j"), F.col("key")), F.lit(m))
+    pos = F.pmod(
+        F.xxhash64(F.col("j"), F.col("key").cast("string")), F.lit(m)
+    )
     word_rows = (
         build.select(F.col(key_col).alias("key"))
         .distinct()
@@ -84,7 +96,7 @@ def bloom_probe_predicate(
     )
     pred = None
     for j in range(k):
-        pos = F.pmod(F.xxhash64(F.lit(j), key_col), F.lit(m))
+        pos = F.pmod(F.xxhash64(F.lit(j), key_col.cast("string")), F.lit(m))
         word = F.element_at(word_arr, (pos / 64).cast("int") + 1)
         bit = F.element_at(pow2, F.pmod(pos, F.lit(64)).cast("int") + 1)
         bit_set = word.bitwiseAND(bit) != 0

@@ -27,6 +27,7 @@ parse itself distributes by splitting the text on depth-0 ``@`` inside
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -87,6 +88,8 @@ def parse_bib_text(text: str) -> list[dict]:
                 p = r
             elif q < len(body) and body[q] == '"':
                 r = body.find('"', q + 1)
+                if r < 0:  # unterminated quote: consume to end-of-body
+                    r = len(body)  # (a -1 here used to reset p to 0 and loop forever)
                 value = body[q + 1 : r]
                 p = r + 1
             else:
@@ -210,12 +213,16 @@ def route_entries(entries: DataFrame) -> DataFrame:
 
 
 def _split_authors_col(c: F.Column) -> F.Column:
-    from pyspark.sql.types import ArrayType, StringType
+    @F.pandas_udf("array<string>")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else split_authors(x))
 
-    return F.udf(split_authors, ArrayType(StringType()))(c)
+    return _f(c)
 
 
 def _merge_name_col(c: F.Column) -> F.Column:
-    from pyspark.sql.types import StringType
+    @F.pandas_udf("string")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else merge_first_name_first(x))
 
-    return F.udf(merge_first_name_first, StringType())(c)
+    return _f(c)

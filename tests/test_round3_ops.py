@@ -204,6 +204,37 @@ def test_bloom_runtime_filter_prunes_and_preserves(spark, duck):
     assert "element_at" in plan
 
 
+def test_bloom_filter_type_mismatch_keeps_matches(spark):
+    """Build on int keys, probe with bigint keys (a pairing the equi-join
+    itself tolerates via implicit widening): the filter must still pass
+    every matching row.  Without canonicalizing the hash input, xxhash64
+    hashes int and bigint differently and silently drops matches (r3/r4
+    ADVICE hazard)."""
+    from scalable_data_integration_with_llms_spark.operators.runtime_filter import (
+        bloom_probe_predicate,
+        build_bloom_words,
+    )
+
+    build = spark.range(0, 500).select(F.col("id").cast("int").alias("k"))
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))  # bigint
+    words = build_bloom_words(build, "k")
+    kept = {r.k for r in probe.filter(bloom_probe_predicate(words, "k")).collect()}
+    assert set(range(500)) <= kept  # no matching row dropped
+
+    # string build keys vs string probe keys still behave
+    sbuild = build.select(F.col("k").cast("string").alias("k"))
+    swords = build_bloom_words(sbuild, "k")
+    skept = {
+        r.k
+        for r in probe.select(F.col("k").cast("string").alias("k"))
+        .filter(bloom_probe_predicate(swords, "k"))
+        .collect()
+    }
+    assert {str(i) for i in range(500)} <= skept
+    # and the integral family agrees with the string family (canonical cast)
+    assert set(words) == set(swords)
+
+
 def test_stream_cdc_matches_batch(spark):
     """The foreachBatch upsert's final snapshot must equal the batch
     compaction — micro-batch boundaries cannot change an associative

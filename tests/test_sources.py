@@ -216,6 +216,23 @@ def test_bibtex_parser_grammar():
     assert merge_first_name_first("{Research and Co}") == "Research and Co"
 
 
+def test_bibtex_malformed_input_terminates():
+    """An unterminated quoted value must not hang the field loop (r3/r4
+    ADVICE: ``find('\"') == -1`` used to reset the scan position to 0)."""
+    from scalable_data_integration_with_llms_spark.sources.bibtex import parse_bib_text
+
+    es = parse_bib_text('@article{bad, title = "never closed, year = 1999}')
+    assert len(es) == 1 and es[0]["key"] == "bad"
+    # the unterminated value consumes to end-of-body; parsing terminates
+    assert es[0]["fields"]["title"].startswith("never closed")
+
+    # unterminated value mid-entry: later well-formed entries still parse
+    es2 = parse_bib_text(
+        '@article{bad, note = "oops}\n@article{good, year = 2001}'
+    )
+    assert any(e["key"] == "good" and e["fields"].get("year") == "2001" for e in es2)
+
+
 def test_bibtex_first_seen_dim(spark):
     from scalable_data_integration_with_llms_spark.sources.bibtex import (
         author_dim_first_seen,
