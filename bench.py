@@ -113,14 +113,23 @@ HEADLINE = [
     "q_embedding_drift",
     "q_pmi_collocations",
     "q_brand_hhi",
+    # round-5 additions: prompt repr-template catalog (fixture-driven but
+    # they exercise the preference frame + ordered-agg assembly path)
+    "q_repr_scoring_prompts",
+    "q_mm_prompts",
 ]
 
 # The BENCH_r02 comparison set is the HEADLINE prefix through the round-2
-# additions (everything before the "round-3 additions" block) — the driver-
-# facing JSON line reports exactly this subset so round-over-round totals
-# stay apples-to-apples and the line fits the driver's 2 KB tail capture.
+# additions (everything before the "round-3 additions" block); the later
+# blocks are the r3+ additions.  The driver-facing JSON line must fit the
+# driver's 2 KB tail capture, so it reports ONE subset per round and the
+# full battery goes to a file: even rounds report the r02 set (apples-to-
+# apples with BENCH_r02/r04), odd rounds the r3+ additions (which would
+# otherwise never get driver-visible timings).  `total_all` rides along on
+# every line for round-over-round continuity (VERDICT r4 task 7).
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N
+ROUND = int(os.environ.get("SPARK_GRAFT_ROUND", "5"))
 
 
 def main() -> None:
@@ -197,22 +206,29 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(HEADLINE),
     }
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    # Default output is an UNCOMMITTED path so a driver/judge re-run can't
+    # overwrite the committed quiet-machine battery (BENCH_FULL.json is
+    # copied from here by the builder at commit time; VERDICT r4 item 4).
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_last_run.json")
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name)
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
-    # Driver-facing line: exact r02 shape (metric/value/unit/queries/sf,
-    # best-of-2 only) restricted to the r02 51-query comparison set so the
-    # line stays well under the driver's 2 KB tail.  `value` is the total
-    # over the REPORTED subset (apples-to-apples with BENCH_r02's 61.6 s /
-    # the judge's 46.5 s); the full-battery total rides as one scalar.
-    line_queries = {n: timings[n] for n in HEADLINE[:_R02_HEADLINE_N] if n in timings}
+    # Driver-facing line: r02 shape (metric/value/unit/queries/sf, best-of-2
+    # only) restricted to one rotating subset so the line stays well under
+    # the driver's 2 KB tail.  The metric name carries the subset identity
+    # (ADVICE r4: one metric name for two different query sets was
+    # ambiguous); `value` totals the REPORTED subset only, `total_all` the
+    # whole battery.
+    if ROUND % 2 == 0:
+        subset, metric = HEADLINE[:_R02_HEADLINE_N], "headline_r02_subset_wall"
+    else:
+        subset, metric = HEADLINE[_R02_HEADLINE_N:], "headline_r3plus_subset_wall"
+    line_queries = {n: round(timings[n], 2) for n in subset if n in timings}
     line = json.dumps(
         {
-            "metric": "headline_queries_total_wall",
-            "value": round(sum(line_queries.values()), 4),
+            "metric": metric,
+            "value": round(sum(timings[n] for n in subset if n in timings), 4),
             "unit": "sec",
             "queries": line_queries,
             "sf": sf,

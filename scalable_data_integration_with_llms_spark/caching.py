@@ -27,10 +27,17 @@ blocks on a 1000-executor job silently steal space from the joins.
 
 from __future__ import annotations
 
-from typing import Callable
+from contextlib import contextmanager
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Process-global, deliberately unsynchronized: the ledger assumes ONE
+# driver thread executes queries at a time (the engine's harnesses — bench,
+# the correctness checker, pytest — are all single-threaded drivers).  With
+# concurrent driver threads, one thread's release_scoped() would unpersist
+# frames another thread's in-flight query still reads; a concurrent harness
+# must either serialize query execution or scope its own ledger.
 _SCOPED: list[DataFrame] = []
 
 
@@ -40,11 +47,37 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     Use for intra-query frames that multiple plan branches read.  The
     registration is process-wide, not per-session: a harness that drives
     many queries through one session calls ``release_scoped()`` between
-    queries and the ledger stays empty.
+    queries and the ledger stays empty.  Library callers invoking query
+    functions directly (outside the shipped harnesses) should wrap the
+    consuming action in :func:`scoped_caches` instead of tracking the
+    release themselves.
     """
     df.persist()
     _SCOPED.append(df)
     return df
+
+
+@contextmanager
+def scoped_caches() -> Iterator[None]:
+    """Release query-scoped persists on exit — the non-harness entry point::
+
+        with scoped_caches():
+            rows = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()
+
+    Only frames registered INSIDE the block are released (earlier
+    registrations stay owned by whoever made them), so nesting is safe as
+    long as execution stays single-threaded (see the ledger note above).
+    """
+    mark = len(_SCOPED)
+    try:
+        yield
+    finally:
+        while len(_SCOPED) > mark:
+            df = _SCOPED.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — the cache died with it
 
 
 def release_scoped() -> int:

@@ -56,15 +56,21 @@ MATCHING_CASES: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str]], li
     ),
 }
 
-_CATALOG_SCHEMA = "case_id string, side string, col_name string, col_type string"
+_CATALOG_SCHEMA = (
+    "case_id string, side string, col_name string, col_type string, col_idx int"
+)
 _GOLD_SCHEMA = "case_id string, src string, tgt string"
 
 
-def _catalog_rows() -> list[tuple[str, str, str, str]]:
+def _catalog_rows() -> list[tuple[str, str, str, str, int]]:
+    # col_idx = position within (case, side) — the reference renders schema
+    # descriptions in declared column order (get_schema_json_desc iterates
+    # schema["columns"]), so prompt assembly needs the ordinal explicitly:
+    # a DataFrame carries no row order through a shuffle.
     rows = []
     for case_id, (src_cols, tgt_cols, _gold) in MATCHING_CASES.items():
-        rows += [(case_id, "source", n.lower(), t) for n, t in src_cols]
-        rows += [(case_id, "target", n.lower(), t) for n, t in tgt_cols]
+        rows += [(case_id, "source", n.lower(), t, i) for i, (n, t) in enumerate(src_cols)]
+        rows += [(case_id, "target", n.lower(), t, i) for i, (n, t) in enumerate(tgt_cols)]
     return rows
 
 
@@ -89,6 +95,8 @@ def gold_alignments_df(spark: SparkSession) -> DataFrame:
 
 def _values_sql(rows: list[tuple], cols: list[str]) -> str:
     def lit(v) -> str:
+        if isinstance(v, int):
+            return str(v)
         return "'" + str(v).replace("'", "''") + "'"
 
     values = ",\n    ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
@@ -98,7 +106,9 @@ def _values_sql(rows: list[tuple], cols: list[str]) -> str:
 def cases_values_sql() -> str:
     """The case catalog as a DuckDB VALUES relation — byte-identical rows to
     ``case_catalog_df`` so oracle SQL can reproduce candidate generation."""
-    return _values_sql(_catalog_rows(), ["case_id", "side", "col_name", "col_type"])
+    return _values_sql(
+        _catalog_rows(), ["case_id", "side", "col_name", "col_type", "col_idx"]
+    )
 
 
 def gold_values_sql() -> str:

@@ -28,77 +28,75 @@ from . import er_q  # noqa: F401, E402
 from . import approx_q  # noqa: F401, E402
 from . import pipeline_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
+from . import prompt_q  # noqa: F401, E402
 
-# Verification-window priority (round 4): rounds 1-3 hard-verified 144
-# distinct queries (95 in r1+r2, 49/50 in the r3 window).  This round's
-# window is (a) the fixed q_inverted_index at position 0 — r3's only red
-# row, a driver-harness crash on its array-typed postings column, now a
-# joined string — then (b) the 50 never-driver-verified queries computed
-# after r3 (registry minus CORRECTNESS_r01/r02/r03 rows; the exact
-# ROUND-4 TODO list the r3 judge re-verified), minus q_ntile_deciles
-# (pytest-pinned with a documented scale note; rotates into round 5 with
-# any round-4 additions).  After this window every registered query has a
-# driver-green row in at least one round.  All names below are green in
-# the committed full-surface report (CORRECTNESS_FULL_r03.json).
+# Verification-window priority (round 5): rounds 1-4 hard-verified 194 of
+# the (pre-round-5) 197 registered queries.  This round's window is
+# (a) the 3 registry entries with no driver-green row in any round
+# (q_confidence_eval / q_confidence_summary were added after the r4 window
+# was fixed; q_ntile_deciles was held back in r4 with a documented scale
+# note) and the 5 new round-5 prompt repr-template queries, then
+# (b) a drift re-check of the 45 queries whose only driver-green row is
+# round 1 — the oldest verification, three code states ago.  After this
+# window every registered query has a driver-green row, and the oldest
+# standing verification is round 4.
 _VERIFY_FIRST = [
-    # r3's one red row, fixed (postings array -> joined string)
-    "q_inverted_index",
-    # never-driver-verified: retrieval / dedup / similarity
-    "q_duplicate_spans",
-    "q_strip_duplicate_spans",
-    "q_paragraph_dedup",
-    "q_semdedup",
-    "q_embedding_dup_clusters",
-    "q_embedding_drift",
-    "q_hard_negatives",
-    "q_kcenter_coreset",
-    "q_knn_classify",
-    "q_ivfpq_adc",
-    "q_pq_codes",
-    "q_ann_filtered",
-    "q_bm25_topk",
-    "q_domain_affinity",
-    # never-driver-verified: text / LM
-    "q_kn_bigram_lm",
-    "q_ngram_novelty",
-    "q_pmi_collocations",
-    "q_token_chunks",
-    "q_udtf_tokens",
-    "q_perplexity_buckets",
-    # never-driver-verified: corpus pipeline
-    "q_filter_funnel",
-    "q_source_caps",
-    "q_train_val_split",
-    # never-driver-verified: reference ops / ER / matching
-    "q_bibtex_import",
-    "q_prompt_with_samples",
-    "q_stable_matching_dist",
-    "q_er_entities",
-    "q_fuzzy_er_names",
-    # never-driver-verified: streaming
-    "q_stream_cdc_apply",
-    "q_stream_corpus_ingest",
-    "q_stream_topk_types",
-    # never-driver-verified: analytics / events
-    "q_cdc_apply",
-    "q_cohort_retention",
-    "q_corr_qty_price",
-    "q_event_funnel",
-    "q_event_transitions",
-    "q_funnel_by_cohort",
-    "q_session_overlap_join",
-    "q_session_paths",
-    "q_rfm_segments",
-    "q_seasonality_profile",
-    "q_user_value_trend",
-    "q_value_outliers",
-    "q_scd2_intervals",
-    "q_notin_null_semantics",
-    "q_zorder_locality",
-    "q_brand_hhi",
-    # never-driver-verified: joins / skew
-    "q_bloom_join_pushdown",
-    "q_hot_cold_join_revenue",
+    # never driver-verified (r4 additions + the held-back ntile)
+    "q_confidence_eval",
+    "q_confidence_summary",
+    "q_ntile_deciles",
+    # round-5 additions: prompt repr-template catalog
+    "q_repr_scoring_prompts",
+    "q_repr_n2one_prompts",
+    "q_repr_tada_prompts",
+    "q_mm_prompts",
+    "q_repr_prompt_tokens",
+    # r1-only rows (oldest verification -> drift re-check)
+    "q1_pricing_summary",
+    "q2_min_cost_part",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit",
+    "q10_returned_revenue",
+    "q11_important_types",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_heavy_shippers",
+    "q21_sole_failing_supplier",
+    "q22_idle_rich_customers",
+    "q_above_avg_orders",
+    "q_asof_latest_order",
+    "q_asof_next_order",
+    "q_big_spenders",
+    "q_customers_without_orders",
+    "q_events_hourly",
+    "q_events_rollup_multires",
+    "q_majority_vote",
+    "q_match_candidates",
+    "q_normalize_chain",
+    "q_orders_cube",
+    "q_orders_per_status",
+    "q_price_histogram",
+    "q_price_percentiles",
+    "q_range_join_purchase_context",
+    "q_salted_join_revenue",
+    "q_seeded_sample",
+    "q_stratified_sample",
+    "q_surrogate_keys",
+    "q_top_frequent",
+    "q_unique_value_sample",
+    "q_user_activity_windows",
+    "q_value_counts",
+    "q_weighted_sample",
 ]
 
 

@@ -1,0 +1,628 @@
+"""Prompt repr-template catalog queries (round 5; the reference's active
+repr classes — ``prompt_builder.py:30-62`` — as distributed string assembly).
+
+Each query produces one prompt string per (repr, case, target attribute),
+assembled with pure JVM expressions: per-attribute option lists ride a
+sorted ``collect_list`` (bounded by schema width, never corpus size), case
+dimensions broadcast, the chat render is a single ``concat`` inside
+whole-stage codegen.  At 100 TB of cases this is one hash aggregation per
+repr family plus broadcast joins — no skewable shuffle, no Python.
+
+Oracle strategy: the sequential golden renderer
+(``functions/prompt_repr.py``) re-implements each template the way the
+reference does (str.format, ``chr(65+idx)``, ``str(dict)`` JSON-ification)
+and its output is embedded as a VALUES relation — the distributed assembly
+is byte-compared against an independent sequential twin, the
+``q_chat_prompt`` / ``q_bibtex_import`` exact-string precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.cases import MATCHING_CASES, case_catalog_df
+from ..functions import prompt_repr as PR
+from ..functions.chat import chat_prompt
+from ..functions.text import token_count
+from ..operators.candidates import NO_MATCH
+from .matching import _spark_preferences
+from .registry import query
+
+_DATASET = "tpch"  # fixture dataset key for MM_SCHEMA_NAME
+
+# ---------------------------------------------------------------------------
+# MatchMaker response fixtures (prior-stage LLM outputs, FIXTURES-style
+# module constants; rendered to VALUES for the oracle like reference_ops.py)
+# ---------------------------------------------------------------------------
+
+_CASE1 = "tpch:CUSTOMER|tpch:SUPPLIER"
+
+# ConfidenceScoring (MMConfidence) inputs: raw text with an (A)... block
+# (options = everything from the first "(A)" to the next, MatchMaker.py:233-236)
+MM_SCORE_RESPONSES = [
+    (_CASE1, "s_name", 0,
+     "Here are the options:\n(A)tpch:CUSTOMER-c_name(varchar(25))\n(B)tpch:CUSTOMER-c_acctbal(double)\n(C)No Match."),
+    (_CASE1, "s_acctbal", 1, "(A)tpch:CUSTOMER-c_acctbal(double)\n(B)No Match."),
+    (_CASE1, "s_nationkey", 2, "no options block at all"),  # skipped
+]
+
+# ConfidenceScoring2 (MMConfidence2) inputs: refined lists validated against
+# the formatted source option universe (eval_utils.py:25-48) — one valid
+# marker row, one valid bare-bracket row, one out-of-universe, one >5 cap,
+# one unparseable
+MM2_RESPONSES = [
+    (_CASE1, "s_name", 0,
+     "Refined String List: ['tpch:CUSTOMER-c_name(varchar(25))', 'tpch:CUSTOMER-c_acctbal(double)']"),
+    (_CASE1, "s_acctbal", 1, "['tpch:CUSTOMER-c_acctbal(double)']"),
+    (_CASE1, "s_nationkey", 2, "Refined String List: ['c_nationkey']"),
+    (_CASE1, "s_suppkey", 3,
+     "Refined String List: ['tpch:CUSTOMER-c_custkey(bigint)', 'tpch:CUSTOMER-c_name(varchar(25))', "
+     "'tpch:CUSTOMER-c_nationkey(integer)', 'tpch:CUSTOMER-c_acctbal(double)', "
+     "'tpch:CUSTOMER-c_mktsegment(varchar(10))', 'tpch:CUSTOMER-c_custkey(bigint)']"),
+    (_CASE1, "s_name", 4, "Refined String List: oops no list"),
+]
+
+# MCQ_Formatter inputs: reuse the refined-list parser fixtures
+from .reference_ops import REFINED_RESPONSES  # noqa: E402
+
+_EVAL_TOP_N = 3  # Evaluator's predicted_mapping depth (top-k ranked candidates)
+
+
+# ---------------------------------------------------------------------------
+# golden rows (sequential renderer output; embedded as the oracle)
+# ---------------------------------------------------------------------------
+
+
+def _cases() -> list[tuple[str, str, list, str, list]]:
+    out = []
+    for case_id, (src_cols, tgt_cols, _gold) in MATCHING_CASES.items():
+        srel, trel = case_id.split("|")
+        src = [(n.lower(), t) for n, t in src_cols]
+        tgt = [(n.lower(), t) for n, t in tgt_cols]
+        out.append((case_id, srel, src, trel, tgt))
+    return out
+
+
+def _golden_scoring() -> list[tuple[str, str, str, str]]:
+    rows = []
+    for case_id, _srel, src, _trel, tgt in _cases():
+        for attr, atype in tgt:
+            cands = PR.ranked_candidates(attr, atype, src)
+            rows.append(
+                ("ConfidenceScore", case_id, attr,
+                 PR.render_confidence_scoring(attr, atype, cands))
+            )
+            rows.append(
+                ("LogitsConfidenceScoringPrompt", case_id, attr,
+                 PR.render_logits_confidence(attr, atype, cands))
+            )
+    return rows
+
+
+def _golden_n2one() -> list[tuple[str, str, str, str]]:
+    rows = []
+    for case_id, srel, src, trel, tgt in _cases():
+        for attr, atype in tgt:
+            rows.append(
+                ("N2One_Json", case_id, attr,
+                 PR.render_n2one_json(srel, src, trel, attr, atype))
+            )
+            rows.append(
+                ("CoTLogitsPrompt", case_id, attr,
+                 PR.render_cot_logits(srel, src, trel, attr, atype))
+            )
+    return rows
+
+
+def _golden_tada() -> list[tuple[str, str, str]]:
+    return [
+        (case_id, attr, PR.render_tada(srel, src, trel, attr, atype))
+        for case_id, srel, src, trel, tgt in _cases()
+        for attr, atype in tgt
+    ]
+
+
+def _golden_mm() -> list[tuple[str, str, str, int, str]]:
+    rows = []
+    by_case = {c[0]: c for c in _cases()}
+    for case_id, srel, src, trel, tgt in _cases():
+        for attr, atype in tgt:
+            rows.append(
+                ("MMCandidate", case_id, attr, -1,
+                 PR.render_mm_refiner(srel, src, trel, attr, atype, _DATASET))
+            )
+            answers = [n for n, _t in PR.ranked_candidates(attr, atype, src)[:_EVAL_TOP_N]]
+            p = PR.render_mm_evaluator(trel, attr, answers)
+            if p is not None:
+                rows.append(("MM_Evaluator", case_id, attr, -1, p))
+    for case_id, attr, idx, text in REFINED_RESPONSES_IDX:
+        p = PR.render_mm_mcq_formatter(text)
+        if p is not None:
+            rows.append(("MM_MCQ_Formatter", case_id, attr, idx, p))
+    for case_id, attr, idx, text in MM_SCORE_RESPONSES:
+        _c, _s, src, trel, tgt = by_case[case_id]
+        atype = dict(tgt)[attr]
+        p = PR.render_mm_confidence(trel, attr, atype, text)
+        if p is not None:
+            rows.append(("MMConfidence", case_id, attr, idx, p))
+    for case_id, attr, idx, text in MM2_RESPONSES:
+        _c, srel, src, trel, tgt = by_case[case_id]
+        atype = dict(tgt)[attr]
+        p = PR.render_mm_confidence2(srel, src, trel, attr, atype, text)
+        if p is not None:
+            rows.append(("MMConfidence2", case_id, attr, idx, p))
+    return rows
+
+
+def _golden_tokens() -> list[tuple[str, str, int, int]]:
+    """BasicICLPrompt.format's prompt_tokens: per (repr, case) prompt count
+    and summed whitespace tokens (token_count proxy, both engines)."""
+    per: dict[tuple[str, str], list[str]] = {}
+    for repr_type, case_id, _attr, prompt in _golden_scoring() + _golden_n2one():
+        per.setdefault((repr_type, case_id), []).append(prompt)
+    for case_id, _attr, prompt in _golden_tada():
+        per.setdefault(("TaDa", case_id), []).append(prompt)
+    return [
+        (rt, cid, len(ps), sum(len(p.split(" ")) for p in ps))
+        for (rt, cid), ps in sorted(per.items())
+    ]
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
+    body = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES\n{body}) AS t({', '.join(cols)})"
+
+
+# REFINED_RESPONSES with a stable per-row index (the reference keys
+# predicted_mapping by attribute; a frame needs an explicit row identity)
+REFINED_RESPONSES_IDX = [
+    (case_id, attr, i, text) for i, (case_id, attr, text) in enumerate(REFINED_RESPONSES)
+]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _rel_cols(case_id_col: F.Column) -> tuple[F.Column, F.Column]:
+    parts = F.split(case_id_col, "\\|")
+    return F.element_at(parts, 1), F.element_at(parts, 2)
+
+
+def _target_attrs(spark: SparkSession) -> DataFrame:
+    """(case_id, query_attr, query_type, src_rel, tgt_rel) — one row per
+    target attribute."""
+    cat = case_catalog_df(spark).filter(F.col("side") == "target")
+    srel, trel = _rel_cols(F.col("case_id"))
+    return cat.select(
+        "case_id",
+        F.col("col_name").alias("query_attr"),
+        F.col("col_type").alias("query_type"),
+        srel.alias("src_rel"),
+        trel.alias("tgt_rel"),
+    )
+
+
+def _sorted_source_agg(spark: SparkSession, part: F.Column) -> DataFrame:
+    """Per-case array of ``part`` rendered per source column, in declared
+    column order: (case_id, parts array)."""
+    cat = case_catalog_df(spark).filter(F.col("side") == "source")
+    return (
+        cat.withColumn("part", part)
+        .groupBy("case_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("col_idx"), F.col("part").alias("p")))
+                ),
+                lambda s: s["p"],
+            ).alias("parts")
+        )
+    )
+
+
+def _ranked_options(spark: SparkSession) -> DataFrame:
+    """Per (case, target attr): candidate ``name(type)`` strings in rank
+    order (the engine's canonical candidate list)."""
+    prefs = _spark_preferences(spark).filter(
+        (F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH)
+    )
+    opt = F.concat(
+        F.col("candidate_attr"), F.lit("("), F.col("candidate_type"), F.lit(")")
+    )
+    return (
+        prefs.withColumn("opt", opt)
+        .groupBy("case_id", "query_attr", "query_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rank"), F.col("opt").alias("o")))
+                ),
+                lambda s: s["o"],
+            ).alias("opts")
+        )
+    )
+
+
+def _lettered(arr: F.Column, sep: str, fmt) -> F.Column:
+    """Join ``fmt(letter_or_index, element)`` lines with ``sep``."""
+    return F.array_join(F.transform(arr, fmt), sep)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+_SCORING_ORACLE = _values_oracle(
+    _golden_scoring(), ["repr_type", "case_id", "query_attr", "prompt"]
+)
+
+
+@query("q_repr_scoring_prompts", _SCORING_ORACLE)
+def q_repr_scoring_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConfidenceScoringPrompt + LogitsConfidenceScoringPrompt, k=0
+    (PromptReprTemplate.py:18-119,460-566 via BasicScoringPrompt,
+    PromptICLTemplate.py:61-95): lettered / numbered MCQ options over the
+    ranked candidate list, chat-wrapped.  One hash agg over the preference
+    frame; everything else is codegen'd concat."""
+    opts = _ranked_options(spark)
+    query_str = F.concat(F.col("query_attr"), F.lit("("), F.col("query_type"), F.lit(")"))
+
+    conf_opts = F.concat(
+        _lettered(
+            F.col("opts"), "\n",
+            lambda x, i: F.concat(F.char(i + 65), F.lit("-"), x),
+        ),
+        F.lit("\n"),
+        F.char(F.size("opts") + 65),
+        F.lit("-None of the options"),
+    )
+    conf_mcq = F.concat(
+        F.lit("MCQ schema options:\n"), conf_opts,
+        F.lit("\n\ninput query:\n"), query_str, F.lit("\n\n"),
+    )
+    conf_q = F.concat(F.lit(PR.CONFIDENCE_INSTRUCTIONS + "\n\n"), conf_mcq)
+    conf = opts.select(
+        F.lit("ConfidenceScore").alias("repr_type"),
+        "case_id",
+        "query_attr",
+        chat_prompt(PR.CONFIDENCE_SYSTEM, conf_q).alias("prompt"),
+    )
+
+    logit_opts = _lettered(
+        F.col("opts"), "\n",
+        lambda x, i: F.concat((i + 1).cast("string"), F.lit(". "), x),
+    )
+    logit_mcq = F.concat(
+        F.lit("Question: Target attributes:\n"), logit_opts,
+        F.lit("\n\ninput query:\n"), query_str, F.lit("\n\nAnswer: "),
+    )
+    logit_q = F.concat(F.lit(PR.ATTR_TEMPLATE_DESC + "\n" + "\n\n"), logit_mcq)
+    logits = opts.select(
+        F.lit("LogitsConfidenceScoringPrompt").alias("repr_type"),
+        "case_id",
+        "query_attr",
+        chat_prompt(PR.LOGITS_SYSTEM, logit_q).alias("prompt"),
+    )
+    return conf.unionByName(logits)
+
+
+_N2ONE_ORACLE = _values_oracle(
+    _golden_n2one(), ["repr_type", "case_id", "query_attr", "prompt"]
+)
+
+
+@query("q_repr_n2one_prompts", _N2ONE_ORACLE)
+def q_repr_n2one_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2One_Json + CoTLogitsPrompt, k=0, reasoning=False
+    (PromptReprTemplate.py:291-451): the str(dict)-style schema JSON built
+    as ordered string aggregation, per-attribute instruction text, chat
+    wrap, and N2One's ``{ "matches": [`` answer prefix."""
+    src_json = _sorted_source_agg(
+        spark,
+        F.concat(
+            F.lit('{"name": "'), F.col("col_name"),
+            F.lit('", "type": "'), F.col("col_type"), F.lit('"}'),
+        ),
+    ).select(
+        "case_id",
+        F.concat(
+            F.lit('{"relation name": "'),
+            _rel_cols(F.col("case_id"))[0],
+            F.lit('", "columns": ['),
+            F.array_join("parts", ", "),
+            F.lit("]}"),
+        ).alias("source_desc"),
+    )
+    rows = _target_attrs(spark).join(F.broadcast(src_json), "case_id")
+
+    target_desc = F.concat(
+        F.lit('{"relation name": "'), F.col("tgt_rel"),
+        F.lit('", "column": {"name": "'), F.col("query_attr"),
+        F.lit('", "type": "'), F.col("query_type"), F.lit('"}}'),
+    )
+    st_desc = F.concat(
+        F.lit("The information about the relation from the source schema is as follows:\n\n"),
+        F.col("source_desc"),
+        F.lit("\n\nThe information about the relation from the target schema is as follows:\n\n"),
+        target_desc,
+        F.lit("\n\n"),
+    )
+
+    n2one_instr = F.concat(
+        F.lit("Identify which of the source attributes semantically match to "),
+        F.col("query_attr"), F.lit(" from "), F.col("tgt_rel"), F.lit("."),
+        F.lit('Format your output like this: `{"matches": ["<source attribute>,'),
+        F.col("query_attr"), F.lit('"'), F.lit(", ...]}`. "),
+        F.lit("Do not mention an attribute if there is not enough information to decide. "),
+        F.lit('If there is no source attribute matching the target attribute, return "None,'),
+        F.col("query_attr"), F.lit('". '),
+        F.lit("Do not include any explanation."),
+    )
+    cot_instr = F.concat(
+        F.lit("Identify which one of the source attributes semantically best match to "),
+        F.col("query_attr"), F.lit(" from "), F.col("tgt_rel"), F.lit("."),
+        F.lit("Give a final decision formatted like `Best Match:<target attribute>`"),
+        F.lit("If there is no source attribute matching the target attribute, return `Best Match:None`. "),
+        F.lit("Do not include any explanation."),
+    )
+
+    n2one = rows.select(
+        F.lit("N2One_Json").alias("repr_type"),
+        "case_id",
+        "query_attr",
+        F.concat(
+            chat_prompt(PR.N2ONE_SYSTEM, F.concat(st_desc, F.lit("\n\n"), n2one_instr)),
+            F.lit("\n" + PR.N2ONE_ANSWER_PREFIX),
+        ).alias("prompt"),
+    )
+    cot = rows.select(
+        F.lit("CoTLogitsPrompt").alias("repr_type"),
+        "case_id",
+        "query_attr",
+        chat_prompt(PR.N2ONE_SYSTEM, F.concat(st_desc, F.lit("\n\n"), cot_instr)).alias("prompt"),
+    )
+    return n2one.unionByName(cot)
+
+
+_TADA_ORACLE = _values_oracle(_golden_tada(), ["case_id", "query_attr", "prompt"])
+
+
+@query("q_repr_tada_prompts", _TADA_ORACLE)
+def q_repr_tada_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaDa, k=0 (PromptReprTemplate.py:123-207 + BaselinePrompt
+    PromptICLTemplate.py:27-37): relation/attribute description blocks,
+    PLAIN system+intro concatenation — the one un-chat-wrapped template."""
+    attr_block = F.concat(
+        F.lit("Attribute name: "), F.col("col_name"),
+        F.lit("\nAttribute description: values of "), F.col("col_name"),
+        F.lit(" ("), F.col("col_type"), F.lit(")\n"),
+    )
+    src_desc = _sorted_source_agg(spark, attr_block).select(
+        "case_id",
+        F.concat(
+            F.lit("Relation name: "),
+            _rel_cols(F.col("case_id"))[0],
+            F.lit("\n\nIn the following, I will list all attributes of "),
+            _rel_cols(F.col("case_id"))[0],
+            F.lit(".\n\n"),
+            F.array_join("parts", "\n"),
+        ).alias("source_desc"),
+    )
+    rows = _target_attrs(spark).join(F.broadcast(src_desc), "case_id")
+
+    target_desc = F.concat(
+        F.lit("Relation name: "), F.col("tgt_rel"),
+        F.lit("\n\nAttribute name: "), F.col("query_attr"),
+        F.lit("\nAttribute description: values of "), F.col("query_attr"),
+        F.lit(" ("), F.col("query_type"), F.lit(")\n"),
+    )
+    st_desc = F.concat(
+        F.lit("The relation from the source schema is the following:\n\n"),
+        F.col("source_desc"),
+        F.lit("\n\nThe attribute from the target schema is the following:\n\n"),
+        target_desc,
+        F.lit("\n\n"),
+    )
+    task = F.concat(
+        F.lit("Explain which of the source attributes semantically match to "),
+        F.col("query_attr"), F.lit(" from "), F.col("tgt_rel"),
+        F.lit(" of the target schema. Lets work this out step by step to make "
+              "sure we get it correct. After your explanation, give a final "
+              "decision JSON-formatted like this: " + PR.TADA_JSON_FORMAT
+              + ". Under each of the following keys, list all target attributes of "),
+        F.col("tgt_rel"),
+        F.lit(" that apply: yes - if there is an invertible function that maps "
+              "all values of the source attribute to the target attribute; no "
+              "- if there is no such function. unknown - if there is not "
+              "enough information to decide"),
+    )
+    return rows.select(
+        "case_id",
+        "query_attr",
+        F.concat(
+            F.lit(PR.TADA_SYSTEM + "\n\n"), st_desc, F.lit("\n\n"), task
+        ).alias("prompt"),
+    )
+
+
+_MM_ORACLE = _values_oracle(
+    _golden_mm(), ["repr_type", "case_id", "query_attr", "resp_idx", "prompt"]
+)
+
+
+@query("q_mm_prompts", _MM_ORACLE)
+def q_mm_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MatchMaker prompt family (MatchMaker.py): CandidateRefiner,
+    Evaluator (over the ranked top-k), MCQ_Formatter / MMConfidence /
+    MMConfidence2 (over prior-stage response fixtures, with the reference's
+    skip semantics for rows that fail extraction/validation)."""
+    from ..operators.validation import validate_mcq_list
+
+    tgt = _target_attrs(spark)
+    no_resp = F.lit(-1).alias("resp_idx")
+
+    # -- CandidateRefiner: all source columns, python-list-repr'd ---------
+    mm_opt_part = F.concat(
+        _rel_cols(F.col("case_id"))[0], F.lit("-"),
+        F.col("col_name"), F.lit("("), F.col("col_type"), F.lit(")"),
+    )
+    src_opts = _sorted_source_agg(spark, mm_opt_part).select(
+        "case_id",
+        F.concat(
+            F.lit("['"), F.array_join("parts", "', '"), F.lit("']")
+        ).alias("candidates_repr"),
+    )
+    refiner_sys = PR.MM_REFINER_SYSTEM_TMPL.format(
+        schema_name=PR.MM_SCHEMA_NAME[_DATASET]
+    )
+    refiner_user = F.concat(
+        F.lit("Input Schema:\n"), F.col("candidates_repr"),
+        F.lit("\nInput Query:\n"),
+        F.col("tgt_rel"), F.lit("-"), F.col("query_attr"),
+        F.lit("("), F.col("query_type"), F.lit(")"),
+        F.lit("\nReasoning: Let’s think step by step in order to"),
+    )
+    refiner = tgt.join(F.broadcast(src_opts), "case_id").select(
+        F.lit("MMCandidate").alias("repr_type"), "case_id", "query_attr",
+        no_resp, chat_prompt(refiner_sys, refiner_user).alias("prompt"),
+    )
+
+    # -- Evaluator: top-k ranked candidate names as the answers list ------
+    # top-k among the REAL candidates: the rank column numbers the no-match
+    # sentinel too, so slice the rank-sorted candidate array instead of
+    # filtering on rank (a sentinel inside the top-k would shorten the list)
+    prefs = _spark_preferences(spark).filter(
+        (F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH)
+    )
+    answers = prefs.groupBy("case_id", "query_attr").agg(
+        F.concat(
+            F.lit("['"),
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("rank"), F.col("candidate_attr").alias("c"))
+                            )
+                        ),
+                        lambda s: s["c"],
+                    ),
+                    1,
+                    _EVAL_TOP_N,
+                ),
+                "', '",
+            ),
+            F.lit("']"),
+        ).alias("answers_repr")
+    )
+    eval_user = F.concat(
+        F.lit("Query: "), F.col("tgt_rel"), F.lit("-"), F.col("query_attr"),
+        F.lit("\nAnswers: "), F.col("answers_repr"),
+        F.lit("\nReasoning: Let’s think step by step in order to "),
+    )
+    evaluator = tgt.join(answers, ["case_id", "query_attr"]).select(
+        F.lit("MM_Evaluator").alias("repr_type"), "case_id", "query_attr",
+        no_resp, chat_prompt(PR.MM_EVALUATOR_SYSTEM, eval_user).alias("prompt"),
+    )
+
+    # -- MCQ_Formatter: refined-list responses with the marker ------------
+    refined = spark.createDataFrame(
+        REFINED_RESPONSES_IDX, "case_id string, query_attr string, resp_idx int, response string"
+    )
+    fmt_user = F.concat(
+        F.lit("Input : "),
+        F.element_at(F.split(F.col("response"), "Refined String List:"), 2),
+        F.lit(" Mcq: "),
+    )
+    formatter = refined.filter(F.col("response").contains("Refined String List:")).select(
+        F.lit("MM_MCQ_Formatter").alias("repr_type"), "case_id", "query_attr",
+        "resp_idx", chat_prompt(PR.MM_MCQ_FORMATTER_SYSTEM, fmt_user).alias("prompt"),
+    )
+
+    # -- MMConfidence: options = prior output from its first "(A)" --------
+    scores = spark.createDataFrame(
+        MM_SCORE_RESPONSES, "case_id string, query_attr string, resp_idx int, response string"
+    ).join(tgt, ["case_id", "query_attr"])
+    conf_user = F.concat(
+        F.lit("Input Mcq:\n(A)"),
+        F.element_at(F.split(F.col("response"), "\\(A\\)"), 2),
+        F.lit("\nInput Query:\n"),
+        F.col("tgt_rel"), F.lit("-"), F.col("query_attr"),
+        F.lit("("), F.col("query_type"), F.lit(")"),
+        F.lit("Relation:\n"),
+    )
+    mm_conf = scores.filter(F.col("response").contains("(A)")).select(
+        F.lit("MMConfidence").alias("repr_type"), "case_id", "query_attr",
+        "resp_idx", chat_prompt(PR.MM_CONFIDENCE_SYSTEM, conf_user).alias("prompt"),
+    )
+
+    # -- MMConfidence2: validate refined list vs formatted option universe,
+    #    letter the survivors, append "No Match." -------------------------
+    mm2 = spark.createDataFrame(
+        MM2_RESPONSES, "case_id string, query_attr string, resp_idx int, response string"
+    )
+    universe = (
+        case_catalog_df(spark)
+        .filter(F.col("side") == "source")
+        .select("case_id", mm_opt_part.alias("option"))
+    )
+    validated = validate_mcq_list(mm2, universe).filter(F.col("accepted") == 1)
+    lettered = F.concat(
+        F.array_join(
+            F.transform(
+                F.col("candidates"),
+                lambda x, i: F.concat(F.lit("("), F.char(i + 65), F.lit(")"), x),
+            ),
+            "\n",
+        ),
+        F.lit("\n("), F.char(F.size("candidates") + 65), F.lit(")No Match."),
+    )
+    mm2_user = F.concat(
+        F.lit("Input Mcq:\n"), lettered,
+        F.lit("\nInput Query:\n"),
+        F.col("tgt_rel"), F.lit("-"), F.col("query_attr"),
+        F.lit("("), F.col("query_type"), F.lit(")"),
+        F.lit("Relation:\n"),
+    )
+    mm_conf2 = validated.join(tgt, ["case_id", "query_attr"]).select(
+        F.lit("MMConfidence2").alias("repr_type"), "case_id", "query_attr",
+        "resp_idx", chat_prompt(PR.MM_CONFIDENCE_SYSTEM, mm2_user).alias("prompt"),
+    )
+
+    return (
+        refiner.unionByName(evaluator)
+        .unionByName(formatter)
+        .unionByName(mm_conf)
+        .unionByName(mm_conf2)
+    )
+
+
+_TOKENS_ORACLE = _values_oracle(
+    _golden_tokens(), ["repr_type", "case_id", "n_prompts", "prompt_tokens"]
+)
+
+
+@query("q_repr_prompt_tokens", _TOKENS_ORACLE)
+def q_repr_prompt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (repr, case) prompt count + summed whitespace-token budget — the
+    ``prompt_tokens`` aggregate of BasicICLPrompt.format
+    (PromptICLTemplate.py:245-276), over the catalog-driven templates."""
+    scoring = q_repr_scoring_prompts(spark, sf_dir)
+    n2one = q_repr_n2one_prompts(spark, sf_dir)
+    tada = q_repr_tada_prompts(spark, sf_dir).select(
+        F.lit("TaDa").alias("repr_type"), "case_id", "query_attr", "prompt"
+    )
+    allp = scoring.unionByName(n2one).unionByName(tada)
+    return allp.groupBy("repr_type", "case_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_prompts"),
+        F.sum(token_count(F.col("prompt"))).cast("int").alias("prompt_tokens"),
+    )

@@ -1,0 +1,191 @@
+"""Prompt repr-template catalog (round 5): golden-renderer fixtures pinning
+each template's exact layout, plus Spark↔golden parity for every row.
+
+The oracle already byte-compares Spark vs the golden renderer at the driver
+level; these tests additionally pin hand-written literals so a transcription
+error in the SHARED constants (which both sides use) cannot slip through.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scalable_data_integration_with_llms_spark.functions import prompt_repr as PR
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORDERS_COLS = [
+    ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar(1)"), ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"), ("o_orderpriority", "varchar(15)"),
+]
+
+
+def test_ranked_candidates_match_engine_ordering():
+    # orderkey query: o_orderkey is a 0-distance stripped match and must rank 1
+    cands = PR.ranked_candidates("l_orderkey", "bigint", ORDERS_COLS)
+    assert cands[0] == ("o_orderkey", "bigint")
+    assert len(cands) == len(ORDERS_COLS)
+
+
+def test_confidence_scoring_layout():
+    p = PR.render_confidence_scoring(
+        "l_orderkey", "bigint", [("o_orderkey", "bigint"), ("o_custkey", "bigint")]
+    )
+    # chat wrap + system (reference's own "schema,predict" concatenation)
+    assert p.startswith("<|im_start|>system\nAct as a schema matching expert.")
+    assert "MCQ format of the schema,predict the likelihood" in p
+    # lettered options with the None tail (PromptReprTemplate.py:492-499)
+    assert "A-o_orderkey(bigint)\nB-o_custkey(bigint)\nC-None of the options" in p
+    assert "input query:\nl_orderkey(bigint)\n\n" in p
+    assert '"None of the options".\n\n' in p
+    assert p.endswith("<|im_start|>assistant\n")
+
+
+def test_logits_layout():
+    p = PR.render_logits_confidence(
+        "l_orderkey", "bigint", [("o_orderkey", "bigint"), ("o_custkey", "bigint")]
+    )
+    assert "Question: Target attributes:\n1. o_orderkey(bigint)\n2. o_custkey(bigint)" in p
+    assert p.rstrip().endswith("Answer: <|im_end|>\n<|im_start|>assistant") or (
+        "\n\nAnswer: " in p
+    )
+    # instruction block = attributes template desc only
+    assert "`attribute name (data type)`.\n\n\n\nQuestion:" in p
+
+
+def test_n2one_json_layout():
+    p = PR.render_n2one_json(
+        "tpch:ORDERS", ORDERS_COLS[:2], "tpch:LINEITEM", "l_orderkey", "bigint"
+    )
+    # str(dict)-style JSON with " quotes (PromptReprTemplate.py:330,400)
+    assert (
+        '{"relation name": "tpch:ORDERS", "columns": '
+        '[{"name": "o_orderkey", "type": "bigint"}, '
+        '{"name": "o_custkey", "type": "bigint"}]}'
+    ) in p
+    assert (
+        '{"relation name": "tpch:LINEITEM", "column": '
+        '{"name": "l_orderkey", "type": "bigint"}}'
+    ) in p
+    assert "including the name and type of all its attributes" in p
+    # answer prefix appended after the generation header (PromptICLTemplate.py:175-176)
+    assert p.endswith('<|im_start|>assistant\n\n{ "matches": [')
+
+
+def test_cot_logits_layout():
+    p = PR.render_cot_logits(
+        "tpch:ORDERS", ORDERS_COLS[:2], "tpch:LINEITEM", "l_orderkey", "bigint"
+    )
+    assert "semantically best match to l_orderkey from tpch:LINEITEM." in p
+    assert "`Best Match:<target attribute>`" in p
+    assert p.endswith("<|im_start|>assistant\n")  # no answer prefix
+
+
+def test_tada_is_not_chat_wrapped():
+    p = PR.render_tada(
+        "tpch:ORDERS", ORDERS_COLS[:1], "tpch:LINEITEM", "l_orderkey", "bigint"
+    )
+    assert "<|im_start|>" not in p  # BaselinePrompt: plain system\n\nintro
+    assert p.startswith("Act as a schema matcher for relational schemas.")
+    assert "Relation name: tpch:ORDERS\n\nIn the following, I will list all attributes of tpch:ORDERS.\n\n" in p
+    assert "Attribute name: o_orderkey\nAttribute description: values of o_orderkey (bigint)\n" in p
+    assert '`{"yes": [], "no": [], "unknown": []}`' in p
+
+
+def test_mm_mcq_formatter_exact_literal():
+    """Full-prompt literal for the smallest template — catches drift in the
+    shared system constant that substring checks could miss."""
+    got = PR.render_mm_mcq_formatter("Refined String List: ['c_name', 'c_acctbal']")
+    expected = (
+        "<|im_start|>system\n"
+        "You are an expert MCQ formatter. Your task is to take a list of schema "
+        "values and convert them into a multiple choice question format with "
+        "(letter)Schema value, where the schema values should be key(description).\n"
+        "—\n"
+        "Follow the following format. \n"
+        "Input: input list of schema values Mcq: MCQ format of schema values e.g "
+        "(A)Schema value, (B)Schema value. Do not include additional options, only "
+        "the schema values as options. where the schema values should be "
+        "key(description). Add a No Match option.\n_\n"
+        "<|im_end|>\n"
+        "<|im_start|>user\n"
+        "Input :  ['c_name', 'c_acctbal'] Mcq: <|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+    assert got == expected
+    assert PR.render_mm_mcq_formatter("no marker here") is None
+
+
+def test_mm_refiner_and_evaluator_layout():
+    p = PR.render_mm_refiner(
+        "tpch:ORDERS", ORDERS_COLS[:2], "tpch:LINEITEM", "l_orderkey", "bigint"
+    )
+    assert "expert TPCH matching ranker" in p
+    assert "basedon the input" in p  # reference's own concatenation quirk
+    assert "Input Schema:\n['tpch:ORDERS-o_orderkey(bigint)', 'tpch:ORDERS-o_custkey(bigint)']" in p
+    assert "Input Query:\ntpch:LINEITEM-l_orderkey(bigint)\n" in p
+    assert "Reasoning: Let’s think step by step in order to" in p
+
+    e = PR.render_mm_evaluator("tpch:LINEITEM", "l_orderkey", ["o_orderkey", "o_custkey"])
+    assert "Query: tpch:LINEITEM-l_orderkey\nAnswers: ['o_orderkey', 'o_custkey']\n" in e
+    assert e is not None and PR.render_mm_evaluator("t", "a", []) is None
+
+
+def test_mm_confidence_split_semantics():
+    # options run from the FIRST "(A)" to the next occurrence — python
+    # split()[1] semantics (MatchMaker.py:233-236)
+    p = PR.render_mm_confidence("tpch:LINEITEM", "l_orderkey", "bigint",
+                                "intro (A)x\n(B)y tail")
+    assert "Input Mcq:\n(A)x\n(B)y tail\nInput Query:\n" in p
+    assert "l_orderkey(bigint)Relation:\n" in p  # no newline before Relation:
+    assert PR.render_mm_confidence("t", "a", "int", "no block") is None
+
+
+def test_validate_mm_candidates_and_formatting():
+    opts = ["s-a(int)", "s-b(int)"]
+    assert PR.validate_mm_candidates("Refined String List: ['s-a(int)']", opts) == ["s-a(int)"]
+    assert PR.validate_mm_candidates("['s-a(int)', 's-b(int)']", opts) == ["s-a(int)", "s-b(int)"]
+    assert PR.validate_mm_candidates("['zzz']", opts) is None  # out of universe
+    six = "['s-a(int)', 's-a(int)', 's-a(int)', 's-a(int)', 's-a(int)', 's-a(int)']"
+    assert PR.validate_mm_candidates(six, opts) is None  # >5 cap
+    assert PR.validate_mm_candidates("not a list", opts) is None
+    assert PR.formatted_options(["x", "y"]) == "(A)x\n(B)y\n(C)No Match."
+
+
+@pytest.mark.parametrize("name", [
+    "q_repr_scoring_prompts", "q_repr_n2one_prompts", "q_repr_tada_prompts",
+    "q_mm_prompts", "q_repr_prompt_tokens",
+])
+def test_spark_matches_golden(spark, name):
+    """Distributed assembly == sequential golden renderer, byte-for-byte
+    (the same comparison the driver's oracle makes, kept here so template
+    edits fail fast in pytest)."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.queries import prompt_q as Q
+
+    golden = {
+        "q_repr_scoring_prompts": lambda: {
+            (t, c, a): p for t, c, a, p in Q._golden_scoring()
+        },
+        "q_repr_n2one_prompts": lambda: {
+            (t, c, a): p for t, c, a, p in Q._golden_n2one()
+        },
+        "q_repr_tada_prompts": lambda: {(c, a): p for c, a, p in Q._golden_tada()},
+        "q_mm_prompts": lambda: {
+            (t, c, a, i): p for t, c, a, i, p in Q._golden_mm()
+        },
+        "q_repr_prompt_tokens": lambda: {
+            (t, c): (n, tok) for t, c, n, tok in Q._golden_tokens()
+        },
+    }[name]()
+    rows = QUERIES[name](spark, SF_DIR).collect()
+    assert len(rows) == len(golden)
+    for r in rows:
+        d = r.asDict()
+        if name == "q_repr_prompt_tokens":
+            key = (d["repr_type"], d["case_id"])
+            assert (d["n_prompts"], d["prompt_tokens"]) == golden[key], key
+        else:
+            key = tuple(d[k] for k in d if k != "prompt")
+            assert d["prompt"] == golden[key], key

@@ -192,6 +192,14 @@ SHOWCASE = [
         "exchanges — fuses with the deterministic shard writer in a single "
         "stage pass over the corpus.",
     ),
+    (
+        "q_repr_n2one_prompts",
+        "Prompt repr-template assembly (round 5): the per-case schema JSON "
+        "is ONE ordered collect_list hash agg, broadcast into the "
+        "target-attribute frame; the full template render is a single "
+        "codegen'd concat — no Python, no per-prompt shuffle, scales as one "
+        "agg + broadcast join at any case-corpus size.",
+    ),
 ]
 
 
