@@ -449,17 +449,24 @@ def mm_option(rel_name: str, attr: str, attr_type: str) -> str:
     return f"{rel_name}-{attr}({attr_type})"
 
 
-def render_mm_refiner(
-    source_rel, source_cols, target_rel, query_attr, query_type, dataset="tpch"
+def mm_refiner_user(
+    source_rel, source_cols, target_rel, query_attr, query_type
 ) -> str:
-    """CandidateRefiner + BasicICLPrompt k=0 (MatchMaker.py:8-97): ALL
-    source columns as the candidate pool, python-list-repr'd."""
-    system = MM_REFINER_SYSTEM_TMPL.format(schema_name=MM_SCHEMA_NAME[dataset])
+    """CandidateRefiner's user message (MatchMaker.py:45-61): ALL source
+    columns as the candidate pool, python-list-repr'd."""
     q_options = [mm_option(source_rel, n, t) for n, t in source_cols]
-    user = MM_REFINER_Q_FORMAT.format(
+    return MM_REFINER_Q_FORMAT.format(
         candidates=str(q_options),
         query=mm_option(target_rel, query_attr, query_type),
     )
+
+
+def render_mm_refiner(
+    source_rel, source_cols, target_rel, query_attr, query_type, dataset="tpch"
+) -> str:
+    """CandidateRefiner + BasicICLPrompt k=0 (MatchMaker.py:8-97)."""
+    system = MM_REFINER_SYSTEM_TMPL.format(schema_name=MM_SCHEMA_NAME[dataset])
+    user = mm_refiner_user(source_rel, source_cols, target_rel, query_attr, query_type)
     return apply_chat_template(
         [{"role": "system", "content": system}, {"role": "user", "content": user}]
     )
@@ -546,6 +553,63 @@ def formatted_options(result: list[str]) -> str:
     opts = {chr(65 + i): cand for i, cand in enumerate(result)}
     opts[chr(65 + len(result))] = "No Match."
     return "\n".join(f"({k}){v}" for k, v in opts.items())
+
+
+def ws_tokens(s: str) -> int:
+    """Whitespace token proxy (U4; equals the engine's ``token_count``)."""
+    return len(s.split(" ")) if s else 0
+
+
+def pack_icl_examples(
+    demos: list[tuple[str, str]],
+    base_tokens: int,
+    k: int,
+    max_seq_len: int,
+    max_ans_len: int,
+) -> list[tuple[str, str]]:
+    """BasicICLPrompt.get_examples's packing loop
+    (PromptICLTemplate.py:195-219): scan the demo pool in order; an example
+    is ADDED if the prompt still fits the budget and SKIPPED otherwise (the
+    loop continues past a too-big example); stop once k examples are in.
+
+    Budget accounting is additive per piece (example user + answer token
+    counts on top of the base prompt) rather than re-tokenizing the whole
+    assembled prompt as the reference does — under a real tokenizer the chat
+    markers are fixed cost, so the additive form is the same check; under
+    the whitespace proxy it avoids boundary-merge artifacts.  Both the
+    golden renderer and the Spark fold use this exact rule.
+    """
+    picked: list[tuple[str, str]] = []
+    tokens = base_tokens
+    for user, answer in demos:
+        if len(picked) >= k:
+            break
+        cost = ws_tokens(user) + ws_tokens(answer)
+        if tokens + cost + max_ans_len <= max_seq_len:
+            picked.append((user, answer))
+            tokens += cost
+    return picked
+
+
+def render_icl_prompt(
+    system: str,
+    target_user: str,
+    demos: list[tuple[str, str]],
+    k: int,
+    max_seq_len: int,
+    max_ans_len: int,
+) -> tuple[int, str]:
+    """k-shot chat render (BasicICLPrompt.format_prompt/format_question,
+    PromptICLTemplate.py:128-178): system + packed (user, assistant) example
+    pairs + target user + generation header.  Returns (n_examples, prompt)."""
+    base_tokens = ws_tokens(system) + ws_tokens(target_user)
+    picked = pack_icl_examples(demos, base_tokens, k, max_seq_len, max_ans_len)
+    messages = [{"role": "system", "content": system}]
+    for user, answer in picked:
+        messages.append({"role": "user", "content": user})
+        messages.append({"role": "assistant", "content": answer})
+    messages.append({"role": "user", "content": target_user})
+    return len(picked), apply_chat_template(messages)
 
 
 def render_mm_confidence2(

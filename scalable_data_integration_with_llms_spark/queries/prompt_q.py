@@ -606,6 +606,174 @@ def q_mm_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# k-shot ICL render (the prompt_factory k>0 branch)
+# ---------------------------------------------------------------------------
+
+# (k, max_seq_len) configs: the generous budget packs the full k shots; the
+# tight one truncates every target to a single shot, so the budget rule is
+# exercised by the oracle (reference runs use "...-1024"-style max_seq_len
+# configs, PromptICLTemplate.py:195-219)
+ICL_CONFIGS = [(2, 1024), (2, 190)]
+_ICL_MAX_ANS_LEN = 50
+_ICL_SHOT_TOP_N = 2  # demo answers: top-2 ranked candidate names
+
+
+def _demo_pool() -> list[tuple[str, str, str, str]]:
+    """(demo_case_id, demo_attr, ex_user, ex_answer) for every (case,
+    target attr) — the MMSelector demo universe (ExampleSelectorTemplate.py:
+    34-64): example user = that case's CandidateRefiner prompt, example
+    answer = its refined-list trace, mocked from the ranked candidates."""
+    pool = []
+    for case_id, srel, src, trel, tgt in _cases():
+        for attr, atype in tgt:
+            user = PR.mm_refiner_user(srel, src, trel, attr, atype)
+            top = [n for n, _t in PR.ranked_candidates(attr, atype, src)[:_ICL_SHOT_TOP_N]]
+            pool.append((case_id, attr, user, f"Refined String List: {top!r}"))
+    return sorted(pool)
+
+
+def _golden_icl() -> list[tuple[str, int, str, str, int, str]]:
+    rows = []
+    system = PR.MM_REFINER_SYSTEM_TMPL.format(schema_name=PR.MM_SCHEMA_NAME[_DATASET])
+    pool = _demo_pool()
+    for k, max_seq in ICL_CONFIGS:
+        for case_id, srel, src, trel, tgt in _cases():
+            demos = [(u, a) for c, _attr, u, a in pool if c != case_id]
+            for attr, atype in tgt:
+                target_user = PR.mm_refiner_user(srel, src, trel, attr, atype)
+                n, prompt = PR.render_icl_prompt(
+                    system, target_user, demos, k, max_seq, _ICL_MAX_ANS_LEN
+                )
+                rows.append((f"k{k}_seq{max_seq}", max_seq, case_id, attr, n, prompt))
+    return rows
+
+
+_ICL_ORACLE = _values_oracle(
+    _golden_icl(),
+    ["config", "max_seq_len", "case_id", "query_attr", "n_examples", "prompt"],
+)
+
+
+@query("q_icl_prompt_render", _ICL_ORACLE)
+def q_icl_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-shot ICL prompt render — the ``prompt_factory`` k>0 branch
+    (prompt_builder.py:115-132 + PromptICLTemplate.py:117-219): MMSelector
+    demo pairs, the reference's skip-and-continue token-budget packing, and
+    the multi-message chat render with generation header.
+
+    The packing loop is SEQUENTIAL per target attribute but independent
+    across attributes, so it runs as a per-row ``F.aggregate`` fold over
+    the collected demo array — exact greedy semantics entirely inside
+    Catalyst (no Python, no window, no iteration driver-side).  Each target
+    attr is one row; at a 100 TB case corpus this is one demo-pool
+    broadcast + one map stage."""
+    system = PR.MM_REFINER_SYSTEM_TMPL.format(schema_name=PR.MM_SCHEMA_NAME[_DATASET])
+
+    # demo pool (small dimension -> broadcast); same rows as _demo_pool()
+    pool = spark.createDataFrame(
+        _demo_pool(), "demo_case string, demo_attr string, ex_user string, ex_answer string"
+    )
+    # target users: the refiner user message per (case, attr), built
+    # distributively exactly as q_mm_prompts does
+    mm_opt_part = F.concat(
+        _rel_cols(F.col("case_id"))[0], F.lit("-"),
+        F.col("col_name"), F.lit("("), F.col("col_type"), F.lit(")"),
+    )
+    src_opts = _sorted_source_agg(spark, mm_opt_part).select(
+        "case_id",
+        F.concat(F.lit("['"), F.array_join("parts", "', '"), F.lit("']")).alias("candidates_repr"),
+    )
+    targets = _target_attrs(spark).join(F.broadcast(src_opts), "case_id").select(
+        "case_id",
+        "query_attr",
+        F.concat(
+            F.lit("Input Schema:\n"), F.col("candidates_repr"),
+            F.lit("\nInput Query:\n"),
+            F.col("tgt_rel"), F.lit("-"), F.col("query_attr"),
+            F.lit("("), F.col("query_type"), F.lit(")"),
+            F.lit("\nReasoning: Let’s think step by step in order to"),
+        ).alias("target_user"),
+    )
+
+    # per-target demo array in pool order (cross join against the broadcast
+    # pool, self-case excluded), then the packing fold
+    demos = (
+        targets.join(F.broadcast(pool), F.col("demo_case") != F.col("case_id"))
+        .groupBy("case_id", "query_attr", "target_user")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("demo_case"), F.col("demo_attr"),
+                        F.col("ex_user").alias("u"), F.col("ex_answer").alias("a"),
+                    )
+                )
+            ).alias("pool")
+        )
+    )
+
+    base_tokens = token_count(F.lit(system)) + token_count(F.col("target_user"))
+    out = []
+    for k, max_seq in ICL_CONFIGS:
+        init = F.struct(
+            F.lit(0).alias("n"),
+            base_tokens.alias("toks"),
+            F.array().cast("array<struct<u:string,a:string>>").alias("sel"),
+        )
+
+        def make_step(_k: int, _max: int):
+            def step(acc, d):
+                cost = token_count(d["u"]) + token_count(d["a"])
+                fits = (acc["n"] < F.lit(_k)) & (
+                    acc["toks"] + cost + F.lit(_ICL_MAX_ANS_LEN) <= F.lit(_max)
+                )
+                grown = F.struct(
+                    (acc["n"] + 1).alias("n"),
+                    (acc["toks"] + cost).alias("toks"),
+                    F.concat(
+                        acc["sel"],
+                        F.array(F.struct(d["u"].alias("u"), d["a"].alias("a"))),
+                    ).alias("sel"),
+                )
+                return F.when(fits, grown).otherwise(acc)
+
+            return step
+
+        packed = F.aggregate(F.col("pool"), init, make_step(k, max_seq))
+        shots = F.array_join(
+            F.transform(
+                packed["sel"],
+                lambda s: F.concat(
+                    F.lit("<|im_start|>user\n"), s["u"],
+                    F.lit("<|im_end|>\n<|im_start|>assistant\n"), s["a"],
+                    F.lit("<|im_end|>\n"),
+                ),
+            ),
+            "",
+        )
+        prompt = F.concat(
+            F.lit(f"<|im_start|>system\n{system}<|im_end|>\n"),
+            shots,
+            F.lit("<|im_start|>user\n"), F.col("target_user"),
+            F.lit("<|im_end|>\n<|im_start|>assistant\n"),
+        )
+        out.append(
+            demos.select(
+                F.lit(f"k{k}_seq{max_seq}").alias("config"),
+                F.lit(max_seq).alias("max_seq_len"),
+                "case_id",
+                "query_attr",
+                packed["n"].alias("n_examples"),
+                prompt.alias("prompt"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 _TOKENS_ORACLE = _values_oracle(
     _golden_tokens(), ["repr_type", "case_id", "n_prompts", "prompt_tokens"]
 )

@@ -153,9 +153,54 @@ def test_validate_mm_candidates_and_formatting():
     assert PR.formatted_options(["x", "y"]) == "(A)x\n(B)y\n(C)No Match."
 
 
+def test_pack_icl_examples_skip_and_continue():
+    """The reference packing loop SKIPS a too-big example and keeps
+    scanning (PromptICLTemplate.py:210-217) — it does not stop at the first
+    overflow."""
+    big = ("w " * 60).strip()  # 60 tokens
+    small = "a b c"  # 3 tokens
+    demos = [("u1 u2", big), ("u3 u4", small), ("u5 u6", small)]
+    # base 10 + ans 5, budget 30: first demo costs 62 (skip), next two cost
+    # 5 each (both fit)
+    picked = PR.pack_icl_examples(demos, base_tokens=10, k=2, max_seq_len=30, max_ans_len=5)
+    assert picked == [("u3 u4", small), ("u5 u6", small)]
+    # k binds before the pool runs out
+    picked = PR.pack_icl_examples(demos[1:], 10, k=1, max_seq_len=100, max_ans_len=5)
+    assert picked == [("u3 u4", small)]
+    # nothing fits
+    assert PR.pack_icl_examples(demos, 10, 2, 12, 5) == []
+
+
+def test_render_icl_prompt_message_order():
+    n, p = PR.render_icl_prompt(
+        "SYS", "TARGET", [("EX_U", "EX_A")], k=1, max_seq_len=1000, max_ans_len=0
+    )
+    assert n == 1
+    assert p == (
+        "<|im_start|>system\nSYS<|im_end|>\n"
+        "<|im_start|>user\nEX_U<|im_end|>\n"
+        "<|im_start|>assistant\nEX_A<|im_end|>\n"
+        "<|im_start|>user\nTARGET<|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+
+
+def test_icl_budget_truncates(spark):
+    """The tight config must pack fewer shots than k; the generous one
+    packs exactly k — over the live query output."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    rows = QUERIES["q_icl_prompt_render"](spark, SF_DIR).collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault(r.config, set()).add(r.n_examples)
+    assert by_cfg["k2_seq1024"] == {2}
+    assert by_cfg["k2_seq190"] == {1}
+
+
 @pytest.mark.parametrize("name", [
     "q_repr_scoring_prompts", "q_repr_n2one_prompts", "q_repr_tada_prompts",
-    "q_mm_prompts", "q_repr_prompt_tokens",
+    "q_mm_prompts", "q_repr_prompt_tokens", "q_icl_prompt_render",
 ])
 def test_spark_matches_golden(spark, name):
     """Distributed assembly == sequential golden renderer, byte-for-byte
@@ -178,6 +223,9 @@ def test_spark_matches_golden(spark, name):
         "q_repr_prompt_tokens": lambda: {
             (t, c): (n, tok) for t, c, n, tok in Q._golden_tokens()
         },
+        "q_icl_prompt_render": lambda: {
+            (cfg, m, c, a): (n, p) for cfg, m, c, a, n, p in Q._golden_icl()
+        },
     }[name]()
     rows = QUERIES[name](spark, SF_DIR).collect()
     assert len(rows) == len(golden)
@@ -186,6 +234,9 @@ def test_spark_matches_golden(spark, name):
         if name == "q_repr_prompt_tokens":
             key = (d["repr_type"], d["case_id"])
             assert (d["n_prompts"], d["prompt_tokens"]) == golden[key], key
+        elif name == "q_icl_prompt_render":
+            key = (d["config"], d["max_seq_len"], d["case_id"], d["query_attr"])
+            assert (d["n_examples"], d["prompt"]) == golden[key], key
         else:
             key = tuple(d[k] for k in d if k != "prompt")
             assert d["prompt"] == golden[key], key
