@@ -21,12 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog.cases import MATCHING_CASES, case_catalog_df
+from ..catalog.cases import MATCHING_CASES, case_catalog_df, cases_values_sql
 from ..functions import prompt_repr as PR
 from ..functions.chat import chat_prompt
 from ..functions.text import token_count
 from ..operators.candidates import NO_MATCH
-from .matching import _spark_preferences
+from .matching import _base_cte, _spark_preferences
 from .registry import query
 
 _DATASET = "tpch"  # fixture dataset key for MM_SCHEMA_NAME
@@ -772,6 +772,215 @@ def q_icl_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# example selectors (prompt_builder.get_example_selector, round 5)
+# ---------------------------------------------------------------------------
+
+_SELECTOR_SEED = 7564  # reference seed list head, ask_StableMatcher.py:254
+_SELECTOR_K = 2
+
+_CASE_IDX = {cid: i for i, cid in enumerate(MATCHING_CASES)}
+
+
+def _case_idx_values() -> str:
+    body = ", ".join(f"('{c}', {i})" for c, i in _CASE_IDX.items())
+    return f"(VALUES {body}) AS ci(case_id, case_idx)"
+
+
+_RANDOM_SEL_ORACLE = f"""
+WITH ids AS (SELECT DISTINCT case_id FROM {cases_values_sql()}),
+pairs AS (
+  SELECT t.case_id, d.case_id AS demo_case_id,
+         ('0x' || substr(md5('{_SELECTOR_SEED}:' || t.case_id || ':' || d.case_id), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS rnd
+  FROM ids t JOIN ids d ON d.case_id <> t.case_id
+)
+SELECT case_id, demo_case_id, CAST(pick_rank AS INT) AS pick_rank
+FROM (SELECT pairs.*, ROW_NUMBER() OVER (PARTITION BY case_id ORDER BY rnd, demo_case_id) AS pick_rank
+      FROM pairs)
+WHERE pick_rank <= {_SELECTOR_K}
+"""
+
+
+@query("q_example_selector_random", _RANDOM_SEL_ORACLE)
+def q_example_selector_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomExampleSelector (ExampleSelectorTemplate.py:107-118): k seeded
+    random demo cases per target, never the target itself.  The reference
+    draws via ``random.Random(seed).sample``; the engine's canonical
+    substitution (as for every seeded shuffle, SURVEY §2.6) is md5-derived
+    deterministic randomness keyed by (seed, target, demo) — stable across
+    partitioning, retries, and engines, so the draw itself is
+    oracle-checkable.  Scale shape: the case-id dimension self-joins (both
+    sides broadcastable), one window per target."""
+    from ..functions.determinism import det_rand
+
+    ids = case_catalog_df(spark).select("case_id").distinct()
+    t = ids.select(F.col("case_id"))
+    d = ids.select(F.col("case_id").alias("demo_case_id"))
+    pairs = t.join(F.broadcast(d), F.col("demo_case_id") != F.col("case_id"))
+    rnd = det_rand(_SELECTOR_SEED, F.col("case_id"), F.col("demo_case_id"))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("case_id").orderBy(rnd.asc(), F.col("demo_case_id").asc())
+    return (
+        pairs.withColumn("pick_rank", F.row_number().over(win))
+        .filter(F.col("pick_rank") <= _SELECTOR_K)
+        .select("case_id", "demo_case_id", F.col("pick_rank").cast("int"))
+    )
+
+
+_COVERAGE_SEL_ORACLE = _base_cte() + f"""
+, cov AS (
+  SELECT case_id,
+         SUM(CASE WHEN candidate_attr <> 'none of the options' THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) AS coverage
+  FROM ranked WHERE side = 'n_to_one' AND rank = 1
+  GROUP BY case_id
+),
+ci AS (SELECT * FROM {_case_idx_values()}),
+sel_pairs AS (
+  SELECT t.case_id, d.case_id AS demo_case_id,
+         abs(t.coverage - d.coverage) AS cov_diff, dci.case_idx AS demo_idx
+  FROM cov t JOIN cov d ON d.case_id <> t.case_id
+  JOIN ci dci ON dci.case_id = d.case_id
+)
+SELECT case_id, demo_case_id, round(cov_diff, 9) AS cov_diff,
+       CAST(pick_rank AS INT) AS pick_rank
+FROM (SELECT sel_pairs.*, ROW_NUMBER() OVER (PARTITION BY case_id ORDER BY cov_diff, demo_idx) AS pick_rank
+      FROM sel_pairs)
+WHERE pick_rank <= {_SELECTOR_K}
+"""
+
+
+@query("q_example_selector_coverage", _COVERAGE_SEL_ORACLE)
+def q_example_selector_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimilarNullCoverageExampleSelector (ExampleSelectorTemplate.py:
+    122-150): rank demo cases by |coverage(target) − coverage(demo)|
+    ascending, take k.  Coverage is the engine's A13 ratio (aligned top-1
+    picks / target attrs).  The reference's stable sort keeps dataset order
+    on ties; the engine uses the explicit case ordinal as the tiebreak —
+    same order, shuffle-safe.  One tiny coverage dimension (broadcast) +
+    a per-target window."""
+    prefs = _spark_preferences(spark)
+    cov = (
+        prefs.filter((F.col("side") == "n_to_one") & (F.col("rank") == 1))
+        .groupBy("case_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("candidate_attr") != NO_MATCH, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("coverage")
+        )
+    )
+    idx = spark.createDataFrame(
+        list(_CASE_IDX.items()), "case_id string, case_idx int"
+    )
+    t = cov.select(F.col("case_id"), F.col("coverage").alias("t_cov"))
+    d = cov.join(idx, "case_id").select(
+        F.col("case_id").alias("demo_case_id"),
+        F.col("coverage").alias("d_cov"),
+        F.col("case_idx").alias("demo_idx"),
+    )
+    pairs = t.join(F.broadcast(d), F.col("demo_case_id") != F.col("case_id")).select(
+        "case_id", "demo_case_id",
+        F.abs(F.col("t_cov") - F.col("d_cov")).alias("cov_diff"),
+        "demo_idx",
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("case_id").orderBy(F.col("cov_diff").asc(), F.col("demo_idx").asc())
+    return (
+        pairs.withColumn("pick_rank", F.row_number().over(win))
+        .filter(F.col("pick_rank") <= _SELECTOR_K)
+        .select(
+            "case_id", "demo_case_id",
+            F.round("cov_diff", 9).alias("cov_diff"),
+            F.col("pick_rank").cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# generate_question.py stage 8: the questions-JSON record shape
+# ---------------------------------------------------------------------------
+
+
+def _golden_questions() -> list[tuple[str, int, int, str, str]]:
+    """The reference's per-case result record (BasicICLPrompt.format,
+    PromptICLTemplate.py:245-276 + the questions-JSON sink,
+    generate_question.py:302-360) for N2One_Json k=0: id, n_prompts count,
+    summed prompt tokens, answer prefix, and the gold 'matches' payload
+    (N2One_Json.get_answer, PromptReprTemplate.py:391-393) JSON-serialized
+    in gold-list order."""
+    per_case: dict[str, list[str]] = {}
+    for repr_type, case_id, _attr, prompt in _golden_n2one():
+        if repr_type == "N2One_Json":
+            per_case.setdefault(case_id, []).append(prompt)
+    rows = []
+    for case_id, (_src, _tgt, gold) in MATCHING_CASES.items():
+        matches = [f"{s.lower()}, {t.lower()}" for s, t in gold]
+        payload = '{"matches": ["' + '", "'.join(matches) + '"]}'
+        prompts = per_case[case_id]
+        rows.append(
+            (case_id, len(prompts), sum(PR.ws_tokens(p) for p in prompts),
+             PR.N2ONE_ANSWER_PREFIX, payload)
+        )
+    return rows
+
+
+_QUESTIONS_ORACLE = _values_oracle(
+    _golden_questions(),
+    ["case_id", "n_prompts", "prompt_tokens", "answer_prefix", "gold_matches"],
+)
+
+
+@query("q_generate_questions_record", _QUESTIONS_ORACLE)
+def q_generate_questions_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end §3.1 record: the N2One_Json prompt frame rolled up to the
+    questions-JSON sink shape.  Gold pairs serialize in gold-list order,
+    recovered by joining the source column's col_idx (every case declares
+    its gold pairs in source-column order — pinned by the golden oracle,
+    which would hash-mismatch if a case ever broke the convention)."""
+    from ..catalog.cases import gold_alignments_df
+
+    prompts = q_repr_n2one_prompts(spark, sf_dir).filter(
+        F.col("repr_type") == "N2One_Json"
+    )
+    stats = prompts.groupBy("case_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_prompts"),
+        F.sum(token_count(F.col("prompt"))).cast("int").alias("prompt_tokens"),
+    )
+    src_idx = case_catalog_df(spark).filter(F.col("side") == "source").select(
+        "case_id", F.col("col_name").alias("src"), "col_idx"
+    )
+    gold = (
+        gold_alignments_df(spark)
+        .join(F.broadcast(src_idx), ["case_id", "src"])
+        .withColumn("pair", F.concat(F.col("src"), F.lit(", "), F.col("tgt")))
+        .groupBy("case_id")
+        .agg(
+            F.concat(
+                F.lit('{"matches": ["'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("col_idx"), F.col("pair").alias("p")))
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    '", "',
+                ),
+                F.lit('"]}'),
+            ).alias("gold_matches")
+        )
+    )
+    return stats.join(gold, "case_id").select(
+        "case_id", "n_prompts", "prompt_tokens",
+        F.lit(PR.N2ONE_ANSWER_PREFIX).alias("answer_prefix"),
+        "gold_matches",
+    )
 
 
 _TOKENS_ORACLE = _values_oracle(

@@ -321,3 +321,25 @@ def test_token_chunks_map_only(spark):
     plan = _plan(spark, "q_token_chunks")
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_prompt_templates_no_python_and_broadcast(spark):
+    """Prompt repr-template assembly (round 5): the render path is pure
+    codegen concat over ordered aggregation — no Python evaluation nodes —
+    and the per-case dimensions reach the target frame via broadcast, so a
+    100 TB case corpus never shuffles per prompt.  (The preference frame's
+    one mapInPandas scorer is upstream and session-memoized; it must not
+    appear in these plans.)"""
+    for name in ("q_repr_n2one_prompts", "q_repr_tada_prompts", "q_icl_prompt_render"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_icl_packing_is_single_fold(spark):
+    """The k-shot packing fold must be an aggregate expression over the
+    collected demo array (one map stage), not a join/window per example."""
+    df = QUERIES["q_icl_prompt_render"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" in plan  # the higher-order fold survives into the plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -198,6 +198,27 @@ def test_icl_budget_truncates(spark):
     assert by_cfg["k2_seq190"] == {1}
 
 
+def test_example_selectors(spark):
+    """Both selector queries pick exactly k demos per target, never the
+    target itself (ExampleSelectorTemplate.py:107-150)."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.queries.prompt_q import _SELECTOR_K
+
+    for name in ("q_example_selector_random", "q_example_selector_coverage"):
+        rows = QUERIES[name](spark, SF_DIR).collect()
+        per_target: dict[str, list] = {}
+        for r in rows:
+            assert r.demo_case_id != r.case_id
+            per_target.setdefault(r.case_id, []).append(r.pick_rank)
+        assert all(sorted(v) == list(range(1, _SELECTOR_K + 1)) for v in per_target.values())
+        assert len(per_target) == 4  # every case is a target
+
+    # the random draw is seed-deterministic: same result twice
+    a = sorted(map(tuple, QUERIES["q_example_selector_random"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, QUERIES["q_example_selector_random"](spark, SF_DIR).collect()))
+    assert a == b
+
+
 @pytest.mark.parametrize("name", [
     "q_repr_scoring_prompts", "q_repr_n2one_prompts", "q_repr_tada_prompts",
     "q_mm_prompts", "q_repr_prompt_tokens", "q_icl_prompt_render",
