@@ -198,6 +198,68 @@ def test_icl_budget_truncates(spark):
     assert by_cfg["k2_seq190"] == {1}
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    _demo = st.tuples(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        st.text(alphabet="xy ", min_size=0, max_size=30),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        demos=st.lists(_demo, max_size=12),
+        base=st.integers(0, 200),
+        k=st.integers(0, 5),
+        max_seq=st.integers(0, 400),
+        max_ans=st.integers(0, 100),
+    )
+    def test_pack_icl_properties(demos, base, k, max_seq, max_ans):
+        picked = PR.pack_icl_examples(demos, base, k, max_seq, max_ans)
+        # never more than k; picked is an order-preserving subsequence
+        assert len(picked) <= k
+        it = iter(demos)
+        assert all(any(p == d for d in it) for p in picked)
+        # every accepted example fit at its acceptance point, so the final
+        # total plus the answer reservation is within budget when non-empty
+        total = base + sum(PR.ws_tokens(u) + PR.ws_tokens(a) for u, a in picked)
+        if picked:
+            assert total + max_ans <= max_seq
+        # exact greedy semantics: replay the reference loop
+        replay, toks = [], base
+        for d in demos:
+            if len(replay) >= k:
+                break
+            cost = PR.ws_tokens(d[0]) + PR.ws_tokens(d[1])
+            if toks + cost + max_ans <= max_seq:
+                replay.append(d)
+                toks += cost
+        assert picked == replay
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        opts=st.lists(st.text(alphabet="abc-()", min_size=1, max_size=8), min_size=1, max_size=6, unique=True),
+        take=st.integers(0, 8),
+    )
+    def test_validate_mm_candidates_properties(opts, take):
+        subset = opts[:take]
+        text = "Refined String List: " + str(subset)
+        got = PR.validate_mm_candidates(text, opts)
+        if len(subset) > 5:
+            assert got is None  # the cap
+        else:
+            assert got == subset
+        # an out-of-universe item always rejects
+        assert PR.validate_mm_candidates(str(subset + ["@@not-an-option@@"]), opts) is None
+
+
 def test_example_selectors(spark):
     """Both selector queries pick exactly k demos per target, never the
     target itself (ExampleSelectorTemplate.py:107-150)."""
