@@ -983,6 +983,215 @@ def q_generate_questions_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Schema-Mapping prompt render (generate_prompts.py path, round 5)
+# ---------------------------------------------------------------------------
+
+_MAP_SEED = 7564
+
+# the q_mapping_overlap scenario's namespaces: source relations from the
+# constraint-bearing testdata catalog, targets from the scenario DDL
+_MAP_TARGETS = [
+    {
+        "name": "cust_orders",
+        "attributes": [
+            ("c_name", "string", "", False, True),
+            ("o_orderkey", "bigint", "", False, True),
+            ("o_totalprice", "double", "", False, True),
+        ],
+        "foreign_keys": [],
+    },
+    {
+        "name": "big_orders",
+        "attributes": [
+            ("o_orderkey", "bigint", "", False, True),
+            ("o_totalprice", "double", "", False, True),
+        ],
+        "foreign_keys": [],
+    },
+]
+
+
+def _map_source_relations() -> list[dict]:
+    from ..catalog.schema_catalog import testdata_catalog
+
+    cat = testdata_catalog()
+    out = []
+    for name in ("orders", "customer"):
+        rel = cat.rel(name)
+        out.append(
+            {
+                "name": rel.name,
+                "attributes": [
+                    (a.name, a.type_str, a.description, a.is_pk, a.nullable)
+                    for a in rel.attributes
+                ],
+                "foreign_keys": rel.foreign_keys,
+            }
+        )
+    return out
+
+
+def _golden_mapping_prompts() -> list[tuple[str, str, str]]:
+    from ..functions import mapping_prompts as MP
+
+    src = MP.serialize_schema_json(_map_source_relations(), _MAP_SEED)
+    tgt = MP.serialize_schema_json(_MAP_TARGETS, _MAP_SEED)
+    rows = []
+    for template in MP.MAPPING_TEMPLATES:
+        system, user = MP.render_mapping_prompt(template, src, tgt)
+        rows.append((template, system, user))
+    return rows
+
+
+_MAPPING_PROMPT_ORACLE = _values_oracle(
+    _golden_mapping_prompts(), ["template", "system_prompt", "user_prompt"]
+)
+
+
+@query("q_mapping_prompt_render", _MAPPING_PROMPT_ORACLE)
+def q_mapping_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-Mapping prompt generation (``Schema Mapping/DatabaseUtils/
+    prompt_templates.py`` + ``PromptBuilder.py:112-268``): the JSON schema
+    serializer — seeded relation/attribute shuffles, constraint hints
+    (nullable, description, foreign keys), declared-order primary keys —
+    feeding all five template classes (JSON_original, SQL, SQLite,
+    SQL_IgnorePKs, Datalog).
+
+    Assembly is the prompt_q pattern: attribute JSON as codegen concat,
+    TWO ordered collect_list aggs (attributes within relation, relations
+    within namespace — ordering via the engine's md5 shuffle key, the
+    §2.6 substitution for ``random.Random(seed).shuffle``), then a
+    template cross-join over the one-row namespace frame.  Relation-level
+    FK metadata rides the input frame as pre-serialized JSON (declared
+    constants, not computed data)."""
+    import json as _json
+
+    from ..functions import mapping_prompts as MP
+
+    rows = []
+    for side, rels in (("source", _map_source_relations()), ("target", _MAP_TARGETS)):
+        for rel in rels:
+            fks = rel.get("foreign_keys") or []
+            fk_json = (
+                _json.dumps(
+                    [
+                        {
+                            "from_attributes": list(fc),
+                            "to_relation": tr,
+                            "to_attributes": list(tc),
+                        }
+                        for fc, tr, tc in fks
+                    ]
+                )
+                if fks
+                else None
+            )
+            for idx, (name, typ, desc, is_pk, nullable) in enumerate(rel["attributes"]):
+                rows.append(
+                    (side, rel["name"], name, typ, desc, bool(is_pk), bool(nullable), idx, fk_json)
+                )
+    attrs = spark.createDataFrame(
+        rows,
+        "side string, rel string, attr string, col_type string, col_desc string, "
+        "is_pk boolean, nullable boolean, col_idx int, fk_json string",
+    )
+
+    def _shuffle_key(c) -> F.Column:
+        return F.md5(F.concat(F.lit(f"{_MAP_SEED}:"), c))
+
+    attr_json = F.concat(
+        F.lit('{"name": "'), F.col("attr"),
+        F.lit('", "type": "'), F.col("col_type"),
+        F.lit('", "nullable": "'),
+        F.when(F.col("nullable"), F.lit("True")).otherwise(F.lit("False")),
+        F.lit('"'),
+        F.when(
+            F.col("col_desc") != "",
+            F.concat(F.lit(', "description": "'), F.col("col_desc"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    per_rel = (
+        attrs.withColumn("attr_json", attr_json)
+        .withColumn("akey", _shuffle_key(F.col("attr")))
+        .groupBy("side", "rel", "fk_json")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("akey"), F.col("attr_json").alias("j")))
+                    ),
+                    lambda s: s["j"],
+                ),
+                ", ",
+            ).alias("attrs_json"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("col_idx"),
+                            F.when(F.col("is_pk"), F.col("attr")).alias("pk"),
+                        )
+                    )
+                ),
+                lambda s: s["pk"],
+            ).alias("pk_arr"),
+        )
+    )
+    pk_compact = F.filter(F.col("pk_arr"), lambda x: x.isNotNull())
+    pk_json = F.when(F.size(pk_compact) == 0, F.lit("[]")).otherwise(
+        F.concat(F.lit('["'), F.array_join(pk_compact, '", "'), F.lit('"]'))
+    )
+    rel_json = F.concat(
+        F.lit('{"relation": "'), F.col("rel"),
+        F.lit('", "attributes": ['), F.col("attrs_json"), F.lit("], "),
+        F.lit('"primary key": '), pk_json,
+        F.when(
+            F.col("fk_json").isNotNull(),
+            F.concat(F.lit(', "foreign keys": '), F.col("fk_json")),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    per_ns = (
+        per_rel.withColumn("rel_json", rel_json)
+        .withColumn("rkey", _shuffle_key(F.col("rel")))
+        .groupBy("side")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("rkey"), F.col("rel_json").alias("j")))
+                        ),
+                        lambda s: s["j"],
+                    ),
+                    ", ",
+                ),
+                F.lit("]"),
+            ).alias("ns_json")
+        )
+    )
+    both = per_ns.groupBy().agg(
+        F.max(F.when(F.col("side") == "source", F.col("ns_json"))).alias("src"),
+        F.max(F.when(F.col("side") == "target", F.col("ns_json"))).alias("tgt"),
+    )
+    templates = spark.createDataFrame(
+        [(t, s, u) for t, (s, u) in MP.MAPPING_TEMPLATES.items()],
+        "template string, system_prompt string, user_tmpl string",
+    )
+    return templates.crossJoin(F.broadcast(both)).select(
+        "template",
+        "system_prompt",
+        F.replace(
+            F.replace(F.col("user_tmpl"), F.lit("{source_schema}"), F.col("src")),
+            F.lit("{target_schema}"),
+            F.col("tgt"),
+        ).alias("user_prompt"),
+    )
+
+
 _TOKENS_ORACLE = _values_oracle(
     _golden_tokens(), ["repr_type", "case_id", "n_prompts", "prompt_tokens"]
 )

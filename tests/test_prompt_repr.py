@@ -8,6 +8,8 @@ error in the SHARED constants (which both sides use) cannot slip through.
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from scalable_data_integration_with_llms_spark.functions import prompt_repr as PR
@@ -258,6 +260,54 @@ if _HAVE_HYP:
             assert got == subset
         # an out-of-universe item always rejects
         assert PR.validate_mm_candidates(str(subset + ["@@not-an-option@@"]), opts) is None
+
+
+def test_mapping_prompt_serializer_layout():
+    """JSON schema serializer (Schema Mapping PromptBuilder.py:130-197):
+    OrderedDict key order, str(bool) nullable, conditional hint keys,
+    seeded shuffle ordering."""
+    from scalable_data_integration_with_llms_spark.functions import mapping_prompts as MP
+
+    rel = {
+        "name": "t",
+        "attributes": [
+            ("pk_id", "bigint", "the key", True, False),
+            ("val", "double", "", False, True),
+        ],
+        "foreign_keys": [(("val",), "other", ("o_val",))],
+    }
+    out = MP.serialize_schema_json([rel], seed=1)
+    parsed = json.loads(out)
+    assert list(parsed[0].keys()) == ["relation", "attributes", "primary key", "foreign keys"]
+    by_name = {a["name"]: a for a in parsed[0]["attributes"]}
+    assert by_name["pk_id"] == {
+        "name": "pk_id", "type": "bigint", "nullable": "False", "description": "the key"
+    }
+    assert by_name["val"] == {"name": "val", "type": "double", "nullable": "True"}
+    assert parsed[0]["primary key"] == ["pk_id"]
+    assert parsed[0]["foreign keys"] == [
+        {"from_attributes": ["val"], "to_relation": "other", "to_attributes": ["o_val"]}
+    ]
+    # attribute order follows the seeded shuffle key, not declaration
+    names = [a["name"] for a in parsed[0]["attributes"]]
+    assert names == sorted(names, key=lambda n: MP.shuffle_key(1, n))
+
+
+def test_mapping_prompt_render_spark_matches_golden(spark):
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.queries.prompt_q import (
+        _golden_mapping_prompts,
+    )
+
+    golden = {t: (s, u) for t, s, u in _golden_mapping_prompts()}
+    rows = QUERIES["q_mapping_prompt_render"](spark, SF_DIR).collect()
+    assert len(rows) == len(golden) == 5
+    for r in rows:
+        assert (r.system_prompt, r.user_prompt) == golden[r.template], r.template
+    # every template embeds both serialized namespaces
+    any_user = rows[0].user_prompt
+    assert '"relation": "orders"' in any_user and '"relation": "big_orders"' in any_user
+    assert '"foreign keys": [{"from_attributes": ["o_custkey"]' in any_user
 
 
 def test_example_selectors(spark):
