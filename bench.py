@@ -117,6 +117,8 @@ HEADLINE = [
     # they exercise the preference frame + ordered-agg assembly path)
     "q_repr_scoring_prompts",
     "q_mm_prompts",
+    "q_icl_prompt_render",
+    "q_mapping_prompt_render",
 ]
 
 # The BENCH_r02 comparison set is the HEADLINE prefix through the round-2

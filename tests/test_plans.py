@@ -343,3 +343,11 @@ def test_icl_packing_is_single_fold(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "aggregate(" in plan  # the higher-order fold survives into the plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mapping_prompt_render_no_python(spark):
+    """The schema-JSON serialization is two ordered collect_list aggs +
+    codegen concat; no Python evaluation may appear in the plan."""
+    plan = _plan(spark, "q_mapping_prompt_render")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ObjectHashAggregate" in plan  # the ordered collect_list aggs
