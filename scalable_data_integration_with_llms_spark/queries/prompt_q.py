@@ -1192,6 +1192,105 @@ def q_mapping_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SAMPLE_DATA hint: the ColumnWiseSampler feeding the serializer
+# ---------------------------------------------------------------------------
+
+_SAMPLE_HINT_ATTRS = [
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_name"),
+    ("customer", "c_mktsegment"),
+]
+_SAMPLE_HINT_N = 3
+_SAMPLE_HINT_SEED = 7564
+_STR_LIMIT = 100  # PromptBuilder.py:18
+
+_SAMPLE_HINT_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{tbl}' AS relation, '{attr}' AS attr,
+       '["' || string_agg(v, '", "' ORDER BY rnk) || '"]' AS sample_values
+FROM (
+  SELECT CASE WHEN length(v) > {_STR_LIMIT} THEN substr(v, 1, {_STR_LIMIT}) || '...' ELSE v END AS v,
+         ROW_NUMBER() OVER (ORDER BY es_key DESC, v ASC) AS rnk
+  FROM (
+    SELECT v, pow(('0x' || substr(md5('{_SAMPLE_HINT_SEED}:' || v), 1, 15))::BIGINT
+                  / 1152921504606846976.0, 1.0 / cnt) AS es_key
+    FROM (SELECT {attr} AS v, COUNT(*) AS cnt FROM {tbl}
+          WHERE {attr} IS NOT NULL GROUP BY {attr})
+  )
+) WHERE rnk <= {_SAMPLE_HINT_N}
+"""
+    for tbl, attr in _SAMPLE_HINT_ATTRS
+)
+
+
+@query("q_mapping_sample_data_hint", _SAMPLE_HINT_ORACLE)
+def q_mapping_sample_data_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE_DATA hint for the mapping serializer (ColumnWiseSampler,
+    ``Schema Mapping/DatabaseUtils/PromptBuilder.py:67-110``): per
+    attribute, distinct values weighted by frequency, sampled without
+    replacement via the seeded Efraimidis–Spirakis key (the engine's
+    canonical substitution for ``np.rng.choice(p=...)``, exactly
+    q_weighted_sample's machinery), TEXT values truncated at 100 chars +
+    ``...`` (F6), rendered in sample-rank order as the serializer's
+    ``sample data`` JSON fragment.
+
+    Unlike the rest of the prompt surface this reads REAL instance tables,
+    so it scales with sf: per attribute one hash agg over the column (map-
+    side combine collapses duplicates) + one top-n window over the distinct
+    dimension.  Text-supertype attributes only — instance data is
+    all-strings on the matching side (InstanceDataHandler dtype=str), and
+    numeric sample parity is a rendering concern, not sampler semantics."""
+    from ..functions.determinism import det_rand
+    from ..sources.readers import load_table
+
+    out = None
+    for tbl, attr in _SAMPLE_HINT_ATTRS:
+        counts = (
+            load_table(spark, sf_dir, tbl)
+            .filter(F.col(attr).isNotNull())
+            .groupBy(F.col(attr).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        es_key = F.pow(det_rand(_SAMPLE_HINT_SEED, F.col("v")), 1.0 / F.col("cnt"))
+        # top-n via orderBy().limit() -> TakeOrderedAndProject: a per-
+        # partition heap + driver merge, NOT a single-partition global
+        # window — the distinct-value dimension can be huge (c_name)
+        top = (
+            counts.withColumn("es_key", es_key)
+            .orderBy(F.desc("es_key"), F.asc("v"))
+            .limit(_SAMPLE_HINT_N)
+        )
+        truncated = F.when(
+            F.length("v") > _STR_LIMIT,
+            F.concat(F.substring("v", 1, _STR_LIMIT), F.lit("...")),
+        ).otherwise(F.col("v"))
+        frag = top.select(
+            (-F.col("es_key")).alias("neg_key"), F.col("v"), truncated.alias("s")
+        ).groupBy().agg(
+            F.lit(tbl).alias("relation"),
+            F.lit(attr).alias("attr"),
+            F.concat(
+                F.lit('["'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("neg_key"), F.col("v"), F.col("s"))
+                            )
+                        ),
+                        lambda s: s["s"],
+                    ),
+                    '", "',
+                ),
+                F.lit('"]'),
+            ).alias("sample_values"),
+        )
+        out = frag if out is None else out.unionByName(frag)
+    return out
+
+
 _TOKENS_ORACLE = _values_oracle(
     _golden_tokens(), ["repr_type", "case_id", "n_prompts", "prompt_tokens"]
 )

@@ -351,3 +351,13 @@ def test_mapping_prompt_render_no_python(spark):
     plan = _plan(spark, "q_mapping_prompt_render")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "ObjectHashAggregate" in plan  # the ordered collect_list aggs
+
+
+def test_sample_data_hint_heap_topn(spark):
+    """ColumnWise sampling must select top-n via TakeOrderedAndProject
+    (per-partition heap), never a single-partition global window over the
+    distinct-value dimension."""
+    plan = _plan(spark, "q_mapping_sample_data_hint")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan  # map-side combine on the value counts
