@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Bench regression gate: run bench.py and compare per-query wall times to a
-baseline BENCH_r{N}.json (default: the newest one in the repo root).
+baseline (default: the committed full battery BENCH_FULL.json — the driver
+line rotates its reported subset per round, so BENCH_r{N}.json files from
+different rounds share few or no query names; the full battery always
+covers everything).
 
     python tools/bench_compare.py [--baseline BENCH_r01.json] [--threshold 2.0]
 
-Exit 1 if any query regressed beyond the threshold.
+The current run's numbers come from the full battery bench.py writes to
+BENCH_FULL_last_run.json, not the subset stdout line.  Exit 1 if any
+query regressed beyond the threshold.
 """
 
 from __future__ import annotations
@@ -35,19 +40,23 @@ def main() -> int:
 
     baseline_path = args.baseline
     if baseline_path is None:
-        candidates = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-        if not candidates:
-            print("no BENCH_r*.json baseline found")
-            return 1
-        baseline_path = candidates[-1]
+        full = os.path.join(ROOT, "BENCH_FULL.json")
+        if os.path.exists(full):
+            baseline_path = full
+        else:
+            candidates = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+            if not candidates:
+                print("no BENCH_FULL.json / BENCH_r*.json baseline found")
+                return 1
+            baseline_path = candidates[-1]
     base = load_baseline(baseline_path)
 
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         capture_output=True, text=True, check=True, cwd=ROOT,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    now = json.loads(line)["queries"]
+    with open(os.path.join(ROOT, "BENCH_FULL_last_run.json")) as f:
+        now = json.load(f)["queries"]
 
     regressed = []
     print(f"{'query':<28}{'base':>8}{'now':>8}{'ratio':>8}")
