@@ -293,6 +293,47 @@ def test_mapping_prompt_serializer_layout():
     assert names == sorted(names, key=lambda n: MP.shuffle_key(1, n))
 
 
+if _HAVE_HYP:
+
+    _ident = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        names=st.lists(_ident, min_size=1, max_size=6, unique=True),
+        seed=st.integers(0, 10_000),
+        pk_mask=st.lists(st.booleans(), min_size=6, max_size=6),
+        null_mask=st.lists(st.booleans(), min_size=6, max_size=6),
+    )
+    def test_serializer_roundtrip_properties(names, seed, pk_mask, null_mask):
+        """serialize_schema_json always emits parseable JSON whose structure
+        round-trips: attribute set preserved, order = shuffle-key order,
+        primary key = declared-order pk subset, nullable = str(bool)."""
+        from scalable_data_integration_with_llms_spark.functions import (
+            mapping_prompts as MP,
+        )
+
+        attrs = [
+            (n, "varchar(9)", f"col {n}", pk_mask[i], null_mask[i])
+            for i, n in enumerate(names)
+        ]
+        rel = {"name": "rel_x", "attributes": attrs, "foreign_keys": []}
+        parsed = json.loads(MP.serialize_schema_json([rel], seed))
+        assert [list(p.keys()) for p in parsed] == [
+            ["relation", "attributes", "primary key"]
+        ]
+        got = parsed[0]["attributes"]
+        assert {a["name"] for a in got} == set(names)
+        order = [a["name"] for a in got]
+        assert order == sorted(order, key=lambda n: MP.shuffle_key(seed, n))
+        assert parsed[0]["primary key"] == [n for n, *_r in attrs if _r[2]]
+        for a in got:
+            i = names.index(a["name"])
+            assert a["nullable"] == str(bool(null_mask[i]))
+            assert a["description"] == f"col {a['name']}"
+
+
 def test_mapping_prompt_render_spark_matches_golden(spark):
     from scalable_data_integration_with_llms_spark.queries import QUERIES
     from scalable_data_integration_with_llms_spark.queries.prompt_q import (

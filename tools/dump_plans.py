@@ -193,6 +193,13 @@ SHOWCASE = [
         "stage pass over the corpus.",
     ),
     (
+        "q_mapping_sample_data_hint",
+        "ColumnWise SAMPLE_DATA hint (round 5): per-attribute value counts "
+        "with map-side partial aggregation, weighted top-n via "
+        "TakeOrderedAndProject (per-partition heap + driver merge of n "
+        "rows) — the distinct-value dimension never single-partitions.",
+    ),
+    (
         "q_repr_n2one_prompts",
         "Prompt repr-template assembly (round 5): the per-case schema JSON "
         "is ONE ordered collect_list hash agg, broadcast into the "
