@@ -643,3 +643,64 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_bits_milli").cast("bigint").alias("min_bits_milli"),
         F.max("avg_bits_milli").cast("bigint").alias("max_bits_milli"),
     )
+
+
+# -- mixture scheduling (round 5): exact data-mixing budget -------------------
+
+_MIX_ORACLE = """
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5 + 1 AS weight_raw
+  FROM documents GROUP BY source
+),
+budget AS (
+  SELECT MIN(available_tokens * 60 // weight_raw) AS total_budget FROM avail
+)
+SELECT source, available_tokens, CAST(weight_raw AS INT) AS weight_raw,
+       CAST(total_budget * weight_raw // 60 AS BIGINT) AS scheduled_tokens,
+       CAST((total_budget * weight_raw // 60) * 1000 // available_tokens AS BIGINT) AS acceptance_milli,
+       CAST(available_tokens * 60 // weight_raw = total_budget AS INT) AS is_binding
+FROM avail, budget
+"""
+
+
+@query("q_mixture_schedule", _MIX_ORACLE)
+def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture scheduling: given per-source available tokens
+    and target mixture weights, the largest total budget that satisfies the
+    mixture EXACTLY without repeating data is ``min_i(available_i / w_i)``;
+    each source then contributes ``budget * w_i`` tokens and the binding
+    source is consumed whole (the DoReMi/weighted-mixing planning step a
+    pretraining pipeline runs before sampling).
+
+    All integer arithmetic (weights as small rationals over 60), so the
+    schedule is oracle-exact.  Scale shape: one map-side-combined aggregate
+    over the corpus to the tiny source dimension, then a 1-row broadcast of
+    the budget — corpus size only affects the first aggregate."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("bigint") % 5 + 1
+    )
+    avail = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("available_tokens")
+    ).withColumn("weight_raw", weight)
+    # integer division on BOTH engines: double division + bigint cast
+    # truncates in Spark but rounds in DuckDB — // and try_divide(floor)
+    # keep the schedule exact
+    per_source_cap = F.floor(F.col("available_tokens") * 60 / F.col("weight_raw")).cast("bigint")
+    capped = avail.withColumn("cap", per_source_cap)
+    budget = capped.groupBy().agg(F.min("cap").alias("total_budget"))
+    scheduled = F.floor(F.col("total_budget") * F.col("weight_raw") / 60).cast("bigint")
+    return capped.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "available_tokens",
+        F.col("weight_raw").cast("int").alias("weight_raw"),
+        scheduled.alias("scheduled_tokens"),
+        F.floor(scheduled * 1000 / F.col("available_tokens"))
+        .cast("bigint")
+        .alias("acceptance_milli"),
+        (F.col("cap") == F.col("total_budget")).cast("int").alias("is_binding"),
+    )

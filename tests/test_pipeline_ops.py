@@ -41,6 +41,7 @@ NAMES = [
     "q_source_mixture",
     "q_doc_commonness",
     "q_shard_assignment",
+    "q_mixture_schedule",
 ]
 
 
@@ -177,3 +178,22 @@ def test_connected_components_chain_and_triangle(spark):
     )
     out = {r.doc: r.cluster_id for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_mixture_schedule_invariants(spark):
+    """The schedule satisfies the mixture exactly: scheduled_i/weight_i is
+    (near-)constant, no source over-consumes its availability, and exactly
+    the binding source(s) are consumed whole up to rounding."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    rows = QUERIES["q_mixture_schedule"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    assert all(r.scheduled_tokens <= r.available_tokens for r in rows)
+    assert any(r.is_binding == 1 for r in rows)
+    # mixture exactness: scheduled_i = floor(budget * w_i / 60) for one
+    # shared budget -> scheduled_i * 60 / w_i spans less than 60/w_i
+    per_unit = [r.scheduled_tokens * 60 // r.weight_raw for r in rows]
+    assert max(per_unit) - min(per_unit) <= 60
+    binding = [r for r in rows if r.is_binding == 1]
+    for r in binding:
+        assert r.available_tokens - r.scheduled_tokens < 60 // r.weight_raw + 1
