@@ -704,3 +704,122 @@ def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acceptance_milli"),
         (F.col("cap") == F.col("total_budget")).cast("int").alias("is_binding"),
     )
+
+
+# -- quality threshold sweep (round 5): filter-planning curve -----------------
+
+_QSWEEP_ORACLE = """
+WITH per_doc AS (
+  SELECT CAST(len(list_distinct(string_split(text, ' '))) * 1000
+              // len(string_split(text, ' ')) AS BIGINT) AS distinct_milli,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+buckets AS (
+  SELECT LEAST(distinct_milli // 100, 9) AS bucket,
+         COUNT(*) AS docs, SUM(n_tokens) AS tokens
+  FROM per_doc GROUP BY 1
+),
+grid AS (SELECT UNNEST(range(10)) AS t),
+cum AS (
+  SELECT t * 100 AS threshold_milli,
+         CAST(COALESCE(SUM(docs), 0) AS BIGINT) AS docs_kept,
+         CAST(COALESCE(SUM(tokens), 0) AS BIGINT) AS tokens_kept
+  FROM grid LEFT JOIN buckets ON bucket >= t
+  GROUP BY t
+)
+SELECT threshold_milli, docs_kept, tokens_kept,
+       CAST(tokens_kept * 1000 // (SELECT SUM(n_tokens) FROM per_doc) AS BIGINT)
+         AS tokens_kept_frac_milli
+FROM cum
+"""
+
+
+@query("q_quality_threshold_sweep", _QSWEEP_ORACLE)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-planning curve: documents/tokens surviving each quality
+    cutoff (distinct-token ratio in milli, bucketed by 100) — the sweep a
+    pipeline runs BEFORE committing to a filter threshold, so the
+    data-loss/quality trade-off is measured, not guessed.
+
+    One corpus scan aggregates to 10 buckets; the cumulative curve is a
+    10-row self-aggregation (grid join), so corpus size only touches the
+    first pass.  Integer-exact throughout (milli ratios, // division)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ", -1)).cast("bigint")
+    distinct_milli = F.floor(
+        F.size(F.array_distinct(F.split("text", " ", -1))) * 1000 / toks
+    ).cast("bigint")
+    per_doc = d.select(
+        F.least(F.floor(distinct_milli / 100), F.lit(9)).cast("bigint").alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    buckets = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+    )
+    total = per_doc.groupBy().agg(F.sum("n_tokens").alias("total_tokens"))
+    grid = spark.range(10).select(F.col("id").alias("t"))
+    cum = (
+        grid.join(F.broadcast(buckets), F.col("bucket") >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("docs"), F.lit(0)).cast("bigint").alias("docs_kept"),
+            F.coalesce(F.sum("tokens"), F.lit(0)).cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return cum.crossJoin(F.broadcast(total)).select(
+        (F.col("t") * 100).cast("bigint").alias("threshold_milli"),
+        "docs_kept",
+        "tokens_kept",
+        F.floor(F.col("tokens_kept") * 1000 / F.col("total_tokens"))
+        .cast("bigint")
+        .alias("tokens_kept_frac_milli"),
+    )
+
+
+# -- packing efficiency (round 5): context-length planning --------------------
+
+_PACK_EFF_LENS = [128, 512, 2048]
+
+_PACK_EFF_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT {L} AS max_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM((n_tokens + {L} - 1) // {L}) AS BIGINT) AS n_sequences,
+       CAST((SUM((n_tokens + {L} - 1) // {L}) * {L} - SUM(n_tokens)) * 1000
+            // (SUM((n_tokens + {L} - 1) // {L}) * {L}) AS BIGINT) AS padding_waste_milli
+FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+"""
+    for L in _PACK_EFF_LENS
+)
+
+
+@query("q_packing_efficiency", _PACK_EFF_ORACLE)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning: for candidate max_seq_len values, the
+    sequence count and padding waste under per-document chunking
+    (ceil(tokens/L) sequences per doc, the pad-don't-concat regime) — the
+    measurement that picks L before a packing run (q_pack_sequences packs;
+    this plans).  One scan, three conditional aggregates, integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ", -1)).cast("bigint")
+    per_doc = d.select(toks.alias("n_tokens"))
+    out = None
+    for L in _PACK_EFF_LENS:
+        seqs = F.sum(F.floor((F.col("n_tokens") + L - 1) / L)).cast("bigint")
+        agg = per_doc.groupBy().agg(
+            F.lit(L).cast("bigint").alias("max_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            seqs.alias("n_sequences"),
+        )
+        row = agg.select(
+            "max_len", "n_docs", "total_tokens", "n_sequences",
+            F.floor(
+                (F.col("n_sequences") * L - F.col("total_tokens")) * 1000
+                / (F.col("n_sequences") * L)
+            ).cast("bigint").alias("padding_waste_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -42,6 +42,8 @@ NAMES = [
     "q_doc_commonness",
     "q_shard_assignment",
     "q_mixture_schedule",
+    "q_quality_threshold_sweep",
+    "q_packing_efficiency",
 ]
 
 
