@@ -548,3 +548,65 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches / F.lit(12.0)).alias("est_jaccard"),
         )
     )
+
+
+# -- cross-source duplication matrix (round 5) --------------------------------
+
+_CROSS_SRC_ORACLE = _SHINGLE_CTE + _DF_FILTER_CTE + """,
+sz AS (SELECT doc, COUNT(*) AS sz FROM s2 GROUP BY doc),
+i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, inter / (x.sz + y.sz - inter) AS jaccard
+  FROM i JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+  WHERE inter / (x.sz + y.sz - inter) >= 0.5
+),
+tagged AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(FLOOR(jaccard * 1000) AS BIGINT) AS j_milli
+  FROM pairs
+  JOIN documents da ON pairs.doc_a = da.doc_id
+  JOIN documents db ON pairs.doc_b = db.doc_id
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(SUM(j_milli) // COUNT(*) AS BIGINT) AS mean_jaccard_milli
+FROM tagged GROUP BY source_a, source_b
+"""
+
+
+@query("q_cross_source_dup_matrix", _CROSS_SRC_ORACLE)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (the q_dedup_ngram_
+    jaccard machinery — df-capped shingle self-join, threshold 0.5) rolled
+    up by unordered source pair — which corpora copy from each other, the
+    provenance signal that drives source-level dedup/caps decisions.
+
+    Mean Jaccard aggregates as floor-milli INTEGERS (double summation
+    order differs between engines; integer sums are associative-exact).
+    Source tags ride two broadcast-friendly joins against the doc
+    dimension; everything upstream is the existing candidate-bounded
+    near-dup plan."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.floor(F.col("jaccard") * 1000).cast("bigint").alias("j_milli"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.floor(F.sum("j_milli") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_jaccard_milli"),
+    )

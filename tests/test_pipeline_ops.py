@@ -8,6 +8,7 @@ from conftest import assert_oracle_match
 NAMES = [
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_cross_source_dup_matrix",
     "q_minhash_signatures",
     "q_simhash",
     "q_text_quality",
