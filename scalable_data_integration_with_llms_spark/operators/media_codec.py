@@ -237,3 +237,44 @@ def synth_pixels(media_id: int) -> np.ndarray:
 
 def synth_png(media_id: int) -> bytes:
     return encode_png(synth_pixels(media_id))
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """Perceptual difference hash (dHash, public algorithm): channel-SUM
+    grayscale (integer — no float resize, so the hash is engine-exact),
+    a 9x8 strided sample grid, row-wise left>right comparisons -> 64 bits
+    returned as a SIGNED int64 (bit 63 wraps negative, matching Spark's
+    BIGINT so banding via shiftrightunsigned agrees across engines)."""
+    gray = pixels.astype(np.int64).sum(axis=2)
+    h, w = gray.shape
+    r_idx = (np.arange(8, dtype=np.int64) * h) // 8
+    c_idx = (np.arange(9, dtype=np.int64) * w) // 9
+    g = gray[np.ix_(r_idx, c_idx)]
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | int(g[r, c] > g[r, c + 1])
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def noise_pixels(pair_id: int) -> np.ndarray:
+    """High-frequency deterministic pixels (multiplicative-hash noise) —
+    unlike the smooth ``synth_pixels`` gradient, these give dHashes with
+    well-distributed bits, so distinct images land far apart in Hamming
+    space (the property a perceptual-dedup test needs)."""
+    w, h = synth_dims(pair_id)
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(SYNTH_CHANNELS, dtype=np.int64)[None, None, :]
+    v = r * 2654435761 + c * 40503 + ch * 97 + pair_id * 1013904223
+    return (((v >> 7) ^ v) % 256).astype(np.uint8)
+
+
+def synth_variant_png(pair_id: int, variant: int) -> bytes:
+    """A near-dup image pair generator: variant 0 is noise_pixels(pair_id)
+    verbatim; variant 1 nudges one pixel by +1 (mod 256) — a perceptual
+    near-duplicate whose dHash differs in at most a few bits."""
+    px = noise_pixels(pair_id).copy()
+    if variant:
+        px[0, 0, 0] = (int(px[0, 0, 0]) + 1) % 256
+    return encode_png(px)

@@ -970,3 +970,104 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("bigint").alias("shift_q"),
         )
     )
+
+
+# -- perceptual image dedup (round 5): dHash + banded Hamming join ------------
+
+_DHASH_N_PAIRS = 30  # 60 images: 30 near-dup pairs (variant 0/1 per pair)
+_DHASH_BANDS = 4  # 16 bits each; pigeonhole: hamming <= 3 shares a band
+_DHASH_MAX_HAMMING = 3
+
+
+def _golden_image_dhash_pairs() -> list[tuple[int, int, int]]:
+    """Sequential brute force over all image pairs — the independent twin
+    of the banded plan (oracle equality doubles as a no-false-negatives
+    proof for the banding, exactly the SimHash pigeonhole argument)."""
+    from ..operators.media_codec import decode_png, dhash64, synth_variant_png
+
+    h = {}
+    for doc_id in range(2 * _DHASH_N_PAIRS):
+        content = synth_variant_png(doc_id // 2, doc_id % 2)
+        h[doc_id] = dhash64(decode_png(content)) % (1 << 64)
+    out = []
+    for a in range(2 * _DHASH_N_PAIRS):
+        for b in range(a + 1, 2 * _DHASH_N_PAIRS):
+            ham = bin(h[a] ^ h[b]).count("1")
+            if ham <= _DHASH_MAX_HAMMING:
+                out.append((a, b, ham))
+    return out
+
+
+def _image_dhash_oracle() -> str:
+    rows = _golden_image_dhash_pairs()
+    body = ", ".join(f"({a}, {b}, {m})" for a, b, m in rows)
+    return f"SELECT * FROM (VALUES {body}) AS t(doc_a, doc_b, hamming)"
+
+
+@query("q_image_dhash_dedup", _image_dhash_oracle())
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup: REAL PNG encode→decode through the
+    Arrow boundary (media_codec's stdlib codec — CRC check, inflate,
+    un-filter), integer dHash per image, then banded Hamming-distance
+    candidate generation: 4 x 16-bit bands bucket-join (pigeonhole — a
+    pair within Hamming 3 must share a band, so candidates are exact, not
+    sampled), exact bit_count verify on candidates only.
+
+    The oracle is the sequential brute force over ALL pairs, so its
+    equality also proves the banding loses nothing.  Scale shape: the
+    image corpus shuffles once on (band, value) — the SimHash-banded
+    near-dup plan applied to pixels instead of tokens; decode stays in
+    mapInPandas batches."""
+    import pandas as pd
+
+    from ..operators.media_codec import decode_png, dhash64, synth_variant_png
+
+    def hash_batches(it):
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "dhash": [
+                        dhash64(decode_png(synth_variant_png(int(i) // 2, int(i) % 2)))
+                        for i in ids
+                    ],
+                }
+            )
+
+    # both sides of the self-join read this frame: persist so the PNG
+    # decode (the expensive Python stage) runs once, not once per side
+    hashed = scoped_persist(
+        spark.range(2 * _DHASH_N_PAIRS)
+        .mapInPandas(hash_batches, "doc_id bigint, dhash bigint")
+    )
+    banded = hashed.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_DHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        # SQL form: the python shiftrightunsigned wrapper only takes a
+        # literal shift, the SQL function takes an expression
+        "band_val",
+        F.expr("shiftrightunsigned(dhash, band * 16)").bitwiseAND(F.lit(0xFFFF)),
+    )
+    a = banded.select(
+        F.col("band"), F.col("band_val"),
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_val"),
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"),
+    )
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _DHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -166,3 +166,36 @@ def test_spark_decode_stats_matches_numpy(spark):
         assert r["px_sum"] == flat.sum()
         assert r["px_wsum"] == (flat * np.arange(1, flat.size + 1)).sum()
         assert (r["px_min"], r["px_max"]) == (flat.min(), flat.max())
+
+
+def test_dhash_separation_and_banding(spark):
+    """Near-dup variants differ by <=1 dHash bit; distinct images sit far
+    apart; the banded query finds exactly the brute-force pair set."""
+    import itertools
+
+    from scalable_data_integration_with_llms_spark.operators.media_codec import (
+        decode_png, dhash64, synth_variant_png,
+    )
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.queries.similarity_q import (
+        _golden_image_dhash_pairs,
+    )
+
+    h = {
+        (p, v): dhash64(decode_png(synth_variant_png(p, v))) % (1 << 64)
+        for p in range(10) for v in (0, 1)
+    }
+    assert all(bin(h[(p, 0)] ^ h[(p, 1)]).count("1") <= 1 for p in range(10))
+    cross = [
+        bin(h[(a, 0)] ^ h[(b, 0)]).count("1")
+        for a, b in itertools.combinations(range(10), 2)
+    ]
+    assert min(cross) > 8  # distinct images never look like near-dups
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["q_image_dhash_dedup"](spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == sorted(_golden_image_dhash_pairs())
+    # every planted pair found
+    assert {(a, b) for a, b, _m in got} >= {(2 * p, 2 * p + 1) for p in range(30)}
