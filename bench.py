@@ -119,6 +119,10 @@ HEADLINE = [
     "q_mm_prompts",
     "q_icl_prompt_render",
     "q_mapping_prompt_render",
+    # late round-5 additions: real PNG decode through Arrow + banded Hamming
+    # join; the cost rollup chained on the ICL render
+    "q_image_dhash_dedup",
+    "q_question_cost_report",
 ]
 
 # The BENCH_r02 comparison set is the HEADLINE prefix through the round-2

@@ -1311,3 +1311,99 @@ def q_repr_prompt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_prompts"),
         F.sum(token_count(F.col("prompt"))).cast("int").alias("prompt_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# generate_question.py's printed cost report (the last stage of that driver)
+# ---------------------------------------------------------------------------
+
+
+def _golden_cost_report() -> list[tuple]:
+    """Sequential twin of the cost report generate_question.py prints after
+    formatting (generate_question.py:185-188 cost lines, 236-244 / 319-327
+    k>0 example-count histogram + n_total_tokens).  Two reference quirks are
+    pinned deliberately: 'tokens per question' divides the MEAN by the count
+    again (:186-188), and n_total_tokens ADDS the mean to a total
+    (:244,327).  Rationals are floor-milli integers so both engines agree
+    bit-for-bit."""
+    by_cfg: dict[str, list[tuple[int, int]]] = {}
+    for config, _max_seq, _case, _attr, n_ex, prompt in _golden_icl():
+        by_cfg.setdefault(config, []).append((n_ex, PR.ws_tokens(prompt)))
+    rows = []
+    for config in sorted(by_cfg):
+        entries = by_cfg[config]
+        n = len(entries)
+        total = sum(t for _e, t in entries)
+        exp = [0] * (max(k for k, _s in ICL_CONFIGS) + 1)
+        for n_ex, _t in entries:
+            exp[n_ex] += 1
+        rows.append(
+            (
+                config,
+                n,
+                total,
+                1000 * total // n,
+                1000 * total // (n * n),
+                n * _ICL_MAX_ANS_LEN * 1000 + 1000 * total // n,
+                *exp,
+            )
+        )
+    return rows
+
+
+_COST_REPORT_ORACLE = _values_oracle(
+    _golden_cost_report(),
+    [
+        "config", "n_questions", "sum_prompt_tokens", "token_cnt_milli",
+        "tokens_per_q_milli", "n_total_tokens_milli",
+        "exp_count_0", "exp_count_1", "exp_count_2",
+    ],
+)
+
+
+@query("q_question_cost_report", _COST_REPORT_ORACLE)
+def q_question_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The questions-batch cost report (generate_question.py:185-188,
+    236-244, 319-327): per config, question count, summed/mean prompt
+    tokens, the projected total budget, and the k-shot example-count
+    histogram (``exp_count``) — chained on top of the distributed ICL
+    render, so the whole driver script is now one DataFrame pipeline:
+    render -> this rollup -> the questions-record sink shape.
+
+    Reference quirks pinned by the golden twin: ``tokens per question``
+    re-divides the mean by the count, and ``n_total_tokens`` adds the mean
+    to ``len(questions) * max_ans_len``.  Means are floor-milli integers
+    (associative-exact across partitionings — float sums are not).  Scale
+    shape: one hash aggregation over the prompt frame; the histogram is
+    conditional aggregation, not a pivot shuffle."""
+    qs = q_icl_prompt_render(spark, sf_dir)
+    agg = qs.groupBy("config").agg(
+        F.count(F.lit(1)).cast("int").alias("n_questions"),
+        F.sum(token_count(F.col("prompt"))).cast("int").alias("sum_prompt_tokens"),
+        *[
+            F.sum(F.when(F.col("n_examples") == i, 1).otherwise(0))
+            .cast("int")
+            .alias(f"exp_count_{i}")
+            for i in range(max(k for k, _s in ICL_CONFIGS) + 1)
+        ],
+    )
+    return agg.select(
+        "config",
+        "n_questions",
+        "sum_prompt_tokens",
+        F.expr("(1000 * sum_prompt_tokens) div n_questions")
+        .cast("int")
+        .alias("token_cnt_milli"),
+        F.expr("(1000 * sum_prompt_tokens) div (n_questions * n_questions)")
+        .cast("int")
+        .alias("tokens_per_q_milli"),
+        F.expr(
+            f"n_questions * {_ICL_MAX_ANS_LEN} * 1000"
+            " + (1000 * sum_prompt_tokens) div n_questions"
+        )
+        .cast("int")
+        .alias("n_total_tokens_milli"),
+        "exp_count_0",
+        "exp_count_1",
+        "exp_count_2",
+    )

@@ -361,3 +361,33 @@ def test_sample_data_hint_heap_topn(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "partial_count" in plan  # map-side combine on the value counts
+
+
+def test_image_dhash_one_banded_shuffle(spark):
+    """Perceptual dedup: the PNG decode (the Python stage) runs ONCE behind
+    a persisted frame — both sides of the banded self-join read the cache,
+    not a second decode — and the Hamming verify (bit_count on the xor) is
+    pushed INTO the join as a JVM expression, so candidates never
+    materialize unverified."""
+    from scalable_data_integration_with_llms_spark.caching import release_scoped
+
+    plan = _plan(spark, "q_image_dhash_dedup")
+    try:
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "InMemoryTableScan" in plan  # decode cached, not re-run per side
+        assert "bit_count" in plan  # verify stays in codegen
+        # fixture scale broadcasts the tiny side; at scale AQE picks the
+        # shuffled band join — either way the join keys are the bucket
+        assert "Join [band" in plan and "band_val" in plan
+    finally:
+        release_scoped()
+
+
+def test_question_cost_report_single_agg(spark):
+    """The cost rollup is ONE hash aggregation over the ICL frame (the
+    exp_count histogram is conditional aggregation, not a pivot), and the
+    milli arithmetic stays integer inside codegen."""
+    plan = _plan(spark, "q_question_cost_report")
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    assert plan.count("Exchange hashpartitioning(config") <= 2
+    assert "BatchEvalPython" not in plan

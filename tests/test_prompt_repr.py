@@ -414,3 +414,29 @@ def test_spark_matches_golden(spark, name):
         else:
             key = tuple(d[k] for k in d if k != "prompt")
             assert d["prompt"] == golden[key], key
+
+
+def test_question_cost_report(spark):
+    """Cost-report rollup == the sequential twin, and the twin itself
+    satisfies the reference's arithmetic (generate_question.py:185-188,
+    236-244): token_cnt = sum/n, tokens-per-question re-divides the mean,
+    n_total_tokens adds the mean to n*max_ans_len."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.queries import prompt_q as Q
+
+    golden = {r[0]: r[1:] for r in Q._golden_cost_report()}
+    rows = QUERIES["q_question_cost_report"](spark, SF_DIR).collect()
+    assert len(rows) == len(golden) == len(Q.ICL_CONFIGS)
+    assert {r.config for r in rows} == set(golden)
+    for r in rows:
+        n, total, mean_m, per_q_m, total_m, e0, e1, e2 = golden[r.config]
+        assert (
+            r.n_questions, r.sum_prompt_tokens, r.token_cnt_milli,
+            r.tokens_per_q_milli, r.n_total_tokens_milli,
+            r.exp_count_0, r.exp_count_1, r.exp_count_2,
+        ) == golden[r.config], r.config
+        # reference arithmetic relations, independently of the twin
+        assert mean_m == 1000 * total // n
+        assert per_q_m == 1000 * total // (n * n)
+        assert total_m == n * Q._ICL_MAX_ANS_LEN * 1000 + mean_m
+        assert e0 + e1 + e2 == n
