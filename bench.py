@@ -120,9 +120,11 @@ HEADLINE = [
     "q_icl_prompt_render",
     "q_mapping_prompt_render",
     # late round-5 additions: real PNG decode through Arrow + banded Hamming
-    # join; the cost rollup chained on the ICL render
+    # join; the cost rollup chained on the ICL render; the stateful
+    # streaming near-dup ingest gate
     "q_image_dhash_dedup",
     "q_question_cost_report",
+    "q_stream_near_dup_gate",
 ]
 
 # The BENCH_r02 comparison set is the HEADLINE prefix through the round-2

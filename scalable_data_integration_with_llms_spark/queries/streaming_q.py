@@ -580,3 +580,59 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_rank",
         )
     )
+
+
+# -- streaming near-dup ingest gate (applyInPandasWithState per LSH bucket) ----
+# The online twin of the batch MinHash-LSH stack: arriving documents are
+# admitted iff NO LSH bucket has seen a smaller doc id.  Signatures are
+# computed map-only (streaming/near_dup_gate.py — byte-equal to the batch
+# operator, parity-tested), so the gate's (band, signature) shuffle is the
+# stream's only stateful exchange and per-bucket state is one bigint.  The
+# oracle is the batch SQL over the same signatures: a doc's dup-band count
+# is how many of its buckets contain a smaller doc.
+
+_NEAR_DUP_GATE_ORACLE = """
+WITH w AS (SELECT doc_id AS doc, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT DISTINCT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+perms AS (SELECT unnest(range(0, 12)) AS p),
+hashed AS (SELECT doc, p, ('0x' || substr(md5(p || ':' || shingle), 1, 15))::BIGINT AS h
+           FROM s CROSS JOIN perms),
+minh AS (SELECT doc, p, MIN(h) AS minh FROM hashed GROUP BY doc, p),
+banded AS (SELECT doc, CAST(p // 3 AS INT) AS band, p, minh FROM minh),
+sig AS (SELECT doc, band, md5(string_agg(p || ':' || minh, '|' ORDER BY p)) AS signature
+        FROM banded GROUP BY doc, band),
+firsts AS (SELECT band, signature, MIN(doc) AS first_doc FROM sig GROUP BY 1, 2)
+SELECT sig.doc AS doc_id,
+       CAST(SUM(CASE WHEN sig.doc > f.first_doc THEN 1 ELSE 0 END) AS INT) AS n_dup_bands,
+       SUM(CASE WHEN sig.doc > f.first_doc THEN 1 ELSE 0 END) = 0 AS admitted
+FROM sig JOIN firsts f ON sig.band = f.band AND sig.signature = f.signature
+GROUP BY sig.doc
+"""
+
+
+@query("q_stream_near_dup_gate", _NEAR_DUP_GATE_ORACLE)
+def q_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate ingest gate: map-only MinHash banding on the
+    document feed, then a stateful first-wins gate per (band, signature)
+    bucket (applyInPandasWithState, one bigint of state per bucket), drained
+    availableNow and rolled up to a per-document verdict — admitted iff no
+    bucket already held a smaller doc id.
+
+    Determinism: the single-file feed drains in one micro-batch, so
+    first-seen == min doc id and the result equals the batch twin (the
+    oracle) exactly; on a live feed the identical code is first-arrival-
+    wins, the semantics a production gate wants.  See
+    streaming/near_dup_gate.py for the scale story."""
+    from ..streaming.events import read_document_stream, run_to_memory
+    from ..streaming.near_dup_gate import near_dup_gate, stream_minhash_bands
+
+    stream = read_document_stream(spark, sf_dir)
+    gated = near_dup_gate(stream_minhash_bands(stream))
+    drained = run_to_memory(spark, gated, "sdi_near_dup_gate", mode="append")
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("int")
+    return (
+        drained.groupBy(F.col("doc").alias("doc_id"))
+        .agg(n_dup.alias("n_dup_bands"))
+        .withColumn("admitted", F.col("n_dup_bands") == 0)
+    )

@@ -1,0 +1,150 @@
+"""Streaming near-duplicate ingest gate (SURVEY §2.10 additive path;
+``applyInPandasWithState`` keyed by MinHash-LSH bucket).
+
+The batch near-dup stack (operators/dedup.py) answers "which documents in
+this corpus are near-duplicates of each other".  An ingestion pipeline asks
+the online version: "is this ARRIVING document a near-duplicate of anything
+already admitted" — the gate a 100 TB training-data feed runs continuously.
+
+Two stages, both bounded:
+
+1. **Map-only MinHash banding** (:func:`stream_minhash_bands`): word
+   3-gram shingles, the 12 salted 60-bit md5 hashes, and per-permutation
+   minima all computed as ARRAY expressions on each row — no groupBy, so
+   the only stateful shuffle in the whole stream is the gate itself.  The
+   signature bytes are identical to the batch operator's
+   (``minhash_signatures``), pinned by a parity test, so stream and batch
+   stages of one pipeline agree on what a bucket is.  (The batch operator
+   keeps its exploded groupBy formulation: at rest the shuffle carries
+   |docs| x n_perm minima either way, but a *stream* must not re-shuffle
+   per micro-batch.)
+
+2. **Per-bucket first-wins gate** (:func:`near_dup_gate`): state per
+   (band, signature) bucket is ONE bigint — the smallest doc id seen.  A
+   document is flagged in a bucket iff a smaller id was already seen there.
+   State is O(distinct buckets), not O(documents x permutations).
+
+Determinism contract (the q_sessionization bounded-drain precedent): with
+an ``availableNow`` drain of the single-file documents feed, every bucket's
+rows arrive in one micro-batch, so "first seen" == "minimum doc_id" and the
+drained result equals the batch SQL twin exactly (the oracle).  On a live
+multi-batch feed the same code degrades gracefully to first-ARRIVAL-wins —
+which is the semantics a real ingest gate wants (yesterday's admissions
+don't retract), it just can't be oracle-compared without arrival order.
+
+Reference anchor: the dedup-before-compare discipline of the matching
+pipeline (Stable Schema Matching/utils/data_builder.py deduplicates inputs
+before prompting); this operator is the streaming generalization the
+reference's offline scripts never needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+N_PERM = 12
+N_BANDS = 4
+
+GATE_OUT_SCHEMA = "doc bigint, band int, is_dup boolean"
+_GATE_STATE_SCHEMA = "min_doc bigint"
+
+
+def _hash60(p: int, s):
+    """The cross-engine 60-bit hash (operators/dedup.py:_hash60) as an
+    expression usable inside a higher-order-function lambda."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(p), s)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def stream_minhash_bands(
+    docs: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc, band, signature) MinHash-LSH rows via map-only array
+    expressions — streaming-safe (no pre-gate aggregation) and byte-equal
+    to the batch ``minhash_signatures`` output.
+
+    NOTE: ``F.transform`` passes the element INDEX as a second lambda
+    argument, so the permutation salt must be bound by a closure factory —
+    a two-parameter lambda with a default would silently hash with the
+    index instead of the salt.
+    """
+    ws = F.split("text", " ", -1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2),
+            F.element_at("ws", i + 3),
+        ),
+    )
+
+    def perm_min(p: int):
+        return F.array_min(F.transform(grams, lambda s: _hash60(p, s)))
+
+    mins = (
+        docs.select(F.col("doc_id").alias("doc"), ws.alias("ws"))
+        .filter(F.size("ws") >= 3)  # < 3 tokens -> no shingles (oracle drops them too)
+        .select("doc", *[perm_min(p).alias(f"m{p}") for p in range(n_perm)])
+    )
+    rpb = n_perm // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.concat_ws(":", F.lit(p), F.col(f"m{p}"))
+                            for p in range(b * rpb, (b + 1) * rpb)
+                        ],
+                    )
+                ).alias("signature"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("doc", F.explode(bands).alias("bs")).select(
+        "doc", "bs.band", "bs.signature"
+    )
+
+
+def _gate(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-wins gate for one (band, signature) bucket: emit a flag per
+    doc; keep only the bucket's minimum doc id in state."""
+    if state.hasTimedOut:  # pragma: no cover - NoTimeout drains never hit this
+        state.remove()
+        yield pd.DataFrame(columns=["doc", "band", "is_dup"])
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc")
+    min_doc = state.get[0] if state.exists else None
+    docs, flags = [], []
+    for d in rows["doc"].tolist():
+        docs.append(d)
+        flags.append(min_doc is not None and min_doc < d)
+        if min_doc is None or d < min_doc:
+            min_doc = d
+    state.update((min_doc,))
+    yield pd.DataFrame({"doc": docs, "band": key[0], "is_dup": flags})
+
+
+def near_dup_gate(banded: DataFrame) -> DataFrame:
+    """Apply the per-bucket first-wins gate to a (doc, band, signature)
+    stream; one shuffle on the bucket key, one bigint of state per bucket."""
+    return banded.groupBy("band", "signature").applyInPandasWithState(
+        _gate,
+        outputStructType=GATE_OUT_SCHEMA,
+        stateStructType=_GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
