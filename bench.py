@@ -125,6 +125,7 @@ HEADLINE = [
     "q_image_dhash_dedup",
     "q_question_cost_report",
     "q_stream_near_dup_gate",
+    "q_concat_chunk_bins",
 ]
 
 # The BENCH_r02 comparison set is the HEADLINE prefix through the round-2

@@ -823,3 +823,119 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- concat-then-chunk packing (the zero-padding pretraining layout) -----------
+# The third packing regime alongside q_packing_efficiency (pad-per-doc
+# planning) and q_pack_sequences (greedy whole-doc bins): concatenate each
+# source's token stream in doc_id order and cut fixed-size bins ANYWHERE,
+# docs crossing bin boundaries — zero padding by construction, the layout
+# GPT-style pretraining actually trains on.  The interesting part is the
+# running offset: a naive per-source window cumsum sorts every document of
+# a source in ONE partition (sources are few -> maximal skew at 100 TB), so
+# the offsets here come from a two-level parallel prefix sum instead:
+# coarse doc_id range buckets get per-(source, bucket) token subtotals (a
+# small agg), the tiny subtotal frame takes the window cumsum, and the
+# exclusive bucket offsets broadcast back so the big frame only needs a
+# window WITHIN its (source, bucket) — bounded work per partition, no
+# single-partition sort anywhere.
+
+_CC_BIN = 64
+_CC_BUCKET = 1_000  # doc_id range per prefix-sum bucket
+
+_CC_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS tok FROM documents
+),
+s AS (
+  SELECT source, doc_id, tok,
+         COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM t
+),
+x AS (
+  SELECT source, st, st + tok AS en, b
+  FROM s, LATERAL (SELECT unnest(generate_series(CAST(st // {_CC_BIN} AS BIGINT),
+                                 CAST((st + tok - 1) // {_CC_BIN} AS BIGINT)))) t2(b)
+)
+SELECT source, CAST(b AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN st // {_CC_BIN} = b THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       CAST(SUM(LEAST(en, (b + 1) * {_CC_BIN}) - GREATEST(st, b * {_CC_BIN})) AS BIGINT)
+         AS n_tokens
+FROM x GROUP BY source, b
+"""
+
+
+@query("q_concat_chunk_bins", _CC_ORACLE)
+def q_concat_chunk_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk bin manifest per (source, bin): documents touching
+    the bin, documents starting in it, and its token fill (== bin size for
+    every bin but each source's last — the zero-padding invariant, asserted
+    by the oracle).  Offsets via the two-level parallel prefix sum described
+    above; the oracle derives identical offsets with a plain global window,
+    proving the decomposition exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ", -1)).cast("bigint")
+    base = d.select(
+        "source",
+        "doc_id",
+        toks.alias("tok"),
+        (F.col("doc_id") / _CC_BUCKET).cast("bigint").alias("bkt"),
+    )
+
+    # level 1: per-(source, bucket) subtotals -> exclusive bucket offsets
+    # (tiny frame: sources x buckets rows), broadcast back
+    sub = base.groupBy("source", "bkt").agg(F.sum("tok").alias("bkt_tok"))
+    w_bkt = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("bkt_tok").over(w_bkt), F.lit(0)).alias("bkt_off"),
+    )
+
+    # level 2: window cumsum only WITHIN (source, bucket)
+    w_in = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        base.join(F.broadcast(offsets), ["source", "bkt"])
+        .select(
+            "source",
+            "tok",
+            (
+                F.col("bkt_off")
+                + F.coalesce(F.sum("tok").over(w_in), F.lit(0))
+            ).alias("st"),
+        )
+        .withColumn("en", F.col("st") + F.col("tok"))
+    )
+
+    binned = spans.select(
+        "source",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / _CC_BIN),
+                F.floor((F.col("en") - 1) / _CC_BIN),
+            )
+        ).alias("bin"),
+    )
+    lo = F.col("bin") * _CC_BIN
+    hi = (F.col("bin") + 1) * _CC_BIN
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.floor(F.col("st") / _CC_BIN) == F.col("bin"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_starts"),
+        F.sum(F.least(F.col("en"), hi) - F.greatest(F.col("st"), lo))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

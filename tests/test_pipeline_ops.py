@@ -200,3 +200,42 @@ def test_mixture_schedule_invariants(spark):
     binding = [r for r in rows if r.is_binding == 1]
     for r in binding:
         assert r.available_tokens - r.scheduled_tokens < 60 // r.weight_raw + 1
+
+
+def test_concat_chunk_bins_invariants(spark):
+    """Zero-padding packing: every bin holds exactly the bin size of tokens
+    except each source's last; bin indices are contiguous from 0; docs cross
+    bin boundaries (n_docs > n_starts somewhere — the property that
+    distinguishes this regime from whole-doc packing); per-source token
+    totals reconcile with the raw corpus."""
+    from pyspark.sql import functions as F
+
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.queries.pipeline_q import _CC_BIN
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q_concat_chunk_bins"](spark, sf).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.bin)
+        assert [r.bin for r in rs] == list(range(len(rs)))  # contiguous
+        assert all(r.n_tokens == _CC_BIN for r in rs[:-1]), src  # full bins
+        assert 1 <= rs[-1].n_tokens <= _CC_BIN
+    assert any(r.n_docs > r.n_starts for r in rows)  # boundary crossings
+
+    d = load_table(spark, sf, "documents")
+    want = {
+        r.source: r.total
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " ", -1))).alias("total"))
+        .collect()
+    }
+    got = {src: sum(r.n_tokens for r in rs) for src, rs in by_src.items()}
+    assert got == want
+    # every doc starts in exactly one bin
+    n_docs = d.count()
+    assert sum(r.n_starts for r in rows) == n_docs

@@ -391,3 +391,14 @@ def test_question_cost_report_single_agg(spark):
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
     assert plan.count("Exchange hashpartitioning(config") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_concat_chunk_bins_no_single_partition(spark):
+    """The running offsets must come from the two-level prefix sum: the
+    corpus-size window partitions by (source, bucket) — bounded groups —
+    and nothing in the plan collapses to a single partition (the skew
+    failure of a naive per-source cumsum)."""
+    plan = _plan(spark, "q_concat_chunk_bins")
+    assert "Exchange SinglePartition" not in plan
+    assert "bkt" in plan  # the bucketed window partitioning survived
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
