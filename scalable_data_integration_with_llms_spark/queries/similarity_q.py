@@ -1071,3 +1071,130 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _DHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# -- LSH plane-count tuning sweep (round 5) ------------------------------------
+# The measurement q_ann_recall's docstring promises ("the query that tunes
+# n_planes") made first-class: ONE plan produces, per candidate plane count,
+# the recall@5 AND the candidate-pair workload the bucket join would score —
+# the two axes of the LSH tradeoff.  The exact top-5 (the expensive O(n^2)
+# side) is computed once behind a scoped persist and every config's hit join
+# reads the cache.
+
+_SWEEP_PLANES = [2, 4, 6]
+
+
+def _plane_sweep_oracle() -> str:
+    """Per-config bucket/ann/recall CTEs (suffix-named) over ONE shared
+    exact top-k and one shared quantized-component frame."""
+    parts = [
+        f"""
+WITH ex AS (
+  SELECT vec_id, t.i - 1 AS i,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e7, 0) AS BIGINT) AS xi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE r <= {_K}
+)"""
+    ]
+    selects = []
+    for n in _SWEEP_PLANES:
+        parts.append(
+            f""",
+proj{n} AS (
+  SELECT vec_id, p,
+         SUM(xi * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 1))::INT % 2 = 0
+                   THEN 1 ELSE -1 END)) AS s
+  FROM ex CROSS JOIN (SELECT unnest(range(0, {n})) AS p) planes
+  GROUP BY vec_id, p
+),
+buckets{n} AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj{n} GROUP BY vec_id
+),
+cand{n} AS (
+  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS candidate_pairs
+  FROM (SELECT COUNT(*) AS c FROM buckets{n} GROUP BY bucket)
+),
+ann{n} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qb.vec_id ORDER BY
+             list_dot_product(qv.ve, cv.ve)
+               / (sqrt(list_dot_product(qv.ve, qv.ve)) * sqrt(list_dot_product(cv.ve, cv.ve))) DESC,
+             cb.vec_id ASC) AS r
+    FROM buckets{n} qb JOIN buckets{n} cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+    JOIN v qv ON qb.vec_id = qv.vec_id
+    JOIN v cv ON cb.vec_id = cv.vec_id
+  ) WHERE r <= {_K}
+)"""
+        )
+        selects.append(
+            f"""
+SELECT {n} AS n_planes, n_queries, total_hits, recall_at_k, candidate_pairs
+FROM (
+  SELECT COUNT(*) AS n_queries, CAST(SUM(hits) AS BIGINT) AS total_hits,
+         (SUM(hits) * 1.0) / (COUNT(*) * {_K}) AS recall_at_k
+  FROM (
+    SELECT e.query_id, COUNT(a.neighbor_id) AS hits
+    FROM exact e LEFT JOIN ann{n} a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+  )
+) CROSS JOIN cand{n}"""
+        )
+    return "".join(parts) + "\nUNION ALL\n".join(selects)
+
+
+@query("q_ann_plane_sweep", _plane_sweep_oracle())
+def q_ann_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning curve: for each candidate plane count, recall@5 against
+    the exact top-5 AND the ordered candidate-pair count the bucket join
+    scores (sum over buckets of c*(c-1)) — recall falls and cost falls as
+    planes are added; this query IS the tradeoff table an operator reads
+    before fixing n_planes.  The O(n^2) exact side is computed once behind
+    a scoped persist; each config adds only its map-only signature pass,
+    bucket-bounded join, and hit join against the cache."""
+    from ..operators.similarity import cosine_topk_self, hyperplane_signature, lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = scoped_persist(cosine_topk_self(e, _K).select("query_id", "neighbor_id"))
+    out = None
+    for n in _SWEEP_PLANES:
+        ann = lsh_topk(e, k=_K, n_planes=n).select("query_id", "neighbor_id")
+        cand = (
+            hyperplane_signature(e, n)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - F.lit(1)))
+                .cast("bigint")
+                .alias("candidate_pairs")
+            )
+        )
+        joined = exact.alias("e").join(
+            ann.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        per_q = joined.groupBy(F.col("e.query_id")).agg(
+            F.count(F.col("a.neighbor_id")).alias("hits")
+        )
+        row = per_q.agg(
+            F.lit(n).cast("int").alias("n_planes"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+            ((F.sum("hits") * F.lit(1.0)) / (F.count(F.lit(1)) * F.lit(_K))).alias(
+                "recall_at_k"
+            ),
+        ).crossJoin(F.broadcast(cand))
+        out = row if out is None else out.unionByName(row)
+    return out
