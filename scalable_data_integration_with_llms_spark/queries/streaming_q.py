@@ -629,7 +629,11 @@ def q_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_document_stream(spark, sf_dir)
     gated = near_dup_gate(stream_minhash_bands(stream))
-    drained = run_to_memory(spark, gated, "sdi_near_dup_gate", mode="append")
+    # many tiny keyed groups -> the Python state pass, not store setup,
+    # bounds this query: use the full local parallelism (events.py note)
+    drained = run_to_memory(
+        spark, gated, "sdi_near_dup_gate", mode="append", partitions=32
+    )
     n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("int")
     return (
         drained.groupBy(F.col("doc").alias("doc_id"))

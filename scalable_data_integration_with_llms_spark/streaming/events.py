@@ -96,22 +96,31 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    mode: str = "complete",
+    partitions: int = 8,
+) -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into a
     memory sink; return the result table as a batch DataFrame.
 
     Streaming shuffles get fewer partitions than batch: each stateful
     partition owns an HDFS-backed state store, so 32 partitions means 32
     store instances per stateful operator per micro-batch — at test scale
-    the store setup dominates.  The partition count is pinned at query
-    start (it becomes part of the checkpoint), so this is a per-query
-    setting, not a session-wide one.
+    the store setup dominates for queries with FEW keyed groups (the
+    default 8).  Queries with MANY tiny groups (the near-dup gate's ~4
+    buckets per document) are bounded by the Python state pass instead and
+    pass a higher ``partitions`` (measured at sf0.1: 9.0s → 6.7s from
+    8 → 32).  The count is pinned at query start (it becomes part of the
+    checkpoint), so this is a per-query setting, not a session-wide one.
     """
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         query = (
             df.writeStream.format("memory")
