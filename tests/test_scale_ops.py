@@ -119,3 +119,24 @@ def test_hot_cold_join_parity_and_split(spark):
     n_hot = counts.filter(F.col("n") > 4).count()
     n_cold = counts.filter(F.col("n") <= 4).count()
     assert n_hot > 0 and n_cold > 0
+
+
+def test_ann_plane_sweep_monotone(spark):
+    """The LSH tradeoff must be monotone in the plane count: more planes ->
+    strictly smaller buckets (candidate pairs) and no-higher recall; and
+    the 6-plane row must agree with q_ann_recall (same path, same corpus)."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        QUERIES["q_ann_plane_sweep"](spark, sf).collect(), key=lambda r: r.n_planes
+    )
+    assert [r.n_planes for r in rows] == [2, 4, 6]
+    for a, b in zip(rows, rows[1:]):
+        assert a.candidate_pairs > b.candidate_pairs
+        assert a.total_hits >= b.total_hits
+    base = QUERIES["q_ann_recall"](spark, sf).collect()[0]
+    six = rows[-1]
+    assert (six.n_queries, six.total_hits, six.recall_at_k) == (
+        base.n_queries, base.total_hits, base.recall_at_k,
+    )
