@@ -35,7 +35,7 @@ from . import prompt_q  # noqa: F401, E402
 # (a) the 3 registry entries with no driver-green row in any round
 # (q_confidence_eval / q_confidence_summary were added after the r4 window
 # was fixed; q_ntile_deciles was held back in r4 with a documented scale
-# note) and the 20 new round-5 queries (prompt catalog, selectors, records, mixture scheduling), then
+# note) and the 21 new round-5 queries (prompt catalog, selectors, records, mixture scheduling), then
 # (b) a drift re-check of the 45 queries whose only driver-green row is
 # round 1 — the oldest verification, three code states ago.  After this
 # window every registered query has a driver-green row, and the oldest
@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "q_stream_near_dup_gate",
     "q_concat_chunk_bins",
     "q_ann_plane_sweep",
+    "q_ivf_nprobe_sweep",
     # r1-only rows (oldest verification -> drift re-check)
     "q1_pricing_summary",
     "q2_min_cost_part",

@@ -1198,3 +1198,217 @@ def q_ann_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).crossJoin(F.broadcast(cand))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- IVF nprobe tuning sweep (round 5) -----------------------------------------
+# The learned-partition twin of q_ann_plane_sweep: q_ivf_recall probes ONE
+# partition (the query's own label); real IVF search probes the nprobe
+# partitions whose centroids sit closest to the query.  One plan yields the
+# recall/cost curve over nprobe — centroids from the integer-quantized sums
+# (the q_label_centroids discipline, so the rank order is engine-exact),
+# query->centroid ranking against the broadcast 10-row centroid dimension,
+# candidates = an equi-join against the probed partitions only.
+
+_NPROBES = [1, 2, 4]
+
+
+def _nprobe_sweep_oracle() -> str:
+    parts = [
+        f"""
+WITH cent AS (
+  SELECT label, list(CAST(sum_q AS DOUBLE) / 10000000.0 / cnt ORDER BY i) AS cvec
+  FROM (
+    SELECT label, i,
+           SUM(CAST(round(embedding[i]::DOUBLE * 10000000, 0) AS BIGINT)) AS sum_q,
+           COUNT(*) AS cnt
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, i
+  ) GROUP BY label
+),
+ranked AS (
+  SELECT q.vec_id AS query_id, c.label,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           list_dot_product(q.embedding::DOUBLE[], c.cvec)
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.label ASC) AS rnk
+  FROM embeddings q CROSS JOIN cent c
+),
+sizes AS (SELECT label, COUNT(*) AS sz FROM embeddings GROUP BY label),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE r <= {_K}
+)"""
+    ]
+    selects = []
+    for P in _NPROBES:
+        parts.append(
+            f""",
+probed{P} AS (SELECT query_id, label FROM ranked WHERE rnk <= {P}),
+ann{P} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
+    FROM probed{P} p JOIN embeddings c ON p.label = c.label
+    JOIN embeddings q ON p.query_id = q.vec_id
+    WHERE c.vec_id <> p.query_id
+  ) WHERE r <= {_K}
+),
+cand{P} AS (
+  SELECT CAST(SUM(s.sz) - SUM(CASE WHEN p.label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS candidate_pairs
+  FROM probed{P} p JOIN sizes s ON p.label = s.label
+  JOIN embeddings q ON p.query_id = q.vec_id
+)"""
+        )
+        selects.append(
+            f"""
+SELECT {P} AS nprobe, n_queries, total_hits, recall_at_k, candidate_pairs
+FROM (
+  SELECT COUNT(*) AS n_queries, CAST(SUM(hits) AS BIGINT) AS total_hits,
+         (SUM(hits) * 1.0) / (COUNT(*) * {_K}) AS recall_at_k
+  FROM (
+    SELECT e.query_id, COUNT(a.neighbor_id) AS hits
+    FROM exact e LEFT JOIN ann{P} a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+  )
+) CROSS JOIN cand{P}"""
+        )
+    return "".join(parts) + "\nUNION ALL\n".join(selects)
+
+
+@query("q_ivf_nprobe_sweep", _nprobe_sweep_oracle())
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@5 and scored-candidate count when probing
+    the nprobe nearest coarse partitions (by centroid cosine) instead of
+    q_ivf_recall's own-label-only probe.  Centroids come from the
+    integer-quantized per-label sums (order-independent, so the centroid
+    bits — and therefore the probe sets — are identical in any engine or
+    partitioning); the 10-row centroid dimension broadcasts, the probe set
+    rides a window over 10 rows per query, and candidates are one equi-join
+    against the probed partitions.  The O(n^2) exact side is computed once
+    behind a scoped persist, shared by every config's hit join."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine, cosine_with_norms, cosine_topk_self, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = scoped_persist(cosine_topk_self(e, _K).select("query_id", "neighbor_id"))
+    wn = scoped_persist(
+        e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    )
+
+    # centroids: quantized dim-wise sums -> per-label double array
+    quant = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * F.lit(1e7), 0).cast("bigint").alias("xq"),
+    )
+    cent = (
+        quant.groupBy("label", "i")
+        .agg(F.sum("xq").alias("sum_q"), F.count(F.lit(1)).alias("cnt"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sum_q", "cnt"))),
+                lambda s: s["sum_q"].cast("double") / F.lit(1e7) / s["cnt"],
+            ).alias("cvec")
+        )
+    )
+
+    ranked = (
+        e.select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(cent.withColumnRenamed("label", "clabel")))
+        .select(
+            "query_id",
+            F.col("clabel").alias("label"),
+            cosine(F.col("embedding"), F.col("cvec")).alias("cscore"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("label"))
+            ),
+        )
+    )
+    probed_all = scoped_persist(
+        ranked.filter(F.col("rnk") <= max(_NPROBES)).select("query_id", "label", "rnk")
+    )
+
+    lbl_sz = e.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    own = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("own_label"))
+    c_side = wn.select(
+        F.col("vec_id").alias("neighbor_id"), "label",
+        F.col("embedding").alias("c_vec"), F.col("vnorm").alias("c_norm"),
+    )
+    q_side = wn.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"), F.col("vnorm").alias("q_norm"),
+    )
+
+    out = None
+    for P in _NPROBES:
+        pr = probed_all.filter(F.col("rnk") <= P).select("query_id", "label")
+        pairs = (
+            pr.join(c_side, "label")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(q_side), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ).alias("cos_sim"),
+            )
+        )
+        ann = (
+            pairs.withColumn(
+                "r",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.desc("cos_sim"), F.asc("neighbor_id")
+                    )
+                ),
+            )
+            .filter(F.col("r") <= _K)
+            .select("query_id", "neighbor_id")
+        )
+        cand = (
+            pr.join(F.broadcast(lbl_sz), "label")
+            .join(F.broadcast(own), "query_id")
+            .agg(
+                (
+                    F.sum("sz")
+                    - F.sum(
+                        F.when(F.col("label") == F.col("own_label"), 1).otherwise(0)
+                    )
+                )
+                .cast("bigint")
+                .alias("candidate_pairs")
+            )
+        )
+        joined = exact.alias("e").join(
+            ann.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        per_q = joined.groupBy(F.col("e.query_id")).agg(
+            F.count(F.col("a.neighbor_id")).alias("hits")
+        )
+        row = per_q.agg(
+            F.lit(P).cast("int").alias("nprobe"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+            ((F.sum("hits") * F.lit(1.0)) / (F.count(F.lit(1)) * F.lit(_K))).alias(
+                "recall_at_k"
+            ),
+        ).crossJoin(F.broadcast(cand))
+        out = row if out is None else out.unionByName(row)
+    return out

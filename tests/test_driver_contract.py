@@ -26,7 +26,7 @@ def test_registry_contract():
     import __spark_entry__ as E
 
     qs, os_ = E.queries(), E.oracle_sql()
-    assert len(qs) >= 217  # round-5 surface; a shrink means a module import broke
+    assert len(qs) >= 218  # round-5 surface; a shrink means a module import broke
     # the round's verification window leads the registry (driver hard-
     # verifies the front)
     from scalable_data_integration_with_llms_spark.queries import _VERIFY_FIRST

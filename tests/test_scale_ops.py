@@ -140,3 +140,22 @@ def test_ann_plane_sweep_monotone(spark):
     assert (six.n_queries, six.total_hits, six.recall_at_k) == (
         base.n_queries, base.total_hits, base.recall_at_k,
     )
+
+
+def test_ivf_nprobe_sweep_monotone(spark):
+    """The IVF tradeoff runs the OTHER direction from the plane sweep: more
+    probes -> strictly more candidates and no-lower recall; and probing the
+    centroid-nearest single partition must beat (or match) own-label
+    probing (q_ivf_recall) — the measurement that justifies IVF search."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        QUERIES["q_ivf_nprobe_sweep"](spark, sf).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a.candidate_pairs < b.candidate_pairs
+        assert a.total_hits <= b.total_hits
+    own_label = QUERIES["q_ivf_recall"](spark, sf).collect()[0]
+    assert rows[0].total_hits >= own_label.total_hits
