@@ -207,6 +207,23 @@ SHOWCASE = [
         "codegen'd concat — no Python, no per-prompt shuffle, scales as one "
         "agg + broadcast join at any case-corpus size.",
     ),
+    (
+        "q_image_dhash_dedup",
+        "Perceptual image dedup (round 5): PNG decode+dHash is ONE "
+        "MapInPandas stage behind an InMemoryRelation read by BOTH sides "
+        "of the banded self-join; the Hamming verify (bit_count on the "
+        "xor) is pushed INTO the join condition, so candidates are "
+        "verified as produced, never materialized unverified.",
+    ),
+    (
+        "q_concat_chunk_bins",
+        "Concat-then-chunk packing (round 5): running token offsets from a "
+        "two-level parallel prefix sum — the corpus-size window partitions "
+        "by (source, bucket), the per-source cumsum runs on the tiny "
+        "subtotal frame that then broadcasts back; SinglePartition appears "
+        "nowhere (a naive per-source cumsum would sort each source's whole "
+        "corpus in one task).",
+    ),
 ]
 
 
@@ -236,6 +253,31 @@ def main() -> None:
         if len(lines) > 60:
             print(f"... ({len(lines) - 60} more lines)")
         print("```")
+
+    # the streaming gate's signature stage is a helper frame, not a registry
+    # query — audit it as a batch plan so the map-only claim stays checked
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+    from scalable_data_integration_with_llms_spark.streaming.near_dup_gate import (
+        stream_minhash_bands,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = stream_minhash_bands(d)._jdf.queryExecution().executedPlan().toString()
+    print("\n## q_stream_near_dup_gate (signature stage)\n")
+    print(
+        "The streaming gate's map-only MinHash banding, planned as a batch\n"
+        "frame to audit the shape each micro-batch executes: shingling, all\n"
+        "12 salted hashes, per-permutation minima (array_min) and the band\n"
+        "md5s live in one WholeStageCodegen span — so the ONLY shuffle in\n"
+        "the streaming query is the stateful (band, signature) gate itself,\n"
+        f"with one bigint of state per bucket.  Exchange count:\n"
+        f"{plan.count('Exchange')} | Python stages: "
+        f"{plan.count('EvalPython') + plan.count('MapInPandas')}"
+    )
+    print("\n```")
+    lines = [l.rstrip() for l in plan.splitlines() if l.strip()]
+    print("\n".join(lines[:12]))
+    print("```")
 
 
 if __name__ == "__main__":
