@@ -867,21 +867,18 @@ FROM x GROUP BY source, b
 """
 
 
-@query("q_concat_chunk_bins", _CC_ORACLE)
-def q_concat_chunk_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk bin manifest per (source, bin): documents touching
-    the bin, documents starting in it, and its token fill (== bin size for
-    every bin but each source's last — the zero-padding invariant, asserted
-    by the oracle).  Offsets via the two-level parallel prefix sum described
-    above; the oracle derives identical offsets with a plain global window,
-    proving the decomposition exact."""
-    d = load_table(spark, sf_dir, "documents")
+def concat_chunk_bins(
+    d: DataFrame, bin_size: int = _CC_BIN, bucket: int = _CC_BUCKET
+) -> DataFrame:
+    """The concat-then-chunk manifest over any (source, doc_id, text) frame
+    — extracted so synthetic-frame tests can drive shapes the testdata
+    never produces (docs spanning 3+ bins, sparse doc_id gaps)."""
     toks = F.size(F.split("text", " ", -1)).cast("bigint")
     base = d.select(
         "source",
         "doc_id",
         toks.alias("tok"),
-        (F.col("doc_id") / _CC_BUCKET).cast("bigint").alias("bkt"),
+        (F.col("doc_id") / bucket).cast("bigint").alias("bkt"),
     )
 
     # level 1: per-(source, bucket) subtotals -> exclusive bucket offsets
@@ -923,19 +920,30 @@ def q_concat_chunk_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "en",
         F.explode(
             F.sequence(
-                F.floor(F.col("st") / _CC_BIN),
-                F.floor((F.col("en") - 1) / _CC_BIN),
+                F.floor(F.col("st") / bin_size),
+                F.floor((F.col("en") - 1) / bin_size),
             )
         ).alias("bin"),
     )
-    lo = F.col("bin") * _CC_BIN
-    hi = (F.col("bin") + 1) * _CC_BIN
+    lo = F.col("bin") * bin_size
+    hi = (F.col("bin") + 1) * bin_size
     return binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.when(F.floor(F.col("st") / _CC_BIN) == F.col("bin"), 1).otherwise(0))
+        F.sum(F.when(F.floor(F.col("st") / bin_size) == F.col("bin"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_starts"),
         F.sum(F.least(F.col("en"), hi) - F.greatest(F.col("st"), lo))
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+@query("q_concat_chunk_bins", _CC_ORACLE)
+def q_concat_chunk_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk bin manifest per (source, bin): documents touching
+    the bin, documents starting in it, and its token fill (== bin size for
+    every bin but each source's last — the zero-padding invariant, asserted
+    by the oracle).  Offsets via the two-level parallel prefix sum described
+    above; the oracle derives identical offsets with a plain global window,
+    proving the decomposition exact."""
+    return concat_chunk_bins(load_table(spark, sf_dir, "documents"))

@@ -239,3 +239,51 @@ def test_concat_chunk_bins_invariants(spark):
     # every doc starts in exactly one bin
     n_docs = d.count()
     assert sum(r.n_starts for r in rows) == n_docs
+
+
+def test_concat_chunk_bins_synthetic_shapes(spark):
+    """Shapes the parquet testdata never produces: a doc spanning 4+ bins,
+    sparse doc_ids crossing prefix-sum bucket boundaries, and 1-token docs
+    — compared against a sequential Python twin of the packing."""
+    from scalable_data_integration_with_llms_spark.queries.pipeline_q import (
+        concat_chunk_bins,
+    )
+
+    BIN, BKT = 8, 4  # tiny bins; bucket boundary every 4 doc_ids
+    docs = [
+        ("a", 0, "w " * 35),   # 36 tokens (trailing split token) -> spans 5 bins
+        ("a", 1, "x"),         # 1 token
+        ("a", 7, "y " * 4),    # crosses into bucket 1 (doc_id 7 // 4 = 1)
+        ("a", 9, "z " * 10),
+        ("b", 2, "p " * 6),    # second source interleaved
+        ("b", 11, "q " * 2),
+    ]
+    df = spark.createDataFrame(
+        docs, "source string, doc_id bigint, text string"
+    )
+    got = {
+        (r.source, r.bin): (r.n_docs, r.n_starts, r.n_tokens)
+        for r in concat_chunk_bins(df, bin_size=BIN, bucket=BKT).collect()
+    }
+
+    # sequential twin
+    want: dict = {}
+    for src in sorted({s for s, _i, _t in docs}):
+        off = 0
+        for _s, _i, text in sorted(
+            (d for d in docs if d[0] == src), key=lambda d: d[1]
+        ):
+            tok = len(text.split(" "))
+            st, en = off, off + tok
+            for b in range(st // BIN, (en - 1) // BIN + 1):
+                n_docs, n_starts, n_tok = want.get((src, b), (0, 0, 0))
+                want[(src, b)] = (
+                    n_docs + 1,
+                    n_starts + (1 if st // BIN == b else 0),
+                    n_tok + min(en, (b + 1) * BIN) - max(st, b * BIN),
+                )
+            off = en
+    assert got == want
+    # the long doc really spans >= 5 bins
+    assert max(b for s, b in want if s == "a") >= 4
+    assert any(n_docs == 1 and n_starts == 0 for n_docs, n_starts, _t in want.values())
