@@ -138,7 +138,25 @@ HEADLINE = [
 # every line for round-over-round continuity (VERDICT r4 task 7).
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N
-ROUND = int(os.environ.get("SPARK_GRAFT_ROUND", "5"))
+def _infer_round() -> int:
+    """SPARK_GRAFT_ROUND if set, else one past the newest committed
+    BENCH_r{N}.json — the driver writes that file at each round's end, so
+    the rotation self-advances without anyone remembering to bump a
+    constant."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        for m in [re.match(r"BENCH_r(\d+)\.json$", f)]
+        if m
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+ROUND = _infer_round()
 
 
 def main() -> None:
