@@ -651,7 +651,7 @@ _MIX_ORACLE = """
 WITH avail AS (
   SELECT source,
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens,
-         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5 + 1 AS weight_raw
+         COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0) % 5 + 1 AS weight_raw
   FROM documents GROUP BY source
 ),
 budget AS (
@@ -681,8 +681,15 @@ def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
+    # a source name without trailing digits gets default weight 1 (matching
+    # the oracle's COALESCE(...,0)%5+1) instead of a silent NULL weight
     weight = (
-        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("bigint") % 5 + 1
+        F.coalesce(
+            F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("bigint"),
+            F.lit(0),
+        )
+        % 5
+        + 1
     )
     avail = docs.groupBy("source").agg(
         F.sum(token_count(F.col("text"))).cast("bigint").alias("available_tokens")

@@ -1391,15 +1391,18 @@ def q_question_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "config",
         "n_questions",
         "sum_prompt_tokens",
-        F.expr("(1000 * sum_prompt_tokens) div n_questions")
+        F.expr("(1000 * cast(sum_prompt_tokens as bigint)) div n_questions")
         .cast("int")
         .alias("token_cnt_milli"),
-        F.expr("(1000 * sum_prompt_tokens) div (n_questions * n_questions)")
+        F.expr(
+            "(1000 * cast(sum_prompt_tokens as bigint))"
+            " div (cast(n_questions as bigint) * n_questions)"
+        )
         .cast("int")
         .alias("tokens_per_q_milli"),
         F.expr(
-            f"n_questions * {_ICL_MAX_ANS_LEN} * 1000"
-            " + (1000 * sum_prompt_tokens) div n_questions"
+            f"cast(n_questions as bigint) * {_ICL_MAX_ANS_LEN} * 1000"
+            " + (1000 * cast(sum_prompt_tokens as bigint)) div n_questions"
         )
         .cast("int")
         .alias("n_total_tokens_milli"),

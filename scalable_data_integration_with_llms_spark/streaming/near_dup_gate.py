@@ -124,7 +124,14 @@ def _gate(
     doc; keep only the bucket's minimum doc id in state."""
     if state.hasTimedOut:  # pragma: no cover - NoTimeout drains never hit this
         state.remove()
-        yield pd.DataFrame(columns=["doc", "band", "is_dup"])
+        # dtypes must match GATE_OUT_SCHEMA even for the empty frame
+        yield pd.DataFrame(
+            {
+                "doc": pd.Series(dtype="int64"),
+                "band": pd.Series(dtype="int32"),
+                "is_dup": pd.Series(dtype="bool"),
+            }
+        )
         return
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc")
     min_doc = state.get[0] if state.exists else None

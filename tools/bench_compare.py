@@ -55,7 +55,9 @@ def main() -> int:
         [sys.executable, os.path.join(ROOT, "bench.py")],
         capture_output=True, text=True, check=True, cwd=ROOT,
     )
-    with open(os.path.join(ROOT, "BENCH_FULL_last_run.json")) as f:
+    # bench.py honors SPARK_GRAFT_BENCH_OUT; read the same path it writes
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_last_run.json")
+    with open(os.path.join(ROOT, out_name)) as f:
         now = json.load(f)["queries"]
 
     regressed = []
