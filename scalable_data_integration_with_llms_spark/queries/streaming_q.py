@@ -627,7 +627,14 @@ def q_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import read_document_stream, run_to_memory
     from ..streaming.near_dup_gate import near_dup_gate, stream_minhash_bands
 
-    stream = read_document_stream(spark, sf_dir)
+    # The file stream source yields ONE input partition per file, so a
+    # single-file feed would run the whole 12-permutation md5 banding on one
+    # core (measured 5.4s of the 8.5s wall at sf0.1).  Repartition the raw
+    # feed first: the shuffle moves each arriving micro-batch's text once,
+    # which is far cheaper than the banding compute it parallelizes; on a
+    # production many-file feed the same repartition is what balances
+    # skewed file sizes.  8.5s -> 3.8s at sf0.1.
+    stream = read_document_stream(spark, sf_dir).repartition(32)
     gated = near_dup_gate(stream_minhash_bands(stream))
     # many tiny keyed groups -> the Python state pass, not store setup,
     # bounds this query: use the full local parallelism (events.py note)
