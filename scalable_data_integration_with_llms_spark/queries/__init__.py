@@ -30,70 +30,22 @@ from . import pipeline_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
 from . import prompt_q  # noqa: F401, E402
 
-# Verification-window priority (round 5): rounds 1-4 hard-verified 194 of
-# the (pre-round-5) 197 registered queries.  This round's window is
-# (a) the 3 registry entries with no driver-green row in any round
-# (q_confidence_eval / q_confidence_summary were added after the r4 window
-# was fixed; q_ntile_deciles was held back in r4 with a documented scale
-# note) and the 21 new round-5 queries (prompt catalog, selectors, records, mixture scheduling), then
-# (b) a drift re-check of the 45 queries whose only driver-green row is
-# round 1 — the oldest verification, three code states ago.  After this
-# window every registered query has a driver-green row, and the oldest
-# standing verification is round 4.
+# Verification-window priority (round 6): every registered query has a
+# driver-green row (union r1–r5 = 218/218), so the window is pure drift
+# rotation plus this round's code changes:
+# (a) the 4 queries whose code or oracle changed in round 6 (the bpe
+#     oracle un-pin, the gate repartition, the two advisor-item fixes);
+# (b) the 19 queries whose NEWEST driver-green row is still round 1 (the
+#     r5 window fit only 26 of the 45 r1-era drift re-checks);
+# (c) the round-2-latest block, oldest first — 50-window overflow rotates
+#     to the front of round 7.
 _VERIFY_FIRST = [
-    # never driver-verified (r4 additions + the held-back ntile)
-    "q_confidence_eval",
-    "q_confidence_summary",
-    "q_ntile_deciles",
-    # round-5 additions: prompt repr-template catalog
-    "q_repr_scoring_prompts",
-    "q_repr_n2one_prompts",
-    "q_repr_tada_prompts",
-    "q_mm_prompts",
-    "q_repr_prompt_tokens",
-    "q_icl_prompt_render",
-    "q_example_selector_random",
-    "q_example_selector_coverage",
-    "q_generate_questions_record",
-    "q_mapping_prompt_render",
-    "q_mapping_sample_data_hint",
-    "q_mixture_schedule",
-    "q_quality_threshold_sweep",
-    "q_packing_efficiency",
-    "q_cross_source_dup_matrix",
-    "q_image_dhash_dedup",
-    "q_question_cost_report",
+    # (a) round-6 code/oracle changes
+    "q_bpe_train",
     "q_stream_near_dup_gate",
-    "q_concat_chunk_bins",
-    "q_ann_plane_sweep",
-    "q_ivf_nprobe_sweep",
-    # r1-only rows (oldest verification -> drift re-check)
-    "q1_pricing_summary",
-    "q2_min_cost_part",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit",
-    "q10_returned_revenue",
-    "q11_important_types",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_heavy_shippers",
-    "q21_sole_failing_supplier",
-    "q22_idle_rich_customers",
-    "q_above_avg_orders",
-    "q_asof_latest_order",
-    "q_asof_next_order",
-    "q_big_spenders",
-    "q_customers_without_orders",
+    "q_mixture_schedule",
+    "q_question_cost_report",
+    # (b) newest green row is r1
     "q_events_hourly",
     "q_events_rollup_multires",
     "q_majority_vote",
@@ -113,6 +65,56 @@ _VERIFY_FIRST = [
     "q_user_activity_windows",
     "q_value_counts",
     "q_weighted_sample",
+    # (c) newest green row is r2 (reference-ops block, three code states old)
+    "q12_priority_by_status",
+    "q_alignment_prf1",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_bidirectional_scores",
+    "q_chat_prompt",
+    "q_cms_supplier_counts",
+    "q_constraint_audit",
+    "q_coverage",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_ensemble_disjoint",
+    "q_ensemble_gold_filter",
+    "q_ensemble_intersection",
+    "q_ensemble_majority",
+    "q_ensemble_union",
+    "q_example_selection",
+    "q_filtered_preferences",
+    "q_fk_audit",
+    "q_icl_packing",
+    "q_json_props",
+    "q_lsh_verified_pairs",
+    "q_mapping_map_pk",
+    "q_mapping_overlap",
+    "q_match_round2",
+    "q_mcq_scores",
+    "q_mcq_validation",
+    "q_metric_ci",
+    "q_metrics_by_category",
+    "q_minhash_signatures",
+    "q_mock_match_scores",
+    "q_mrr",
+    "q_multimodal_features",
+    "q_parse_create_view",
+    "q_parse_matches_json",
+    "q_pass_rate",
+    "q_pipeline_e2e",
+    "q_pivot_status_priority",
+    "q_profile_orders",
+    "q_prompt_assembly",
+    "q_sessionization",
+    "q_softmax_scores",
+    "q_stable_matching",
+    "q_stream_hourly",
+    "q_subsumed_rules",
+    "q_token_stats",
+    "q_topk_alignments",
+    "q_yes_no_majority",
 ]
 
 
