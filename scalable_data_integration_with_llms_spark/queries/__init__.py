@@ -29,6 +29,7 @@ from . import approx_q  # noqa: F401, E402
 from . import pipeline_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
 from . import prompt_q  # noqa: F401, E402
+from . import ehr_q  # noqa: F401, E402
 
 # Verification-window priority (round 6): every registered query has a
 # driver-green row (union r1–r5 = 218/218), so the window is pure drift
@@ -40,7 +41,10 @@ from . import prompt_q  # noqa: F401, E402
 # (c) the round-2-latest block, oldest first — 50-window overflow rotates
 #     to the front of round 7.
 _VERIFY_FIRST = [
-    # (a) round-6 code/oracle changes
+    # (a) new round-6 queries (EHR real-dataset e2e golden) + code/oracle changes
+    "q_ehr_gold_parity",
+    "q_ehr_round1_matches",
+    "q_ehr_matching_f1",
     "q_bpe_train",
     "q_stream_near_dup_gate",
     "q_mixture_schedule",

@@ -1,0 +1,56 @@
+"""Real-dataset end-to-end golden (queries/ehr_q.py): the committed EHR
+benchmark through the full mock pipeline, pinned against the pure-Python
+twin (tools/golden_ehr.py)."""
+
+import json
+import os
+
+import pytest
+
+from scalable_data_integration_with_llms_spark.fixtures.ehr_golden import GOLD, ROUND1
+from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scalable_data_integration_with_llms_spark",
+    "fixtures",
+    "ehr_dataset.json",
+)
+SF = "/root/testdata/sf0.001"  # unused by the ehr queries, required by contract
+
+
+def test_fixture_is_the_52_case_benchmark():
+    cases = json.load(open(FIXTURE))
+    assert len(cases) == 52
+    assert len({c["id"] for c in cases}) == 52
+    assert sum(len(c["gold_mapping"]) for c in cases) == 310
+
+
+def test_golden_shapes():
+    assert len(GOLD) == 310  # no duplicate gold pairs in this dataset
+    assert len(ROUND1) == 542
+    # round 1 produces at most one match per source attr per case
+    seen = {(c, s) for c, s, _ in ROUND1}
+    assert len(seen) == len(ROUND1)
+
+
+def test_ehr_round1_matches_golden(spark):
+    got = {
+        (r.case_id, r.src, r.tgt)
+        for r in QUERIES["q_ehr_round1_matches"](spark, SF).collect()
+    }
+    assert got == set(ROUND1)
+
+
+def test_ehr_f1_plausible_and_complete(spark):
+    rows = QUERIES["q_ehr_matching_f1"](spark, SF).collect()
+    assert len(rows) == 52
+    mean_f1 = sum(r.f1 for r in rows) / len(rows)
+    # the mock scorer is a levenshtein heuristic; it must beat random
+    # pairing but stays well under a real LLM's quality
+    assert 0.05 < mean_f1 < 0.9
+    for r in rows:
+        assert r.tp + r.fn > 0 or r.fp >= 0  # every case scored
+        if r.precision + r.recall > 0:
+            expect = 2 * r.precision * r.recall / (r.precision + r.recall)
+            assert r.f1 == pytest.approx(expect)
