@@ -23,6 +23,27 @@ from pyspark.sql import functions as F
 NO_MATCH = "none of the options"
 
 
+def guard_dimension(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+    """Plan-level cardinality contract for an all-pairs (quadratic) stage:
+    fail the JOB, loudly, if ``df`` exceeds ``max_rows`` at runtime.
+
+    Implemented as ``assert_true`` over an unpartitioned window count,
+    materialized as a column and then consumed by a filter — the filter
+    reference keeps the assertion from being pruned (windows are not
+    allowed directly in WHERE), and the single-partition window is fine
+    because the guarded frames are dimension-sized by contract.  Use on
+    the build side of a crossJoin whose square would be unpayable at
+    corpus scale."""
+    count_all = F.count(F.lit(1)).over(W.partitionBy())
+    ok = F.assert_true(
+        count_all <= F.lit(max_rows),
+        f"{what}: all-pairs stage exceeds its {max_rows}-row contract",
+    )
+    return df.withColumn("_dim_guard", ok).filter(
+        F.col("_dim_guard").isNull()
+    ).drop("_dim_guard")
+
+
 def generate_candidates(catalog: DataFrame) -> DataFrame:
     """J1: per-case query×candidate cross product, both directions.
 

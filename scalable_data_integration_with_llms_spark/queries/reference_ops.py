@@ -254,7 +254,14 @@ SELECT case_id, example_case, cov_dist, nn_rank FROM (
 @query("q_example_selection", _SELECTION_ORACLE)
 def q_example_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank candidate ICL example cases by |coverage − target coverage|
-    (ExampleSelectorTemplate.py:117-146)."""
+    (ExampleSelectorTemplate.py:117-146).
+
+    CONTRACT: the example pool is the experiment's case dimension (the
+    reference runs 52+12 cases), so the all-pairs coverage-distance stage
+    is quadratic in CASES, not in data.  The pool side is runtime-guarded
+    at 10⁴ cases (``guard_dimension`` — job fails loudly past the bound);
+    a corpus-scale pool needs a blocked/ANN variant of the selector
+    instead, like the embedding queries' IVF path."""
     prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
     cov = prefs.groupBy("case_id").agg(
         (
@@ -266,8 +273,11 @@ def q_example_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.countDistinct("query_attr")
         ).alias("coverage")
     )
-    a = cov.select(F.col("case_id"), F.col("coverage").alias("cov_a"))
-    b = cov.select(F.col("case_id").alias("example_case"), F.col("coverage").alias("cov_b"))
+    from ..operators.candidates import guard_dimension
+
+    guarded = guard_dimension(cov, 10_000, "q_example_selection case pool")
+    a = guarded.select(F.col("case_id"), F.col("coverage").alias("cov_a"))
+    b = guarded.select(F.col("case_id").alias("example_case"), F.col("coverage").alias("cov_b"))
     pairs = a.crossJoin(b).filter(F.col("case_id") != F.col("example_case"))
     win = W.partitionBy("case_id").orderBy(F.asc("cov_dist"), F.asc("example_case"))
     return (

@@ -44,3 +44,22 @@ def test_scoped_caches_releases_on_exception(spark):
         pass
     assert scoped_count() == 0
     assert df.storageLevel.useMemory is False
+
+
+def test_guard_dimension_passes_within_bound(spark):
+    from scalable_data_integration_with_llms_spark.operators.candidates import guard_dimension
+
+    df = guard_dimension(spark.range(50), 100, "test pool")
+    assert df.count() == 50
+
+
+def test_guard_dimension_fails_loudly_past_bound(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from scalable_data_integration_with_llms_spark.operators.candidates import guard_dimension
+
+    df = guard_dimension(spark.range(101), 100, "test pool")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        df.count()
