@@ -54,3 +54,22 @@ def test_ehr_f1_plausible_and_complete(spark):
         if r.precision + r.recall > 0:
             expect = 2 * r.precision * r.recall / (r.precision + r.recall)
             assert r.f1 == pytest.approx(expect)
+
+
+def test_synthea_round1_matches_golden(spark):
+    from scalable_data_integration_with_llms_spark.fixtures.ehr_golden import (
+        SYNTHEA_GOLD,
+        SYNTHEA_ROUND1,
+    )
+
+    assert len(SYNTHEA_GOLD) == 105
+    got = {
+        (r.case_id, r.src, r.tgt)
+        for r in QUERIES["q_synthea_round1_matches"](spark, SF).collect()
+    }
+    assert got == set(SYNTHEA_ROUND1)
+
+
+def test_synthea_f1_complete(spark):
+    rows = QUERIES["q_synthea_matching_f1"](spark, SF).collect()
+    assert len(rows) == 12
