@@ -136,6 +136,12 @@ HEADLINE = [
 # apples with BENCH_r02/r04), odd rounds the r3+ additions (which would
 # otherwise never get driver-visible timings).  `total_all` rides along on
 # every line for round-over-round continuity (VERDICT r4 task 7).
+HEADLINE += [
+    # round-6 additions: real-dataset end-to-end goldens
+    "q_ehr_round1_matches",
+    "q_ehr_matching_f1",
+    "q_synthea_matching_f1",
+]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N
 def _infer_round() -> int:

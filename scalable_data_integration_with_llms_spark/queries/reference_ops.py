@@ -273,6 +273,12 @@ def q_example_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.countDistinct("query_attr")
         ).alias("coverage")
     )
+    return nn_by_coverage_allpairs(cov)
+
+
+def nn_by_coverage_allpairs(cov: DataFrame) -> DataFrame:
+    """Top-2 coverage-nearest example cases via the guarded all-pairs join
+    (the direct reference-semantics form; cov = (case_id, coverage))."""
     from ..operators.candidates import guard_dimension
 
     guarded = guard_dimension(cov, 10_000, "q_example_selection case pool")
@@ -282,6 +288,88 @@ def q_example_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = W.partitionBy("case_id").orderBy(F.asc("cov_dist"), F.asc("example_case"))
     return (
         pairs.withColumn("cov_dist", F.abs(F.col("cov_a") - F.col("cov_b")))
+        .withColumn("nn_rank", F.row_number().over(win))
+        .filter(F.col("nn_rank") <= 2)
+        .select("case_id", "example_case", "cov_dist", "nn_rank")
+    )
+
+
+@query("q_example_selection_scalable", _SELECTION_ORACLE)
+def q_example_selection_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked scale path for the example selector — EXACTLY the same
+    result as q_example_selection (same oracle), without the all-pairs join.
+
+    Coverage distance is 1-D, so k-NN reduces to neighboring *coverage
+    levels*: rank the distinct coverage values densely (row_number — the
+    level table is dimension-sized: ≤ |distinct coverages| rows), keep a
+    bounded candidate set per level (the 3 smallest case ids at the level
+    itself, the 2 smallest at each of the 2 dense levels either side), and
+    take the top-2 by (distance, case id) from that set.  Sufficiency:
+    level indices are dense, so if a case has ≥2 other cases anywhere, at
+    least 2 candidates fall within ±2 levels — own-level ties need at most
+    the 3 smallest ids (self may be one), and each adjacent level's best
+    contributor is its smallest ids.  Cost is O(n log n) by coverage level
+    instead of O(n²) pairs: the corpus-scale variant the guarded cross
+    join in q_example_selection points to."""
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    cov = prefs.groupBy("case_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("candidate_attr") != "none of the options") & (F.col("rank") == 1), 1
+                ).otherwise(0)
+            )
+            / F.countDistinct("query_attr")
+        ).alias("coverage")
+    )
+    return nn_by_coverage_blocked(cov)
+
+
+def nn_by_coverage_blocked(cov: DataFrame) -> DataFrame:
+    """Top-2 coverage-nearest example cases via dense-level blocking —
+    provably identical output to :func:`nn_by_coverage_allpairs` (the
+    randomized equivalence test in tests/test_ehr_e2e.py drives both over
+    tie-heavy coverage distributions)."""
+    # level table: one row per distinct coverage, dense index, 3 smallest ids
+    levels = (
+        cov.groupBy("coverage")
+        .agg(F.slice(F.array_sort(F.collect_list("case_id")), 1, 3).alias("ids"))
+        .withColumn(
+            # dimension-sized global sort (distinct coverage values), the
+            # same bounded-driver shape as the BPE vocabulary collect
+            "lvl", F.row_number().over(W.orderBy("coverage"))
+        )
+    )
+    # each case looks at its own level and ±2 dense levels
+    mine = cov.join(
+        levels.select(F.col("coverage"), F.col("lvl").alias("my_lvl")), "coverage"
+    )
+    offsets = F.explode(F.array(*[F.lit(o) for o in range(-2, 3)])).alias("off")
+    probes = mine.select("case_id", "coverage", "my_lvl", offsets).withColumn(
+        "cand_lvl", F.col("my_lvl") + F.col("off")
+    )
+    cands = (
+        probes.join(
+            F.broadcast(
+                levels.select(
+                    F.col("lvl").alias("cand_lvl"),
+                    F.col("coverage").alias("cand_cov"),
+                    "ids",
+                )
+            ),
+            "cand_lvl",
+        )
+        .select(
+            "case_id",
+            "coverage",
+            "cand_cov",
+            F.explode("ids").alias("example_case"),
+        )
+        .filter(F.col("case_id") != F.col("example_case"))
+    )
+    win = W.partitionBy("case_id").orderBy(F.asc("cov_dist"), F.asc("example_case"))
+    return (
+        cands.withColumn("cov_dist", F.abs(F.col("coverage") - F.col("cand_cov")))
         .withColumn("nn_rank", F.row_number().over(win))
         .filter(F.col("nn_rank") <= 2)
         .select("case_id", "example_case", "cov_dist", "nn_rank")

@@ -73,3 +73,26 @@ def test_synthea_round1_matches_golden(spark):
 def test_synthea_f1_complete(spark):
     rows = QUERIES["q_synthea_matching_f1"](spark, SF).collect()
     assert len(rows) == 12
+
+
+def test_nn_by_coverage_blocked_equals_allpairs(spark):
+    """The dense-level blocked selector must reproduce the all-pairs
+    result exactly, including tie-heavy distributions (quantized
+    coverages make dist-0 runs the norm, not the exception)."""
+    import random
+
+    from scalable_data_integration_with_llms_spark.queries.reference_ops import (
+        nn_by_coverage_allpairs,
+        nn_by_coverage_blocked,
+    )
+
+    rng = random.Random(42)
+    for n, n_levels in ((2, 1), (7, 2), (40, 5), (120, 11)):
+        rows = [
+            (f"case{i:03d}", rng.randrange(n_levels) / max(n_levels - 1, 1))
+            for i in range(n)
+        ]
+        cov = spark.createDataFrame(rows, "case_id string, coverage double")
+        a = {tuple(r) for r in nn_by_coverage_allpairs(cov).collect()}
+        b = {tuple(r) for r in nn_by_coverage_blocked(cov).collect()}
+        assert a == b, f"divergence at n={n}, levels={n_levels}"
