@@ -216,6 +216,21 @@ SHOWCASE = [
         "verified as produced, never materialized unverified.",
     ),
     (
+        "q_ehr_matching_f1",
+        "Real-dataset e2e (round 6): the 52-case EHR benchmark in one "
+        "plan — JSON scan once (InMemory-reused by gold and catalog "
+        "branches), the mapInPandas scorer on a coalesced single Arrow "
+        "batch, stable matching as one applyInPandas keyed by case, "
+        "confusion as ONE full-outer pair join (no semi/anti cascade).",
+    ),
+    (
+        "q_example_selection_scalable",
+        "Blocked 1-D NN (round 6): the example selector without the "
+        "all-pairs join — dense coverage-level table (dimension-sized "
+        "window), bounded 3-id candidate arrays, broadcast level probe; "
+        "no BroadcastNestedLoopJoin anywhere in the plan.",
+    ),
+    (
         "q_concat_chunk_bins",
         "Concat-then-chunk packing (round 5): running token offsets from a "
         "two-level parallel prefix sum — the corpus-size window partitions "
