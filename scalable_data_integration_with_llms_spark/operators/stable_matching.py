@@ -149,10 +149,19 @@ def stable_match(preferences: DataFrame, top_k: int = 10) -> DataFrame:
 
 def round_r(matches: DataFrame, r: int) -> DataFrame:
     """W3: the round-r match set; cases with fewer rounds fall back to their
-    last round (``ask_StableMatcher.py:374-447``)."""
-    last = matches.groupBy("case_id").agg(F.max("round").alias("max_round"))
+    last round (``ask_StableMatcher.py:374-447``).
+
+    max_round comes from a window over the case key, NOT an aggregate
+    self-join: the join form executes the upstream plan twice — and when
+    ``matches`` is the applyInPandas stable matcher, that doubles the most
+    expensive Python stage of the pipeline (caught by the round-6 plan
+    audit of q_ehr_matching_f1).  The window adds no exchange either,
+    because the matcher's groupBy already partitioned by case_id."""
+    from pyspark.sql import Window as W
+
+    last = F.max("round").over(W.partitionBy("case_id"))
     return (
-        matches.join(last, "case_id")
+        matches.withColumn("max_round", last)
         .filter(F.col("round") == F.least(F.lit(r), F.col("max_round")))
         .select("case_id", "src", "tgt")
     )

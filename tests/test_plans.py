@@ -402,3 +402,24 @@ def test_concat_chunk_bins_no_single_partition(spark):
     assert "Exchange SinglePartition" not in plan
     assert "bkt" in plan  # the bucketed window partitioning survived
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocked_selector_no_cross_join(spark):
+    """q_example_selection_scalable must never degrade to the all-pairs
+    shape: no nested-loop or cartesian join anywhere; the level probe is a
+    broadcast hash join."""
+    plan = _plan(spark, "q_example_selection_scalable")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # top-2 per case is rank-limited before the full window sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_ehr_e2e_single_scorer_pass(spark):
+    """The EHR e2e plan must run the mapInPandas scorer once (memoized
+    preference frame) and do confusion as one full-outer pair join, not a
+    semi/anti cascade."""
+    plan = _plan(spark, "q_ehr_matching_f1")
+    assert plan.count("FlatMapGroupsInPandas") == 1  # one stable-match pass
+    assert "FullOuter" in plan  # confusion is one full-outer pair join
