@@ -155,6 +155,56 @@ def _has_tws_runtime() -> bool:
 
 def _register_tws() -> None:
     query("q_sessionization_tws", _CLOSED_SESSIONS_ORACLE)(q_sessionization_tws)
+    query("q_stream_near_dup_gate_tws", _NEAR_DUP_GATE_ORACLE)(
+        q_stream_near_dup_gate_tws
+    )
+
+
+def q_stream_near_dup_gate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup ingest gate on transformWithStateInPandas (Spark 4
+    stateful API, RocksDB store) — same banding, same first-wins
+    semantics, same batch-twin oracle as q_stream_near_dup_gate; see
+    streaming/near_dup_gate.py:make_gate_processor."""
+    import tempfile
+
+    from ..streaming.events import read_document_stream
+    from ..streaming.near_dup_gate import near_dup_gate_tws, stream_minhash_bands
+
+    stream = read_document_stream(spark, sf_dir).repartition(32)
+    gated = near_dup_gate_tws(stream_minhash_bands(stream))
+    for q in spark.streams.active:
+        if q.name == "sdi_near_dup_tws_q":
+            q.stop()
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        handle = (
+            gated.writeStream.format("memory")
+            .queryName("sdi_near_dup_tws_q")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_gate_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    drained = spark.table("sdi_near_dup_tws_q")
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("int")
+    return (
+        drained.groupBy(F.col("doc").alias("doc_id"))
+        .agg(n_dup.alias("n_dup_bands"))
+        .withColumn("admitted", F.col("n_dup_bands") == 0)
+    )
 
 
 def q_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

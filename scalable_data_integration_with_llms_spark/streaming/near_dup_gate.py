@@ -170,3 +170,57 @@ def near_dup_gate(banded: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- transformWithStateInPandas twin (Spark 4 stateful API) -------------------
+# Same first-wins semantics on the successor API: RocksDB state store
+# (off-heap, incremental snapshots — the right engine for 100×-more
+# buckets), value state still one bigint per bucket.  Import of the
+# StatefulProcessor base is deferred to call sites that are registration-
+# gated on the TWS runtime (queries/streaming_q.py:_has_tws_runtime);
+# the processor LOGIC is environment-independent and unit-tested directly
+# with a fake handle (tests/test_streaming_state.py).
+
+
+def make_gate_processor():
+    """Build the TWS first-wins processor class (deferred base import so
+    this module stays importable without the TWS runtime)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class GateProcessor(StatefulProcessor):
+        """Per-(band, signature) bucket: emit a flag per doc, keep the
+        bucket minimum in one bigint of value state — byte-identical
+        output to :func:`_gate`."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._min_doc = handle.getValueState("min_doc", _GATE_STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            chunks = list(rows)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            docs = pdf["doc"].to_numpy()
+            if len(docs) > 1:
+                docs = np.sort(docs)
+            prev = self._min_doc.get()[0] if self._min_doc.exists() else None
+            floor = docs[0] if prev is None else min(prev, docs[0])
+            self._min_doc.update((int(floor),))
+            yield pd.DataFrame({"doc": docs, "band": key[0], "is_dup": docs > floor})
+
+        def close(self) -> None:
+            pass
+
+    return GateProcessor
+
+
+def near_dup_gate_tws(banded: DataFrame) -> DataFrame:
+    """The gate on ``transformWithStateInPandas`` (requires the TWS
+    runtime + RocksDB provider; see queries/streaming_q.py for the gated
+    registration and provider plumbing)."""
+    return banded.groupBy("band", "signature").transformWithStateInPandas(
+        statefulProcessor=make_gate_processor()(),
+        outputStructType=GATE_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

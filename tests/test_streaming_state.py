@@ -165,3 +165,69 @@ def test_near_dup_gate_multi_batch_replay(spark, tmp_path):
         len(docs) > 1 and len({file_of(x) for x in docs}) > 1
         for docs in buckets.values()
     )
+
+
+def test_gate_processor_logic_first_wins_across_batches():
+    """The TWS gate processor's per-batch logic, exercised directly (no
+    TWS runtime needed — the container lacks google.protobuf): first
+    batch admits the minimum, later batches flag anything above the
+    stored floor, state stays one bigint."""
+    import pandas as pd
+
+    from scalable_data_integration_with_llms_spark.streaming.near_dup_gate import (
+        make_gate_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    proc = make_gate_processor()()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    b1 = pd.DataFrame({"doc": [30, 10, 20]})
+    out1 = pd.concat(list(proc.handleInputRows((2, "sig"), iter([b1]), None)))
+    assert out1.doc.tolist() == [10, 20, 30]
+    assert out1.is_dup.tolist() == [False, True, True]
+    assert out1.band.tolist() == [2, 2, 2]
+    assert handle.state.get() == (10,)
+
+    # later batch: smaller doc wins retroactively within ITS batch only
+    # (first-arrival semantics), floor updates
+    b2 = pd.DataFrame({"doc": [5]})
+    out2 = pd.concat(list(proc.handleInputRows((2, "sig"), iter([b2]), None)))
+    assert out2.is_dup.tolist() == [False]
+    assert handle.state.get() == (5,)
+
+    b3 = pd.DataFrame({"doc": [7]})
+    out3 = pd.concat(list(proc.handleInputRows((2, "sig"), iter([b3]), None)))
+    assert out3.is_dup.tolist() == [True]
+
+
+def test_tws_gate_registration_matches_runtime(spark):
+    import importlib.util
+
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    try:
+        has = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has = False
+    assert ("q_stream_near_dup_gate_tws" in QUERIES) == has
