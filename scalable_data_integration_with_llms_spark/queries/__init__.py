@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "q_synthea_round1_matches",
     "q_synthea_matching_f1",
     "q_example_selection_scalable",
+    "q_ehr_ensemble_f1",
     "q_bpe_train",
     "q_stream_near_dup_gate",
     "q_mixture_schedule",

@@ -197,3 +197,133 @@ def q_synthea_round1_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_synthea_matching_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-case PRF1 for the Synthea benchmark (see q_ehr_matching_f1)."""
     return _f1_df(spark, "synthea")
+
+
+# -- seed-ensemble experiment on the real dataset (FULLY-DERIVED oracle) ------
+# Unlike the golden-pinned queries above, this oracle derives EVERYTHING in
+# SQL from the independently parsed catalog VALUES: levenshtein milli-scores,
+# the reference's 3-seed md5 dropout (ask_StableMatcher.py:254 seed list),
+# per-seed top-1 runs, majority vote (ties kept), and per-case PRF1 — the
+# hardest possible cross-check of the real-dataset pipeline.
+
+
+def _catalog_values_sql() -> str:
+    from ..fixtures.ehr_golden import EHR_CATALOG
+
+    body = ", ".join(
+        f"({_sq(c)}, {_sq(s)}, {_sq(n)}, {_sq(t)})" for c, s, n, t in EHR_CATALOG
+    )
+    return f"(VALUES {body}) AS cat(case_id, side, col_name, col_type)"
+
+
+def _ehr_runs_cte() -> str:
+    from .matching import _STRIP, _SUPER, ENSEMBLE_SEEDS
+
+    score_expr = (
+        "CAST(round((1.0 / (1.0 + levenshtein("
+        + _STRIP.format(c="query_attr")
+        + ", "
+        + _STRIP.format(c="candidate_attr")
+        + ")) + CASE WHEN "
+        + _SUPER.format(t="query_type")
+        + " = "
+        + _SUPER.format(t="candidate_type")
+        + " THEN 0.25 ELSE 0 END) * 1000000, 0) AS BIGINT)"
+    )
+    seeds_sql = ", ".join(f"({s})" for s in ENSEMBLE_SEEDS)
+    return f"""
+WITH catalog AS (SELECT * FROM {_catalog_values_sql()}),
+src AS (SELECT case_id, col_name AS s_attr, col_type AS s_type FROM catalog WHERE side = 'source'),
+tgt AS (SELECT case_id, col_name AS t_attr, col_type AS t_type FROM catalog WHERE side = 'target'),
+scored AS (
+  SELECT src.case_id, t_attr AS query_attr, t_type AS query_type,
+         s_attr AS candidate_attr, s_type AS candidate_type
+  FROM src JOIN tgt ON src.case_id = tgt.case_id
+),
+seeds AS (SELECT * FROM (VALUES {seeds_sql}) AS s(seed)),
+perturbed AS (
+  SELECT seed, scored.*, {score_expr} AS score_milli FROM scored CROSS JOIN seeds
+  WHERE ('0x' || substr(md5(seed || ':' || case_id || ':' || query_attr || ':' || candidate_attr), 1, 15))::BIGINT
+        / 1152921504606846976.0 >= 0.15
+),
+runs AS (
+  SELECT seed, case_id, candidate_attr AS src, query_attr AS tgt FROM (
+    SELECT perturbed.*,
+           ROW_NUMBER() OVER (PARTITION BY seed, case_id, query_attr
+                              ORDER BY score_milli DESC, candidate_attr ASC) AS rk
+    FROM perturbed
+  ) WHERE rk = 1
+),
+majority AS (
+  SELECT case_id, src, tgt FROM (
+    SELECT case_id, src, tgt, COUNT(*) AS votes,
+           MAX(COUNT(*)) OVER (PARTITION BY case_id, tgt) AS max_votes
+    FROM runs GROUP BY case_id, src, tgt
+  ) WHERE votes = max_votes
+)
+"""
+
+
+def _ensemble_f1_oracle() -> str:
+    _, gold = _golden("ehr")
+    return _ehr_runs_cte() + f""",
+gold AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
+cases AS (SELECT case_id FROM gold UNION SELECT case_id FROM majority),
+counts AS (
+  SELECT cases.case_id,
+         COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
+  FROM cases
+  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT * FROM majority INTERSECT SELECT * FROM gold) GROUP BY case_id) t USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT * FROM majority EXCEPT SELECT * FROM gold) GROUP BY case_id) f USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM majority) GROUP BY case_id) n USING (case_id)
+)
+SELECT case_id, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+       CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+       CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
+               + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END) = 0 THEN 0.0
+            ELSE (2.0 * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+                      * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END))
+               / ((CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
+                + (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)) END AS f1
+FROM counts
+"""
+
+
+@query("q_ehr_ensemble_f1", _ensemble_f1_oracle())
+def q_ehr_ensemble_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's seed-ensemble experiment on the real dataset: the
+    3-seed md5-dropout runs, majority vote (ties kept), per-case PRF1 vs
+    gold.  The oracle re-derives every stage in SQL from the independently
+    parsed catalog — no pinned golden anywhere in this check."""
+    from ..operators.candidates import NO_MATCH
+    from ..operators.ensembles import ensemble_majority
+    from .matching import ENSEMBLE_SEEDS, det_rand_str
+
+    prefs = _preferences(spark, "ehr").filter(
+        (F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH)
+    )
+    seeds = spark.createDataFrame([(s,) for s in ENSEMBLE_SEEDS], "seed int")
+    from pyspark.sql import Window as W
+
+    perturbed = prefs.crossJoin(F.broadcast(seeds)).filter(
+        det_rand_str("seed", "case_id", "query_attr", "candidate_attr") >= 0.15
+    )
+    win = W.partitionBy("seed", "case_id", "query_attr").orderBy(
+        F.desc("score_milli"), F.asc("candidate_attr")
+    )
+    runs = (
+        perturbed.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "seed",
+            "case_id",
+            F.col("candidate_attr").alias("src"),
+            F.col("query_attr").alias("tgt"),
+        )
+    )
+    majority = ensemble_majority(runs).select("case_id", "src", "tgt")
+    counts = confusion_counts(majority, dataset_gold_df(spark, "ehr"))
+    return prf1_columns(counts).select(
+        "case_id", "tp", "fp", "fn", "precision", "recall", "f1"
+    )

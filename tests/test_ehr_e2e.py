@@ -96,3 +96,10 @@ def test_nn_by_coverage_blocked_equals_allpairs(spark):
         a = {tuple(r) for r in nn_by_coverage_allpairs(cov).collect()}
         b = {tuple(r) for r in nn_by_coverage_blocked(cov).collect()}
         assert a == b, f"divergence at n={n}, levels={n_levels}"
+
+
+def test_ehr_ensemble_f1_complete(spark):
+    rows = QUERIES["q_ehr_ensemble_f1"](spark, SF).collect()
+    assert len(rows) == 52
+    # majority-of-3 with per-seed dropout must beat the empty predictor
+    assert sum(r.tp for r in rows) > 0

@@ -99,6 +99,19 @@ def ranked_lists(queries, candidates):
     return out
 
 
+def catalog_rows(dataset_path: str):
+    """(case_id, side, col_name_lower, col_type) — the independently parsed
+    catalog the fully-derived ensemble oracle embeds as VALUES."""
+    with open(dataset_path) as f:
+        cases = json.load(f)
+    rows = []
+    for case in cases:
+        for side in ("source", "target"):
+            for c in case[f"{side}_schema"]["columns"]:
+                rows.append((case["id"], side, c["name"].lower(), c["type"]))
+    return rows
+
+
 def pipeline(dataset_path: str):
     with open(dataset_path) as f:
         cases = json.load(f)
@@ -152,6 +165,12 @@ def main() -> None:
                 f.write(f"{up}_ROUND1: list[tuple[str, str, str]] = {round1!r}\n\n")
                 f.write(f"{up}_GOLD: list[tuple[str, str, str]] = {gold!r}\n\n")
             print(f"{name}: {len(round1)} round-1 matches, {len(gold)} gold pairs")
+        cat = catalog_rows(DATASETS["ehr"])
+        f.write(
+            "# (case_id, side, col_name_lower, col_type) — independent parse\n"
+            f"EHR_CATALOG: list[tuple[str, str, str, str]] = {cat!r}\n"
+        )
+        print(f"ehr catalog rows: {len(cat)}")
     print(f"wrote {OUT}")
 
 
