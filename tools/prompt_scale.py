@@ -40,10 +40,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def catalog(spark: SparkSession, copies: int) -> DataFrame:
-    from scalable_data_integration_with_llms_spark.queries.ehr_q import ehr_cases_df
+    from scalable_data_integration_with_llms_spark.queries.ehr_q import dataset_cases_df
     from scalable_data_integration_with_llms_spark.sources.dataset_json import catalog_from_cases
 
-    base = catalog_from_cases(ehr_cases_df(spark)).withColumn(
+    base = catalog_from_cases(dataset_cases_df(spark, "ehr")).withColumn(
         "col_idx",
         F.row_number().over(
             W.partitionBy("case_id", "side").orderBy("col_name")
@@ -153,7 +153,35 @@ def cost_report(spark: SparkSession, cat: DataFrame) -> DataFrame:
     )
 
 
-STAGES = {"mm_render": mm_render, "icl_pack": icl_pack, "cost_report": cost_report}
+def match_pipeline(spark: SparkSession, cat: DataFrame) -> DataFrame:
+    """The core matching pipeline across the case dimension: candidates →
+    mock scoring (mapInPandas) → ranking → per-case Gale–Shapley
+    (applyInPandas) → round-1 extraction.  THE at-scale shape of the
+    engine (millions of independent cases on a corpus feed)."""
+    from scalable_data_integration_with_llms_spark.llm.boundary import mock_score_candidates
+    from scalable_data_integration_with_llms_spark.operators.candidates import (
+        generate_candidates,
+        rank_preferences,
+    )
+    from scalable_data_integration_with_llms_spark.operators.stable_matching import (
+        round_r,
+        stable_match,
+    )
+
+    cands = generate_candidates(cat.select("case_id", "side", "col_name", "col_type"))
+    prefs = rank_preferences(mock_score_candidates(cands))
+    matched = round_r(stable_match(prefs, top_k=5), 1)
+    return matched.select(
+        "case_id", F.concat("src", F.lit(">"), "tgt").alias("prompt")
+    )
+
+
+STAGES = {
+    "mm_render": mm_render,
+    "icl_pack": icl_pack,
+    "cost_report": cost_report,
+    "match_pipeline": match_pipeline,
+}
 
 
 def force(df: DataFrame) -> None:
