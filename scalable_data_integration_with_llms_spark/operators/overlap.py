@@ -22,7 +22,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..plans.timeout import OK, ExecResult, run_with_timeout
 

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from ..caching import SessionMemo
 from ..catalog.cases import case_catalog_df, cases_values_sql, gold_values_sql
-from ..functions.determinism import det_rand
 from ..llm.boundary import mock_score_candidates
 from ..operators.candidates import (
     NO_MATCH,
