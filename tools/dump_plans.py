@@ -231,6 +231,14 @@ SHOWCASE = [
         "no BroadcastNestedLoopJoin anywhere in the plan.",
     ),
     (
+        "q_ehr_ensemble_f1",
+        "Seed-ensemble on the real dataset (round 6): the 3-seed dropout "
+        "is a broadcast of the 3-row seed dimension (no preference-frame "
+        "re-score per seed — the memoized frame is an InMemoryRelation), "
+        "majority vote is one partial-agg'd groupBy + window max, and the "
+        "confusion stays one full-outer pair join.",
+    ),
+    (
         "q_concat_chunk_bins",
         "Concat-then-chunk packing (round 5): running token offsets from a "
         "two-level parallel prefix sum — the corpus-size window partitions "
