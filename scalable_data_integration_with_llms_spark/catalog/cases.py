@@ -94,10 +94,7 @@ def gold_alignments_df(spark: SparkSession) -> DataFrame:
 
 
 def _values_sql(rows: list[tuple], cols: list[str]) -> str:
-    def lit(v) -> str:
-        if isinstance(v, int):
-            return str(v)
-        return "'" + str(v).replace("'", "''") + "'"
+    from ..functions.sql_text import sql_lit as lit
 
     values = ",\n    ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
     return f"(VALUES\n    {values}) AS t({', '.join(cols)})"

@@ -40,8 +40,7 @@ _FIXTURE_DIR = os.path.join(
 )
 
 
-def _sq(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+from ..functions.sql_text import sql_quote as _sq
 
 
 def _values(rows: list[tuple[str, str, str]], alias: str) -> str:
@@ -119,19 +118,18 @@ def _round1_oracle(dataset: str) -> str:
     return f"SELECT case_id, src, tgt FROM {_values(round1, 'r1')}"
 
 
-def _f1_oracle(dataset: str) -> str:
-    round1, gold = _golden(dataset)
-    return f"""
-WITH r1 AS (SELECT DISTINCT case_id, src, tgt FROM {_values(round1, "rv")}),
-gold AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
-cases AS (SELECT case_id FROM gold UNION SELECT case_id FROM r1),
-counts AS (
+def _prf1_sql(pred: str) -> str:
+    """The shared per-case tp/fp/fn + PRF1 derivation over a predictions
+    CTE named ``pred`` and a ``gold`` CTE — ONE copy for every real-dataset
+    oracle (round-6 review: _f1_oracle and _ensemble_f1_oracle had
+    diverged-by-construction duplicates)."""
+    return """counts AS (
   SELECT cases.case_id,
          COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
   FROM cases
-  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT * FROM r1 INTERSECT SELECT * FROM gold) GROUP BY case_id) t USING (case_id)
-  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT * FROM r1 EXCEPT SELECT * FROM gold) GROUP BY case_id) f USING (case_id)
-  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM r1) GROUP BY case_id) n USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT * FROM {pred} INTERSECT SELECT * FROM gold) GROUP BY case_id) t USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT * FROM {pred} EXCEPT SELECT * FROM gold) GROUP BY case_id) f USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM {pred}) GROUP BY case_id) n USING (case_id)
 )
 SELECT case_id, tp, fp, fn,
        CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
@@ -142,8 +140,16 @@ SELECT case_id, tp, fp, fn,
                       * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END))
                / ((CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
                 + (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)) END AS f1
-FROM counts
-"""
+FROM counts""".format(pred=pred)
+
+
+def _f1_oracle(dataset: str) -> str:
+    round1, gold = _golden(dataset)
+    return f"""
+WITH r1 AS (SELECT DISTINCT case_id, src, tgt FROM {_values(round1, "rv")}),
+gold AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
+cases AS (SELECT case_id FROM gold UNION SELECT case_id FROM r1),
+""" + _prf1_sql("r1") + "\n"
 
 
 def _f1_df(spark: SparkSession, dataset: str) -> DataFrame:
@@ -269,25 +275,7 @@ def _ensemble_f1_oracle() -> str:
     return _ehr_runs_cte() + f""",
 gold AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
 cases AS (SELECT case_id FROM gold UNION SELECT case_id FROM majority),
-counts AS (
-  SELECT cases.case_id,
-         COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
-  FROM cases
-  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT * FROM majority INTERSECT SELECT * FROM gold) GROUP BY case_id) t USING (case_id)
-  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT * FROM majority EXCEPT SELECT * FROM gold) GROUP BY case_id) f USING (case_id)
-  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM majority) GROUP BY case_id) n USING (case_id)
-)
-SELECT case_id, tp, fp, fn,
-       CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
-       CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
-       CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
-               + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END) = 0 THEN 0.0
-            ELSE (2.0 * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
-                      * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END))
-               / ((CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
-                + (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)) END AS f1
-FROM counts
-"""
+""" + _prf1_sql("majority") + "\n"
 
 
 @query("q_ehr_ensemble_f1", _ensemble_f1_oracle())

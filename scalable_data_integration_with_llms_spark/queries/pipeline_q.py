@@ -647,6 +647,23 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- mixture scheduling (round 5): exact data-mixing budget -------------------
 
+def mixture_weight(source):
+    """Mixture weight from the trailing digits of the source name; a
+    digitless name gets default weight 1.  MUST be try_cast: under Spark
+    4's default ANSI mode a plain cast of the empty no-match extract
+    THROWS instead of yielding NULL, so coalesce(cast(...)) never reaches
+    its default (round-6 review finding, reproduced live).  Twin of the
+    oracle's COALESCE(TRY_CAST(...), 0) % 5 + 1."""
+    return (
+        F.coalesce(
+            F.regexp_extract(source, r"([0-9]+)$", 1).try_cast("bigint"),
+            F.lit(0),
+        )
+        % 5
+        + 1
+    )
+
+
 _MIX_ORACLE = """
 WITH avail AS (
   SELECT source,
@@ -681,19 +698,9 @@ def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    # a source name without trailing digits gets default weight 1 (matching
-    # the oracle's COALESCE(...,0)%5+1) instead of a silent NULL weight
-    weight = (
-        F.coalesce(
-            F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("bigint"),
-            F.lit(0),
-        )
-        % 5
-        + 1
-    )
     avail = docs.groupBy("source").agg(
         F.sum(token_count(F.col("text"))).cast("bigint").alias("available_tokens")
-    ).withColumn("weight_raw", weight)
+    ).withColumn("weight_raw", mixture_weight(F.col("source")))
     # integer division on BOTH engines: double division + bigint cast
     # truncates in Spark but rounds in DuckDB — // and try_divide(floor)
     # keep the schedule exact

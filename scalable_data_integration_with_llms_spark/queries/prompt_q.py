@@ -169,10 +169,7 @@ def _golden_tokens() -> list[tuple[str, str, int, int]]:
     ]
 
 
-def _sql_lit(v) -> str:
-    if isinstance(v, int):
-        return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
+from ..functions.sql_text import sql_lit as _sql_lit
 
 
 def _values_oracle(rows: list[tuple], cols: list[str]) -> str:

@@ -56,8 +56,7 @@ REFINED_RESPONSES = [
 
 
 def _values(rows: list[tuple], cols: list[str]) -> str:
-    def lit(v) -> str:
-        return "'" + str(v).replace("'", "''") + "'"
+    from ..functions.sql_text import sql_quote as lit
 
     body = ",\n  ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     return f"(VALUES\n  {body}) AS t({', '.join(cols)})"
@@ -251,6 +250,25 @@ SELECT case_id, example_case, cov_dist, nn_rank FROM (
 """
 
 
+def _case_coverage(spark: SparkSession) -> DataFrame:
+    """Per-case coverage ratio over the n_to_one preferences — shared by
+    both example-selector variants (they verify against ONE oracle, so the
+    coverage definition must be literally shared, round-6 review)."""
+    from ..operators.candidates import NO_MATCH
+
+    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
+    return prefs.groupBy("case_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("candidate_attr") != NO_MATCH) & (F.col("rank") == 1), 1
+                ).otherwise(0)
+            )
+            / F.countDistinct("query_attr")
+        ).alias("coverage")
+    )
+
+
 @query("q_example_selection", _SELECTION_ORACLE)
 def q_example_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank candidate ICL example cases by |coverage − target coverage|
@@ -262,17 +280,7 @@ def q_example_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10⁴ cases (``guard_dimension`` — job fails loudly past the bound);
     a corpus-scale pool needs a blocked/ANN variant of the selector
     instead, like the embedding queries' IVF path."""
-    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
-    cov = prefs.groupBy("case_id").agg(
-        (
-            F.sum(
-                F.when(
-                    (F.col("candidate_attr") != "none of the options") & (F.col("rank") == 1), 1
-                ).otherwise(0)
-            )
-            / F.countDistinct("query_attr")
-        ).alias("coverage")
-    )
+    cov = _case_coverage(spark)
     return nn_by_coverage_allpairs(cov)
 
 
@@ -311,17 +319,7 @@ def q_example_selection_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributor is its smallest ids.  Cost is O(n log n) by coverage level
     instead of O(n²) pairs: the corpus-scale variant the guarded cross
     join in q_example_selection points to."""
-    prefs = _spark_preferences(spark).filter(F.col("side") == "n_to_one")
-    cov = prefs.groupBy("case_id").agg(
-        (
-            F.sum(
-                F.when(
-                    (F.col("candidate_attr") != "none of the options") & (F.col("rank") == 1), 1
-                ).otherwise(0)
-            )
-            / F.countDistinct("query_attr")
-        ).alias("coverage")
-    )
+    cov = _case_coverage(spark)
     return nn_by_coverage_blocked(cov)
 
 

@@ -117,26 +117,18 @@ def q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-sessions oracle: the drain emits exactly the sessions closed by
     a later event (each user's final open session stays in state awaiting
     more data — batch-boundary independent, so fully oracle-checkable)."""
-    import tempfile
-
-    from ..streaming.events import read_event_stream
     from ..streaming.sessions import sessionize_stream
 
     stream = read_event_stream(spark, sf_dir)
     sessions = sessionize_stream(stream, gap_minutes=_SESSION_GAP_MIN)
-    for q in spark.streams.active:
-        if q.name == "sdi_sessions_q":
-            q.stop()
-    query_handle = (
-        sessions.writeStream.format("memory")
-        .queryName("sdi_sessions_q")
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_sess_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory(
+        spark, sessions, "sdi_sessions_q", mode="append", use_checkpoint=True
     )
-    query_handle.awaitTermination()
-    return spark.table("sdi_sessions_q")
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 def _has_tws_runtime() -> bool:
@@ -165,40 +157,20 @@ def q_stream_near_dup_gate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful API, RocksDB store) — same banding, same first-wins
     semantics, same batch-twin oracle as q_stream_near_dup_gate; see
     streaming/near_dup_gate.py:make_gate_processor."""
-    import tempfile
-
-    from ..streaming.events import read_document_stream
+    from ..streaming.events import read_document_stream, run_to_memory
     from ..streaming.near_dup_gate import near_dup_gate_tws, stream_minhash_bands
 
     stream = read_document_stream(spark, sf_dir).repartition(32)
     gated = near_dup_gate_tws(stream_minhash_bands(stream))
-    for q in spark.streams.active:
-        if q.name == "sdi_near_dup_tws_q":
-            q.stop()
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    drained = run_to_memory(
+        spark,
+        gated,
+        "sdi_near_dup_tws_q",
+        mode="append",
+        partitions=32,
+        provider=_ROCKSDB_PROVIDER,
+        use_checkpoint=True,
     )
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try:
-        handle = (
-            gated.writeStream.format("memory")
-            .queryName("sdi_near_dup_tws_q")
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_gate_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        handle.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    drained = spark.table("sdi_near_dup_tws_q")
     n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("int")
     return (
         drained.groupBy(F.col("doc").alias("doc_id"))
@@ -215,40 +187,20 @@ def q_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed by a later event — i.e. every session except each user's last —
     regardless of micro-batch boundaries, because closing is triggered by
     data, not time."""
-    import tempfile
-
-    from ..streaming.events import read_event_stream
+    from ..streaming.events import read_event_stream, run_to_memory
     from ..streaming.tws_sessions import sessionize_stream_tws
 
     stream = read_event_stream(spark, sf_dir)
     sessions = sessionize_stream_tws(stream, gap_minutes=_SESSION_GAP_MIN)
-    for q in spark.streams.active:
-        if q.name == "sdi_sessions_tws_q":
-            q.stop()
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    return run_to_memory(
+        spark,
+        sessions,
+        "sdi_sessions_tws_q",
+        mode="append",
+        partitions=8,
+        provider=_ROCKSDB_PROVIDER,
+        use_checkpoint=True,
     )
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query_handle = (
-            sessions.writeStream.format("memory")
-            .queryName("sdi_sessions_tws_q")
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sdi_tws_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query_handle.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table("sdi_sessions_tws_q")
 
 
 if _has_tws_runtime():  # pragma: no cover - environment-dependent

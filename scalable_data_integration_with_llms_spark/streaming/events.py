@@ -102,6 +102,8 @@ def run_to_memory(
     name: str,
     mode: str = "complete",
     partitions: int = 8,
+    provider: str | None = None,
+    use_checkpoint: bool = False,
 ) -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into a
     memory sink; return the result table as a batch DataFrame.
@@ -115,23 +117,48 @@ def run_to_memory(
     pass a higher ``partitions`` (measured at sf0.1: 9.0s → 6.7s from
     8 → 32).  The count is pinned at query start (it becomes part of the
     checkpoint), so this is a per-query setting, not a session-wide one.
+
+    ``provider`` swaps the state-store provider class for this drain
+    (restored after) — the transformWithState queries require RocksDB.
+    ``use_checkpoint`` drains through a throwaway checkpoint dir, removed
+    once the query terminates (TWS refuses the in-memory default).
     """
+    import shutil
+    import tempfile
+
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        _PROVIDER_KEY,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    if provider is not None:
+        spark.conf.set(_PROVIDER_KEY, provider)
+    ckpt = tempfile.mkdtemp(prefix=f"sdi_{name}_ckpt_") if use_checkpoint else None
+    query = None
     try:
-        query = (
+        writer = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        query = writer.start()
         query.awaitTermination()
     finally:
+        if query is not None and query.isActive:
+            query.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider is not None:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -49,8 +49,9 @@ def test_ehr_f1_plausible_and_complete(spark):
     # the mock scorer is a levenshtein heuristic; it must beat random
     # pairing but stays well under a real LLM's quality
     assert 0.05 < mean_f1 < 0.9
+    # every gold pair is accounted for: tp+fn partitions the 310 gold pairs
+    assert sum(r.tp + r.fn for r in rows) == 310
     for r in rows:
-        assert r.tp + r.fn > 0 or r.fp >= 0  # every case scored
         if r.precision + r.recall > 0:
             expect = 2 * r.precision * r.recall / (r.precision + r.recall)
             assert r.f1 == pytest.approx(expect)

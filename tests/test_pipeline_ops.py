@@ -287,3 +287,26 @@ def test_concat_chunk_bins_synthetic_shapes(spark):
     # the long doc really spans >= 5 bins
     assert max(b for s, b in want if s == "a") >= 4
     assert any(n_docs == 1 and n_starts == 0 for n_docs, n_starts, _t in want.values())
+
+
+def test_mixture_weight_digitless_source_matches_oracle(spark, duck):
+    """Under Spark 4 ANSI mode a plain cast of the no-match extract THROWS;
+    mixture_weight must try_cast so a digitless source gets weight 1 in
+    BOTH engines (round-6 review finding)."""
+    from pyspark.sql import functions as F
+
+    from scalable_data_integration_with_llms_spark.queries.pipeline_q import mixture_weight
+
+    df = spark.createDataFrame([("books",), ("src3",), ("web12",), ("",)], "source string")
+    got = {
+        r.source: r.w
+        for r in df.select("source", mixture_weight(F.col("source")).alias("w")).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT source, COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0) % 5 + 1"
+            " FROM (VALUES ('books'), ('src3'), ('web12'), ('')) t(source)"
+        ).fetchall()
+    }
+    assert got == want == {"books": 1, "src3": 4, "web12": 3, "": 1}

@@ -19,8 +19,8 @@ exact plan shapes those queries are built from:
   q_generate_questions_record shape).
 
 Each stage is forced with a sum-of-lengths aggregate so driver transfer
-stays off the clock.  Verdict rule mirrors tools/scale_curve.py: ratio at
-10× cases ≤ 12 is linear-ok.
+stays off the clock.  Verdict rule mirrors tools/scale_curve.py scaled to
+the 100× replica point: ratio at 100× cases ≤ 120 is linear-ok.
 
     python tools/prompt_scale.py          # writes SCALE_CURVE_PROMPT_r06.json
 """
@@ -224,7 +224,7 @@ def main() -> None:
 
     out = os.path.join(ROOT, "SCALE_CURVE_PROMPT_r06.json")
     with open(out, "w") as fh:
-        json.dump({"copies": 10, "base_cases": 52, "results": results}, fh, indent=1)
+        json.dump({"replicas": [1, 10, 100], "base_cases": 52, "results": results}, fh, indent=1)
     print("wrote", out)
 
 
