@@ -142,6 +142,7 @@ HEADLINE += [
     "q_ehr_matching_f1",
     "q_synthea_matching_f1",
     "q_ehr_ensemble_f1",
+    "q_real_benchmarks_summary",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "q_synthea_matching_f1",
     "q_example_selection_scalable",
     "q_ehr_ensemble_f1",
+    "q_real_benchmarks_summary",
     "q_bpe_train",
     "q_stream_near_dup_gate",
     "q_mixture_schedule",

@@ -315,3 +315,56 @@ def q_ehr_ensemble_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prf1_columns(counts).select(
         "case_id", "tp", "fp", "fn", "precision", "recall", "f1"
     )
+
+
+# -- per-dataset experiment summary (the reference's reported table) -----------
+
+
+def _summary_oracle() -> str:
+    parts = []
+    for name in ("ehr", "synthea"):
+        round1, gold = _golden(name)
+        parts.append(f"""
+SELECT '{name}' AS dataset, case_id, tp, fp, fn, precision, recall, f1 FROM (
+WITH r1 AS (SELECT DISTINCT case_id, src, tgt FROM {_values(round1, "rv")}),
+gold AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
+cases AS (SELECT case_id FROM gold UNION SELECT case_id FROM r1),
+{_prf1_sql("r1")}
+)""")
+    percase = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH percase AS ({percase})
+SELECT dataset,
+       COUNT(*) AS n_cases,
+       CAST(SUM(tp) AS BIGINT) AS total_tp,
+       CAST(SUM(fp) AS BIGINT) AS total_fp,
+       CAST(SUM(fn) AS BIGINT) AS total_fn,
+       (SUM(CAST(round(precision * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_precision,
+       (SUM(CAST(round(recall * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_recall,
+       (SUM(CAST(round(f1 * 1000000, 0) AS BIGINT)) / 1000000.0) / COUNT(*) AS mean_f1
+FROM percase
+GROUP BY dataset
+"""
+
+
+@query("q_real_benchmarks_summary", _summary_oracle())
+def q_real_benchmarks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's reported experiment table: per-dataset case counts,
+    confusion totals, and milli-exact mean P/R/F1 over BOTH committed real
+    benchmarks in one plan (eval_dataset.py's per-dataset rollup on
+    MIMIC→OMOP and Synthea→OMOP).  Built as a union of the two per-case
+    PRF1 frames — the capstone over the round-6 real-data path."""
+    milli = lambda c: F.round(F.col(c) * 1_000_000, 0).cast("bigint")  # noqa: E731
+    out = None
+    for name in ("ehr", "synthea"):
+        df = _f1_df(spark, name).withColumn("dataset", F.lit(name))
+        out = df if out is None else out.unionByName(df)
+    return out.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_cases"),
+        F.sum("tp").cast("bigint").alias("total_tp"),
+        F.sum("fp").cast("bigint").alias("total_fp"),
+        F.sum("fn").cast("bigint").alias("total_fn"),
+        ((F.sum(milli("precision")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_precision"),
+        ((F.sum(milli("recall")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_recall"),
+        ((F.sum(milli("f1")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_f1"),
+    )

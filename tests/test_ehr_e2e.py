@@ -104,3 +104,11 @@ def test_ehr_ensemble_f1_complete(spark):
     assert len(rows) == 52
     # majority-of-3 with per-seed dropout must beat the empty predictor
     assert sum(r.tp for r in rows) > 0
+
+
+def test_real_benchmarks_summary_shape(spark):
+    rows = {r.dataset: r for r in QUERIES["q_real_benchmarks_summary"](spark, SF).collect()}
+    assert set(rows) == {"ehr", "synthea"}
+    assert rows["ehr"].n_cases == 52 and rows["synthea"].n_cases == 12
+    assert rows["ehr"].total_tp + rows["ehr"].total_fn == 310
+    assert rows["synthea"].total_tp + rows["synthea"].total_fn == 105
