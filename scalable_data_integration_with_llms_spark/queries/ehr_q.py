@@ -208,9 +208,10 @@ def q_synthea_matching_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- seed-ensemble experiment on the real dataset (FULLY-DERIVED oracle) ------
 # Unlike the golden-pinned queries above, this oracle derives EVERYTHING in
 # SQL from the independently parsed catalog VALUES: levenshtein milli-scores,
-# the reference's 3-seed md5 dropout (ask_StableMatcher.py:254 seed list),
-# per-seed top-1 runs, majority vote (ties kept), and per-case PRF1 — the
-# hardest possible cross-check of the real-dataset pipeline.
+# the reference's 4-seed md5 dropout (ask_StableMatcher.py:254 seed list
+# [7564, 268799, 87849, 333]), per-seed top-1 runs, majority vote (ties
+# kept), and per-case PRF1 — the hardest possible cross-check of the
+# real-dataset pipeline.
 
 
 def _catalog_values_sql() -> str:
@@ -281,7 +282,7 @@ cases AS (SELECT case_id FROM gold UNION SELECT case_id FROM majority),
 @query("q_ehr_ensemble_f1", _ensemble_f1_oracle())
 def q_ehr_ensemble_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's seed-ensemble experiment on the real dataset: the
-    3-seed md5-dropout runs, majority vote (ties kept), per-case PRF1 vs
+    4-seed md5-dropout runs, majority vote (ties kept), per-case PRF1 vs
     gold.  The oracle re-derives every stage in SQL from the independently
     parsed catalog — no pinned golden anywhere in this check."""
     from ..operators.candidates import NO_MATCH

@@ -29,7 +29,9 @@ from ..operators.ensembles import ensemble_intersection, ensemble_majority, ense
 from ..operators.stable_matching import stable_match
 from .registry import query
 
-ENSEMBLE_SEEDS = [7564, 268799, 87849]  # reference seed list, ask_StableMatcher.py:254
+# The reference's full 4-seed ensemble list (ask_StableMatcher.py:254:
+# seeds = [7564, 268799, 87849, 333]; sample_nums=[4] uses all four).
+ENSEMBLE_SEEDS = [7564, 268799, 87849, 333]
 
 # ---------------------------------------------------------------------------
 # shared oracle CTEs

@@ -203,8 +203,9 @@ def q_sessionization_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-if _has_tws_runtime():  # pragma: no cover - environment-dependent
-    _register_tws()
+# NOTE: _register_tws() is invoked at the very END of this module — it
+# references _NEAR_DUP_GATE_ORACLE, defined further down, so calling it here
+# would raise NameError on any protobuf-capable environment (ADVICE r6).
 
 
 # -- stream-static enrichment join -------------------------------------------
@@ -649,3 +650,9 @@ def q_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n_dup.alias("n_dup_bands"))
         .withColumn("admitted", F.col("n_dup_bands") == 0)
     )
+
+
+# Registered last: _register_tws references _NEAR_DUP_GATE_ORACLE and
+# _CLOSED_SESSIONS_ORACLE, which must both be bound before the call.
+if _has_tws_runtime():  # pragma: no cover - environment-dependent
+    _register_tws()

@@ -102,7 +102,7 @@ def test_nn_by_coverage_blocked_equals_allpairs(spark):
 def test_ehr_ensemble_f1_complete(spark):
     rows = QUERIES["q_ehr_ensemble_f1"](spark, SF).collect()
     assert len(rows) == 52
-    # majority-of-3 with per-seed dropout must beat the empty predictor
+    # majority vote with per-seed dropout must beat the empty predictor
     assert sum(r.tp for r in rows) > 0
 
 

@@ -89,3 +89,33 @@ def test_session_processor_semantics():
     assert out2.empty
     sid, n, _, _ = handle.state.get()
     assert (sid, n) == (2, 2)
+
+
+def test_tws_registration_under_forced_runtime():
+    """Regression for the r6 ADVICE bug: _register_tws() used to run
+    mid-module, before _NEAR_DUP_GATE_ORACLE was bound, so any
+    protobuf-capable environment raised NameError at import and lost the
+    whole registry.  Re-exec the module source with the runtime gate
+    forced True against a scratch registry: registration must succeed and
+    declare both TWS twins — non-vacuous even where protobuf is absent."""
+    import types
+
+    import scalable_data_integration_with_llms_spark.queries.streaming_q as sq
+    from scalable_data_integration_with_llms_spark.queries import registry as reg
+
+    src = open(sq.__file__).read()
+    src = src.replace(
+        'return importlib.util.find_spec("google.protobuf") is not None',
+        "return True",
+    )
+    saved = dict(reg.QUERIES)
+    reg.QUERIES.clear()
+    try:
+        mod = types.ModuleType("streaming_q_forced_tws")
+        mod.__package__ = "scalable_data_integration_with_llms_spark.queries"
+        exec(compile(src, "streaming_q_forced_tws", "exec"), mod.__dict__)
+        assert "q_sessionization_tws" in reg.QUERIES
+        assert "q_stream_near_dup_gate_tws" in reg.QUERIES
+    finally:
+        reg.QUERIES.clear()
+        reg.QUERIES.update(saved)

@@ -232,7 +232,7 @@ SHOWCASE = [
     ),
     (
         "q_ehr_ensemble_f1",
-        "Seed-ensemble on the real dataset (round 6): the 3-seed dropout "
+        "Seed-ensemble on the real dataset (round 6): the 4-seed dropout "
         "is a broadcast of the 3-row seed dimension (no preference-frame "
         "re-score per seed — the memoized frame is an InMemoryRelation), "
         "majority vote is one partial-agg'd groupBy + window max, and the "
