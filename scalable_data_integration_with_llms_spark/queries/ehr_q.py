@@ -83,22 +83,45 @@ def dataset_gold_df(spark: SparkSession, dataset: str) -> DataFrame:
 
 _PREFS_MEMOS = {"ehr": SessionMemo(), "synthea": SessionMemo()}
 
+# Fixture-scale parallelism defaults: ≤52 cases / ≤~29k candidate rows fit
+# one Arrow batch through one Python scorer worker, and a handful of
+# post-shuffle partitions keeps every downstream task count small.  At
+# corpus scale pass scorer_partitions/output_partitions sized to the case
+# count (or None to leave Spark's partitioning untouched) — the pipeline
+# shape is identical, only the parallelism knob moves.
+_FIXTURE_SCORER_PARTITIONS = 1
+_FIXTURE_OUTPUT_PARTITIONS = 4
 
-def _preferences(spark: SparkSession, dataset: str) -> DataFrame:
+
+def _preferences(
+    spark: SparkSession,
+    dataset: str,
+    scorer_partitions: int | None = _FIXTURE_SCORER_PARTITIONS,
+    output_partitions: int | None = _FIXTURE_OUTPUT_PARTITIONS,
+) -> DataFrame:
     """Scored + ranked preference frame for a benchmark's cases, memoized
     per session: the q_{ehr,synthea}_* queries share it, and the
     mapInPandas scorer must not re-run per consumer (SURVEY §4 recompute
-    trap)."""
+    trap).  Only the fixture-default parallelism is memoized; a scale run
+    with explicit partition counts builds its own frame."""
 
     def build() -> DataFrame:
         catalog = catalog_from_cases(dataset_cases_df(spark, dataset)).select(
             "case_id", "side", "col_name", "col_type"
         )
-        # ≤52 cases / ≤~29k candidate rows: one Arrow batch through one
-        # Python worker, then a handful of post-shuffle partitions
-        cands = generate_candidates(catalog).coalesce(1)
-        return rank_preferences(mock_score_candidates(cands)).coalesce(4)
+        cands = generate_candidates(catalog)
+        if scorer_partitions is not None:
+            cands = cands.coalesce(scorer_partitions)
+        ranked = rank_preferences(mock_score_candidates(cands))
+        if output_partitions is not None:
+            ranked = ranked.coalesce(output_partitions)
+        return ranked
 
+    if (scorer_partitions, output_partitions) != (
+        _FIXTURE_SCORER_PARTITIONS,
+        _FIXTURE_OUTPUT_PARTITIONS,
+    ):
+        return build()
     return _PREFS_MEMOS[dataset].get_or_build(spark, build)
 
 
@@ -118,20 +141,23 @@ def _round1_oracle(dataset: str) -> str:
     return f"SELECT case_id, src, tgt FROM {_values(round1, 'r1')}"
 
 
-def _prf1_sql(pred: str) -> str:
+def _prf1_sql(pred: str, keys: tuple[str, ...] = ("case_id",)) -> str:
     """The shared per-case tp/fp/fn + PRF1 derivation over a predictions
-    CTE named ``pred`` and a ``gold`` CTE — ONE copy for every real-dataset
-    oracle (round-6 review: _f1_oracle and _ensemble_f1_oracle had
-    diverged-by-construction duplicates)."""
+    CTE named ``pred``, a ``gold`` CTE, and a ``cases`` CTE carrying the
+    key columns — ONE copy for every real-dataset oracle (round-6 review:
+    _f1_oracle and _ensemble_f1_oracle had diverged-by-construction
+    duplicates).  ``keys`` prepends extra run dimensions (e.g. the top-k
+    sweep's k) carried by pred, gold, and cases alike."""
+    kl = ", ".join(keys)
     return """counts AS (
-  SELECT cases.case_id,
+  SELECT {kl},
          COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
   FROM cases
-  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT * FROM {pred} INTERSECT SELECT * FROM gold) GROUP BY case_id) t USING (case_id)
-  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT * FROM {pred} EXCEPT SELECT * FROM gold) GROUP BY case_id) f USING (case_id)
-  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM {pred}) GROUP BY case_id) n USING (case_id)
+  LEFT JOIN (SELECT {kl}, COUNT(*) AS tp FROM (SELECT * FROM {pred} INTERSECT SELECT * FROM gold) GROUP BY {kl}) t USING ({kl})
+  LEFT JOIN (SELECT {kl}, COUNT(*) AS fp FROM (SELECT * FROM {pred} EXCEPT SELECT * FROM gold) GROUP BY {kl}) f USING ({kl})
+  LEFT JOIN (SELECT {kl}, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM {pred}) GROUP BY {kl}) n USING ({kl})
 )
-SELECT case_id, tp, fp, fn,
+SELECT {kl}, tp, fp, fn,
        CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
        CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
        CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)
@@ -140,7 +166,7 @@ SELECT case_id, tp, fp, fn,
                       * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END))
                / ((CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END)
                 + (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END)) END AS f1
-FROM counts""".format(pred=pred)
+FROM counts""".format(pred=pred, kl=kl)
 
 
 def _f1_oracle(dataset: str) -> str:
@@ -205,6 +231,207 @@ def q_synthea_matching_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _f1_df(spark, "synthea")
 
 
+# -- full stable-match rounds + W3 round-r extraction on the real dataset -----
+
+
+def _catalog_values_sql() -> str:
+    """(case_id, side, col_name_lower, col_type) VALUES from the golden
+    tool's independent stdlib-json parse — the base every fully-derived
+    EHR oracle (bidirectional, k-sweep, seed-ensemble) builds on."""
+    from ..fixtures.ehr_golden import EHR_CATALOG
+
+    body = ", ".join(
+        f"({_sq(c)}, {_sq(s)}, {_sq(n)}, {_sq(t)})" for c, s, n, t in EHR_CATALOG
+    )
+    return f"(VALUES {body}) AS cat(case_id, side, col_name, col_type)"
+
+
+def _rounds_values(alias: str) -> str:
+    from ..fixtures.ehr_golden import ROUNDS
+
+    body = ", ".join(
+        f"({_sq(c)}, {r}, {_sq(s)}, {_sq(t)})" for c, r, s, t in ROUNDS
+    )
+    return f"(VALUES {body}) AS {alias}(case_id, round, src, tgt)"
+
+
+def _ehr_rounds_oracle() -> str:
+    return f"SELECT case_id, round, src, tgt FROM {_rounds_values('rr')}"
+
+
+@query("q_ehr_rounds", _ehr_rounds_oracle())
+def q_ehr_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL Gale–Shapley rounds over the real 52-case benchmark (8118
+    cumulative match rows, every case runs the full 5 rounds at top_k=5),
+    pinned row-for-row against the pure-Python twin — the complete
+    real-data surface the round-r extraction below derives from
+    (ask_StableMatcher.py:394-447 keeps round_results whole before
+    slicing)."""
+    return stable_match(_preferences(spark, "ehr"), top_k=5).withColumn(
+        "round", F.col("round").cast("int")
+    )
+
+
+def _ehr_round2_oracle() -> str:
+    return f"""
+WITH m AS (SELECT case_id, round, src, tgt FROM {_rounds_values('rr')}),
+last AS (SELECT case_id, MAX(round) AS max_round FROM m GROUP BY case_id)
+SELECT m.case_id, src, tgt
+FROM m JOIN last USING (case_id)
+WHERE round = LEAST(2, max_round)
+"""
+
+
+@query("q_ehr_round2_matches", _ehr_round2_oracle())
+def q_ehr_round2_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 on real data: the round-2 match set of the 52 MIMIC-III → OMOP
+    cases (pad-with-last via LEAST, though every case here reaches round 5
+    — the short-case fallback stays pinned by the synthetic golden and
+    unit fixtures).  Oracle derives the same extraction in SQL from the
+    pinned full-rounds VALUES."""
+    return round_r(stable_match(_preferences(spark, "ehr"), top_k=5), 2)
+
+
+# -- J3 bidirectional merge + W2 top-k sweep on the real dataset --------------
+# Fully-derived oracles in the q_ehr_ensemble_f1 pattern: levenshtein
+# milli-scores over the independently parsed catalog VALUES, both merge
+# directions, rank windows, and PRF1 — no pinned golden in the check.
+
+
+def _ehr_merged_cte() -> str:
+    """Bidirectional-merge CTE over the independently parsed EHR catalog:
+    forward = target attrs querying source candidates (n_to_one), backward
+    = source attrs querying target candidates (one_to_n); zero-drop merge
+    quirks (ask_StableMatcher.py:158-186) mirrored exactly."""
+    from .matching import _STRIP, _SUPER
+
+    def score(q: str, qt: str, c: str, ct: str) -> str:
+        return (
+            "CAST(round((1.0 / (1.0 + levenshtein("
+            + _STRIP.format(c=q)
+            + ", "
+            + _STRIP.format(c=c)
+            + ")) + CASE WHEN "
+            + _SUPER.format(t=qt)
+            + " = "
+            + _SUPER.format(t=ct)
+            + " THEN 0.25 ELSE 0 END) * 1000000, 0) AS BIGINT)"
+        )
+
+    fwd = score("t_attr", "t_type", "s_attr", "s_type")
+    bwd = score("s_attr", "s_type", "t_attr", "t_type")
+    return f"""
+WITH catalog AS (SELECT * FROM {_catalog_values_sql()}),
+src AS (SELECT case_id, col_name AS s_attr, col_type AS s_type FROM catalog WHERE side = 'source'),
+tgt AS (SELECT case_id, col_name AS t_attr, col_type AS t_type FROM catalog WHERE side = 'target'),
+pairs AS (SELECT src.case_id, s_attr, s_type, t_attr, t_type
+          FROM src JOIN tgt ON src.case_id = tgt.case_id),
+merged AS (
+  SELECT case_id, s_attr AS src, t_attr AS tgt,
+         {fwd} AS fwd_milli,
+         {bwd} AS bwd_milli
+  FROM pairs
+)
+"""
+
+
+def _ehr_bidir_oracle() -> str:
+    return _ehr_merged_cte() + """
+SELECT case_id, src, tgt, fwd_milli, bwd_milli,
+       (fwd_milli * bwd_milli) / 1000000000000.0 AS score
+FROM merged
+WHERE (fwd_milli * bwd_milli) / 1000000000000.0 <> 0
+"""
+
+
+@query("q_ehr_bidirectional_scores", _ehr_bidir_oracle())
+def q_ehr_bidirectional_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 on real data: the multiply/zero-drop bidirectional merge over
+    both sides of the 52-case EHR candidates.  The oracle re-derives both
+    direction scores and the merge in SQL from the catalog VALUES."""
+    from ..operators.candidates import bidirectional_merge
+
+    return bidirectional_merge(_preferences(spark, "ehr"), agg="multiply")
+
+
+def _topk_ranked_cte() -> str:
+    """merged → avg-scored, zero-dropped, rank-windowed per target attr —
+    shared by the bidirectional-F1 and k-sweep oracles."""
+    return _ehr_merged_cte() + """,
+scored AS (
+  SELECT case_id, src, tgt, (fwd_milli + bwd_milli) / 2000000.0 AS score
+  FROM merged WHERE (fwd_milli + bwd_milli) / 2000000.0 <> 0
+),
+ranked AS (
+  SELECT case_id, src, tgt,
+         ROW_NUMBER() OVER (PARTITION BY case_id, tgt
+                            ORDER BY score DESC, src ASC, tgt ASC) AS rank
+  FROM scored
+)
+"""
+
+
+def _ehr_topk_sweep_oracle() -> str:
+    _, gold = _golden("ehr")
+    return _topk_ranked_cte() + f""",
+ks AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) AS kv(k)),
+pred AS (SELECT k, case_id, src, tgt FROM ranked CROSS JOIN ks WHERE rank <= k),
+gold0 AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
+gold AS (SELECT k, case_id, src, tgt FROM gold0 CROSS JOIN ks),
+cases AS (SELECT k, case_id FROM gold UNION SELECT k, case_id FROM pred),
+""" + _prf1_sql("pred", keys=("k", "case_id")) + "\n"
+
+
+@query("q_ehr_topk_sweep", _ehr_topk_sweep_oracle())
+def q_ehr_topk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's AN-k evaluation sweep on real data
+    (eval/eval_MatchMaker.py:227-244 get_top_k + 386-398 k in 1..5): keep
+    each target attr's k best avg-merged alignments, then per-(k, case)
+    PRF1 vs gold — W2 and A9 exercised together over all five k values in
+    ONE plan (the k dimension is a 5-row broadcast, so the merged frame is
+    scored once, not five times).  Oracle fully derived in SQL."""
+    from ..operators.candidates import bidirectional_merge, top_k_per_query
+
+    merged = bidirectional_merge(_preferences(spark, "ehr"), agg="avg")
+    topk = top_k_per_query(merged, 5)
+    ks = spark.createDataFrame([(k,) for k in range(1, 6)], "k int")
+    pred = (
+        topk.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("k", "case_id", "src", "tgt")
+    )
+    gold = dataset_gold_df(spark, "ehr").crossJoin(F.broadcast(ks))
+    counts = confusion_counts(pred, gold, group_cols=["k"])
+    return prf1_columns(counts).select(
+        "k", "case_id", "tp", "fp", "fn", "precision", "recall", "f1"
+    )
+
+
+def _ehr_bidir_f1_oracle() -> str:
+    _, gold = _golden("ehr")
+    return _topk_ranked_cte() + f""",
+pred AS (SELECT case_id, src, tgt FROM ranked WHERE rank <= 1),
+gold AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
+cases AS (SELECT case_id FROM gold UNION SELECT case_id FROM pred),
+""" + _prf1_sql("pred") + "\n"
+
+
+@query("q_ehr_bidirectional_f1", _ehr_bidir_f1_oracle())
+def q_ehr_bidirectional_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bidirectional (avg-logits) experiment's top-1 evaluation on real
+    data: J3 merge → best alignment per target attr → per-case PRF1 vs
+    gold, oracle fully derived in SQL (the AN-1 row of the k-sweep as its
+    own first-class entry, mirroring the reference's reported setting)."""
+    from ..operators.candidates import bidirectional_merge, top_k_per_query
+
+    merged = bidirectional_merge(_preferences(spark, "ehr"), agg="avg")
+    pred = top_k_per_query(merged, 1).select("case_id", "src", "tgt")
+    counts = confusion_counts(pred, dataset_gold_df(spark, "ehr"))
+    return prf1_columns(counts).select(
+        "case_id", "tp", "fp", "fn", "precision", "recall", "f1"
+    )
+
+
 # -- seed-ensemble experiment on the real dataset (FULLY-DERIVED oracle) ------
 # Unlike the golden-pinned queries above, this oracle derives EVERYTHING in
 # SQL from the independently parsed catalog VALUES: levenshtein milli-scores,
@@ -212,15 +439,6 @@ def q_synthea_matching_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [7564, 268799, 87849, 333]), per-seed top-1 runs, majority vote (ties
 # kept), and per-case PRF1 — the hardest possible cross-check of the
 # real-dataset pipeline.
-
-
-def _catalog_values_sql() -> str:
-    from ..fixtures.ehr_golden import EHR_CATALOG
-
-    body = ", ".join(
-        f"({_sq(c)}, {_sq(s)}, {_sq(n)}, {_sq(t)})" for c, s, n, t in EHR_CATALOG
-    )
-    return f"(VALUES {body}) AS cat(case_id, side, col_name, col_type)"
 
 
 def _ehr_runs_cte() -> str:

@@ -112,3 +112,71 @@ def test_real_benchmarks_summary_shape(spark):
     assert rows["ehr"].n_cases == 52 and rows["synthea"].n_cases == 12
     assert rows["ehr"].total_tp + rows["ehr"].total_fn == 310
     assert rows["synthea"].total_tp + rows["synthea"].total_fn == 105
+
+
+def test_ehr_rounds_golden(spark):
+    from scalable_data_integration_with_llms_spark.fixtures.ehr_golden import ROUNDS
+
+    got = {
+        (r.case_id, r["round"], r.src, r.tgt)
+        for r in QUERIES["q_ehr_rounds"](spark, SF).collect()
+    }
+    assert got == set(ROUNDS)
+    assert len(got) == 8118
+    # every case runs the full 5 rounds at top_k=5 on this dataset
+    assert {r for _, r, _, _ in got} == {1, 2, 3, 4, 5}
+
+
+def test_ehr_round2_oracle(spark, duck):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, duck, "q_ehr_round2_matches")
+
+
+def test_ehr_bidirectional_scores_oracle(spark, duck):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, duck, "q_ehr_bidirectional_scores")
+
+
+def test_ehr_topk_sweep(spark, duck):
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, duck, "q_ehr_topk_sweep")
+    rows = QUERIES["q_ehr_topk_sweep"](spark, SF).collect()
+    assert len(rows) == 5 * 52
+    # recall is monotone non-decreasing in k: larger k only adds predictions
+    by_case = {}
+    for r in rows:
+        by_case.setdefault(r.case_id, {})[r.k] = r.recall
+    for case_id, rec in by_case.items():
+        for k in range(1, 5):
+            assert rec[k] <= rec[k + 1] + 1e-12, (case_id, k)
+
+
+def test_ehr_bidirectional_f1_is_topk_sweep_k1(spark):
+    """The AN-1 entry must equal the sweep's k=1 slice — same merge, same
+    ranking, same metric stack."""
+    sweep = {
+        (r.case_id, r.tp, r.fp, r.fn)
+        for r in QUERIES["q_ehr_topk_sweep"](spark, SF).collect()
+        if r.k == 1
+    }
+    an1 = {
+        (r.case_id, r.tp, r.fp, r.fn)
+        for r in QUERIES["q_ehr_bidirectional_f1"](spark, SF).collect()
+    }
+    assert an1 == sweep
+
+
+def test_preferences_parallelism_is_a_parameter(spark):
+    """Non-default partition counts produce the identical frame (only the
+    plan's parallelism moves) and bypass the session memo."""
+    from scalable_data_integration_with_llms_spark.queries.ehr_q import _preferences
+
+    base = _preferences(spark, "synthea")
+    alt = _preferences(spark, "synthea", scorer_partitions=4, output_partitions=8)
+    cols = ["case_id", "side", "query_attr", "candidate_attr", "score_milli", "rank"]
+    assert {tuple(r) for r in base.select(*cols).collect()} == {
+        tuple(r) for r in alt.select(*cols).collect()
+    }

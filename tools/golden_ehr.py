@@ -118,6 +118,7 @@ def pipeline(dataset_path: str):
 
     round1: list[tuple[str, str, str]] = []
     gold: list[tuple[str, str, str]] = []
+    all_rounds: list[tuple[str, int, str, str]] = []
     for case in cases:
         cid = case["id"]
         src = [(c["name"].lower(), c["type"]) for c in case["source_schema"]["columns"]]
@@ -139,10 +140,14 @@ def pipeline(dataset_path: str):
         )
         for a, b in (rounds[0] if rounds else []):
             round1.append((cid, a, b))
+        for r, matches in enumerate(rounds):
+            for a, b in matches:
+                all_rounds.append((cid, r + 1, a, b))
 
     round1.sort()
     gold.sort()
-    return round1, gold
+    all_rounds.sort()
+    return round1, gold, all_rounds
 
 
 def main() -> None:
@@ -156,15 +161,21 @@ def main() -> None:
             '"""\n\n'
         )
         for name, path in DATASETS.items():
-            round1, gold = pipeline(path)
+            round1, gold, all_rounds = pipeline(path)
             up = name.upper()
             if name == "ehr":
                 f.write(f"ROUND1: list[tuple[str, str, str]] = {round1!r}\n\n")
                 f.write(f"GOLD: list[tuple[str, str, str]] = {gold!r}\n\n")
+                # full per-round match sets (case_id, round, src, tgt) — the
+                # oracle base for the W3 round-r extraction on real data
+                f.write(f"ROUNDS: list[tuple[str, int, str, str]] = {all_rounds!r}\n\n")
             else:
                 f.write(f"{up}_ROUND1: list[tuple[str, str, str]] = {round1!r}\n\n")
                 f.write(f"{up}_GOLD: list[tuple[str, str, str]] = {gold!r}\n\n")
-            print(f"{name}: {len(round1)} round-1 matches, {len(gold)} gold pairs")
+            print(
+                f"{name}: {len(round1)} round-1 matches, {len(gold)} gold pairs, "
+                f"{len(all_rounds)} round rows"
+            )
         cat = catalog_rows(DATASETS["ehr"])
         f.write(
             "# (case_id, side, col_name_lower, col_type) — independent parse\n"

@@ -176,16 +176,52 @@ def match_pipeline(spark: SparkSession, cat: DataFrame) -> DataFrame:
     )
 
 
+def matching_f1(spark: SparkSession, cat: DataFrame) -> DataFrame:
+    """The full reproduced experiment (q_ehr_matching_f1's plan) across the
+    case dimension: match_pipeline's stages plus the gold confusion join
+    and per-case PRF1 — gold pairs replicated with the same disjoint case
+    ids, so the metric tail scales with the cases exactly like the
+    pipeline head does."""
+    from scalable_data_integration_with_llms_spark.llm.boundary import mock_score_candidates
+    from scalable_data_integration_with_llms_spark.operators.candidates import (
+        generate_candidates,
+        rank_preferences,
+    )
+    from scalable_data_integration_with_llms_spark.operators.metrics import (
+        confusion_counts,
+        prf1_columns,
+    )
+    from scalable_data_integration_with_llms_spark.operators.stable_matching import (
+        round_r,
+        stable_match,
+    )
+    from scalable_data_integration_with_llms_spark.queries.ehr_q import dataset_gold_df
+
+    cands = generate_candidates(cat.select("case_id", "side", "col_name", "col_type"))
+    prefs = rank_preferences(mock_score_candidates(cands))
+    pred = round_r(stable_match(prefs, top_k=5), 1)
+    reps = cat.select("rep").distinct()
+    gold = (
+        dataset_gold_df(spark, "ehr")
+        .crossJoin(F.broadcast(reps))
+        .withColumn("case_id", F.concat_ws("#", "case_id", "rep"))
+    )
+    return prf1_columns(confusion_counts(pred, gold))
+
+
 STAGES = {
     "mm_render": mm_render,
     "icl_pack": icl_pack,
     "cost_report": cost_report,
     "match_pipeline": match_pipeline,
+    "matching_f1": matching_f1,
 }
 
 
 def force(df: DataFrame) -> None:
-    if "prompt" in df.columns:
+    if "f1" in df.columns:
+        df.agg(F.sum("f1"), F.count(F.lit(1))).collect()
+    elif "prompt" in df.columns:
         df.agg(F.sum(F.length("prompt")), F.count(F.lit(1))).collect()
     else:
         df.agg(F.sum("sum_prompt_tokens"), F.count(F.lit(1))).collect()
@@ -222,7 +258,9 @@ def main() -> None:
               f"x100={row['x100']:8.2f}s r10={row['ratio']:5.2f} "
               f"r100={row['ratio100']:6.2f}  {row['verdict']}")
 
-    out = os.path.join(ROOT, "SCALE_CURVE_PROMPT_r06.json")
+    out = os.path.join(
+        ROOT, sys.argv[1] if len(sys.argv) > 1 else "SCALE_CURVE_PROMPT_r07.json"
+    )
     with open(out, "w") as fh:
         json.dump({"replicas": [1, 10, 100], "base_cases": 52, "results": results}, fh, indent=1)
     print("wrote", out)
