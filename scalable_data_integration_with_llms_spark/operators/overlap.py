@@ -37,12 +37,37 @@ class OverlapCounts:
 
 
 def table_overlap(gold: DataFrame, pred: DataFrame, meaningful_cols: list[str], table: str) -> OverlapCounts:
-    g = gold.select(*meaningful_cols)
-    p = pred.select(*meaningful_cols)
-    tp = p.intersect(g).count()  # INTERSECT DISTINCT
-    fp = p.subtract(g).count()  # EXCEPT DISTINCT
-    fn = g.subtract(p).count()
-    return OverlapCounts(table, tp, float(fp), fn)
+    """Identical set semantics to INTERSECT/EXCEPT DISTINCT (nulls equal),
+    computed in ONE job: distinct each side, null-safe full-outer join on
+    all meaningful columns, count the three presence patterns.  The naive
+    three-set-op form ran three jobs, each re-evaluating both namespaces'
+    insert lineage — 3× the work per table, at any scale."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    g = gold.select(*meaningful_cols).distinct().withColumn("__in_g", F.lit(1)).alias("g")
+    p = pred.select(*meaningful_cols).distinct().withColumn("__in_p", F.lit(1)).alias("p")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"g.{c}").eqNullSafe(F.col(f"p.{c}")) for c in meaningful_cols],
+    )
+    row = (
+        g.join(p, cond, "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("__in_g").isNotNull() & F.col("__in_p").isNotNull(), 1).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(F.col("__in_p").isNotNull() & F.col("__in_g").isNull(), 1).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(F.col("__in_g").isNotNull() & F.col("__in_p").isNull(), 1).otherwise(0)
+            ).alias("fn"),
+        )
+        .collect()[0]
+    )
+    return OverlapCounts(table, row.tp or 0, float(row.fp or 0), row.fn or 0)
 
 
 def timed_table_overlap(

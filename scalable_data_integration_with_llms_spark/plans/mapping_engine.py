@@ -128,9 +128,24 @@ class MappingEngine:
         )
         dim.createOrReplaceTempView(f"__mappk_{tbl}_{attr}")
 
-    def evaluate(self, predicted_sql: str, timeout_s: float = DEFAULT_TIMEOUT_S) -> MappingResult:
+    def evaluate(
+        self,
+        predicted_sql: str,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        overlap_timeout_s: dict[str, float] | float | None = None,
+        reference_skips: bool = False,
+    ) -> MappingResult:
         """Run gold and predicted scripts into twin namespaces, then the
-        EXCEPT/INTERSECT overlap per target table (J5)."""
+        EXCEPT/INTERSECT overlap per target table (J5).
+
+        ``overlap_timeout_s``: apply the reference's overlap-level timeout
+        sentinel (``Evaluator.py:141-151``: FN = |gold|, FP = ∞) — a float
+        for every table (the reference's single 30 s knob) or a per-table
+        dict so a test scenario's runaway table doesn't tax the healthy
+        tables' wall time.  ``reference_skips`` additionally mirrors
+        ``Evaluator.py:199-216``: tables with no meaningful columns are
+        never evaluated, and tables where gold and predicted are both
+        empty (tp+fp+fn == 0) drop out of the report."""
         self._register_sources()
         self._reset_targets("gold")
         self._reset_targets("pred")
@@ -139,11 +154,26 @@ class MappingEngine:
         log += self._run_script(predicted_sql, "pred", timeout_s)
         counts = []
         for t in sorted(self.sc.target_tables):
+            cols = self.sc.meaningful_cols[t]
+            if reference_skips and not cols:
+                continue
             gold_df = self.spark.table(f"gold_{t}")
             pred_df = self.spark.table(f"pred_{t}")
-            counts.append(
-                table_overlap(gold_df, pred_df, self.sc.meaningful_cols[t], t)
-            )
+            if isinstance(overlap_timeout_s, dict):
+                t_timeout = overlap_timeout_s.get(t)
+            else:
+                t_timeout = overlap_timeout_s
+            if t_timeout is not None:
+                from ..operators.overlap import timed_table_overlap
+
+                c = timed_table_overlap(
+                    self.spark, gold_df, pred_df, cols, t, timeout_s=t_timeout
+                )
+            else:
+                c = table_overlap(gold_df, pred_df, cols, t)
+            if reference_skips and c.tp + c.fp + c.fn == 0:
+                continue
+            counts.append(c)
         if self.sc.join_overlap_sql:
             gold_join = self.spark.sql(
                 _sub_namespace(self.sc.join_overlap_sql, self.sc.target_tables, "gold")

@@ -291,3 +291,208 @@ def q_bibtex_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.join(occ, "entry_idx").select(
         "pk_id", "relation", "key", "auth_id", "name"
     )
+
+
+# -- the committed multi-rule mapping benchmark (reference shape) --------------
+# The reference's mapping pipeline has no committable real dataset (amalgam.zip
+# is absent from the reference itself, .MISSING_LARGE_BLOBS), so this is a
+# committed benchmark at REFERENCE SHAPE: target schema + rules loaded from
+# reference-format XML fixtures (S4/S5), subsumption removal (P7), per-rule
+# simulated LLM scripts through admission (P6) → map_pk rewrite (U3) →
+# execution → overlap with the timeout sentinel (U8) → per-rule-per-table
+# PRF1 — the whole Schema-Mapping pipeline in ONE plan, derive-everything
+# oracle (no pinned golden).
+
+import os as _os
+
+_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "fixtures"
+)
+
+# Per-rule simulated LLM responses: code fences, prose, statements the
+# admission rules must drop (CREATE/DROP of a target table), and systematic
+# errors (extra filter -> FN, looser filter -> FP, runaway join -> timeout).
+_E2E_PREDICTED = {
+    "m1": """
+Sure — here's the mapping:
+
+```sql
+CREATE TABLE t_cust_orders (c_name TEXT);
+INSERT INTO t_cust_orders
+SELECT c_name, o_orderkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000;
+INSERT INTO t_empty SELECT c_name FROM customer WHERE 1 = 0;
+```
+""",
+    "m2": """
+```sql
+DROP TABLE t_suppliers;
+INSERT INTO t_order_lines
+SELECT l_orderkey, l_suppkey, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity >= 25;
+INSERT INTO t_suppliers SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 0;
+INSERT INTO t_link SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 25;
+```
+""",
+    "m3": """
+```sql
+INSERT INTO t_nation_dim
+SELECT map_pk('nation', 'n_name', n_name), n_name FROM nation WHERE n_regionkey < 3;
+```
+""",
+    # runaway join: the predicted table's lineage can never evaluate inside
+    # the overlap timeout -> the U8 sentinel (FN = |gold|, FP = INF) fires
+    "m4": """
+```sql
+INSERT INTO t_priority_orders
+SELECT a.o_orderkey, a.o_orderpriority
+FROM orders a CROSS JOIN orders b CROSS JOIN lineitem c CROSS JOIN lineitem d;
+```
+""",
+    "m5": "```sql\nINSERT INTO t_order_lines SELECT l_orderkey, l_suppkey, l_quantity, l_extendedprice FROM lineitem;\n```",
+}
+
+_E2E_OVERLAP_TIMEOUTS = {"t_priority_orders": 3.0}
+
+_E2E_ORACLE = f"""
+WITH
+m1_gold AS (SELECT DISTINCT c_name, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderpriority = '1-URGENT'),
+m1_pred AS (SELECT DISTINCT c_name, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000),
+m2_gold_lines AS (SELECT DISTINCT l_orderkey, l_suppkey, l_quantity, l_extendedprice
+                  FROM lineitem WHERE l_quantity >= 30),
+m2_pred_lines AS (SELECT DISTINCT l_orderkey, l_suppkey, l_quantity, l_extendedprice
+                  FROM lineitem WHERE l_quantity >= 25),
+m2_gold_supp AS (SELECT DISTINCT s_name, s_acctbal FROM supplier WHERE s_acctbal > 0),
+m2_pred_supp AS (SELECT DISTINCT s_name, s_acctbal FROM supplier WHERE s_acctbal > 0),
+m2_gold_join AS (SELECT DISTINCT s_name, l_orderkey AS o_orderkey, l_quantity
+                 FROM (SELECT DISTINCT l_orderkey, l_suppkey, l_quantity, l_extendedprice
+                       FROM lineitem WHERE l_quantity >= 30) g
+                 JOIN (SELECT DISTINCT s_suppkey, s_name, s_acctbal
+                       FROM supplier WHERE s_acctbal > 0) s ON g.l_suppkey = s.s_suppkey),
+m2_pred_join AS (SELECT DISTINCT s_name, l_orderkey AS o_orderkey, l_quantity
+                 FROM (SELECT DISTINCT l_orderkey, l_suppkey, l_quantity, l_extendedprice
+                       FROM lineitem WHERE l_quantity >= 25) g
+                 JOIN (SELECT DISTINCT s_suppkey, s_name, s_acctbal
+                       FROM supplier WHERE s_acctbal > 0) s ON g.l_suppkey = s.s_suppkey),
+nation_dim AS (SELECT pk_val, ROW_NUMBER() OVER (ORDER BY pk_val) - 1 AS pk_id
+               FROM (SELECT DISTINCT n_name AS pk_val FROM nation)),
+m3_gold AS (SELECT DISTINCT pk_id, n_name FROM nation JOIN nation_dim ON n_name = pk_val),
+m3_pred AS (SELECT DISTINCT pk_id, n_name FROM nation JOIN nation_dim ON n_name = pk_val
+            WHERE n_regionkey < 3),
+m4_gold_n AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT o_orderkey, o_orderpriority
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))),
+counts AS (
+  SELECT 'm1' AS rule_id, 't_cust_orders' AS table_name,
+         (SELECT COUNT(*) FROM (SELECT * FROM m1_pred INTERSECT SELECT * FROM m1_gold)) AS tp,
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM m1_pred EXCEPT SELECT * FROM m1_gold)) AS DOUBLE) AS fp,
+         (SELECT COUNT(*) FROM (SELECT * FROM m1_gold EXCEPT SELECT * FROM m1_pred)) AS fn
+  UNION ALL
+  SELECT 'm2', 't_order_lines',
+         (SELECT COUNT(*) FROM (SELECT * FROM m2_pred_lines INTERSECT SELECT * FROM m2_gold_lines)),
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM m2_pred_lines EXCEPT SELECT * FROM m2_gold_lines)) AS DOUBLE),
+         (SELECT COUNT(*) FROM (SELECT * FROM m2_gold_lines EXCEPT SELECT * FROM m2_pred_lines))
+  UNION ALL
+  SELECT 'm2', 't_suppliers',
+         (SELECT COUNT(*) FROM (SELECT * FROM m2_pred_supp INTERSECT SELECT * FROM m2_gold_supp)),
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM m2_pred_supp EXCEPT SELECT * FROM m2_gold_supp)) AS DOUBLE),
+         (SELECT COUNT(*) FROM (SELECT * FROM m2_gold_supp EXCEPT SELECT * FROM m2_pred_supp))
+  UNION ALL
+  SELECT 'm2', '__join__',
+         (SELECT COUNT(*) FROM (SELECT * FROM m2_pred_join INTERSECT SELECT * FROM m2_gold_join)),
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM m2_pred_join EXCEPT SELECT * FROM m2_gold_join)) AS DOUBLE),
+         (SELECT COUNT(*) FROM (SELECT * FROM m2_gold_join EXCEPT SELECT * FROM m2_pred_join))
+  UNION ALL
+  SELECT 'm3', 't_nation_dim',
+         (SELECT COUNT(*) FROM (SELECT * FROM m3_pred INTERSECT SELECT * FROM m3_gold)),
+         CAST((SELECT COUNT(*) FROM (SELECT * FROM m3_pred EXCEPT SELECT * FROM m3_gold)) AS DOUBLE),
+         (SELECT COUNT(*) FROM (SELECT * FROM m3_gold EXCEPT SELECT * FROM m3_pred))
+  UNION ALL
+  SELECT 'm4', 't_priority_orders',
+         0, CAST('infinity' AS DOUBLE), (SELECT n FROM m4_gold_n)
+)
+SELECT rule_id, table_name, tp,
+       CASE WHEN isinf(fp) THEN NULL ELSE fp END AS fp,
+       fn, isinf(fp) AS timed_out, {_prf1_sql("tp", "fp", "fn")}
+FROM counts
+"""
+
+
+@query("q_mapping_e2e", _E2E_ORACLE)
+def q_mapping_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The committed multi-rule mapping benchmark end-to-end: XML rule load
+    (S5) + target-schema XML (S4) → subsumption removal drops m5 (P7) →
+    per-rule simulated LLM script through admission (P6: the CREATE and
+    DROP of target tables are ignored) → map_pk rewrite (U3, rule m3 on
+    both namespaces) → Spark SQL execution → per-table overlap with the
+    reference's skips (no-meaningful-columns t_link, all-zero t_empty —
+    Evaluator.py:199-216), the multi-target join overlap (J6, rule m2),
+    and the overlap timeout sentinel (U8, rule m4's runaway join → FN =
+    |gold|, FP = ∞) → per-rule-per-table PRF1.  The oracle re-derives
+    every surviving row set and count in SQL over the base tables."""
+    from ..operators.overlap import OverlapCounts  # noqa: F401 (doc anchor)
+    from ..operators.metrics import prf1_columns
+    from ..sources.xml_loader import (
+        load_mapping_xml,
+        load_schema_xml,
+        remove_subsumed_rules,
+    )
+
+    schema = load_schema_xml(
+        open(_os.path.join(_FIXTURE_DIR, "mapping_benchmark_schema.xml")).read()
+    )
+    rules = remove_subsumed_rules(
+        load_mapping_xml(
+            open(_os.path.join(_FIXTURE_DIR, "mapping_benchmark_mappings.xml")).read()
+        )
+    )
+    rows = []
+    for rule in rules:
+        rel_by_name = {r.name: r for r in schema.relations.values()}
+        targets = {
+            t: ", ".join(f"{a.name} {a.type_str}" for a in rel_by_name[t].attributes)
+            for t in rule.target_relations
+        }
+        meaningful = {
+            t: [a.name for a in rel_by_name[t].attributes if a.meaningful]
+            for t in rule.target_relations
+        }
+        scenario = MappingScenario(
+            source_tables={
+                s: load_table(spark, sf_dir, s) for s in rule.source_relations
+            },
+            target_tables=targets,
+            gold_sql=rule.gold_sql,
+            meaningful_cols=meaningful,
+            join_overlap_sql=rule.join_overlap_sql,
+        )
+        engine = MappingEngine(spark, scenario)
+        result = engine.evaluate(
+            _E2E_PREDICTED[rule.rule_id],
+            overlap_timeout_s=_E2E_OVERLAP_TIMEOUTS,
+            reference_skips=True,
+        )
+        rows += [
+            (rule.rule_id, c.table, c.tp, float(c.fp), c.fn) for c in result.counts
+        ]
+    df = spark.createDataFrame(
+        rows, "rule_id string, table_name string, tp bigint, fp double, fn bigint"
+    )
+    # metrics are computed from the raw counts (0/∞ = 0.0 exactly as the
+    # reference reports a timed-out table); the ∞ sentinel itself is then
+    # masked to NULL + a timed_out flag — JSON/driver-safe, information-
+    # preserving (OverlapCounts keeps math.inf internally, U8 unit pins)
+    from pyspark.sql import functions as F
+
+    out = prf1_columns(df, all_zero_is_perfect=True)
+    inf = F.col("fp") == F.lit(float("inf"))
+    return out.withColumn("timed_out", inf).withColumn(
+        "fp", F.when(inf, F.lit(None).cast("double")).otherwise(F.col("fp"))
+    ).select(
+        "rule_id", "table_name", "tp", "fp", "fn", "timed_out",
+        "precision", "recall", "f1",
+    )

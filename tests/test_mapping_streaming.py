@@ -258,3 +258,49 @@ def test_prepare_response_applies_dialect_render():
     assert stmts[0].admitted
     assert "CAST(`src col` AS STRING)" in stmts[0].sql
     assert "FROM source_src_t" in stmts[0].sql
+
+
+def test_mapping_e2e_benchmark(spark, duck):
+    """The committed reference-shaped mapping benchmark: oracle parity plus
+    the structural pins — m5 subsumed away, t_link (no meaningful cols) and
+    t_empty (all-zero) skipped, m4's runaway join hits the timeout
+    sentinel, m2 carries the join-overlap row."""
+    from conftest import SF_DIR, assert_oracle_match
+
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    assert_oracle_match(spark, duck, "q_mapping_e2e")
+    rows = QUERIES["q_mapping_e2e"](spark, SF_DIR).collect()
+    keys = {(r.rule_id, r.table_name) for r in rows}
+    assert keys == {
+        ("m1", "t_cust_orders"),
+        ("m2", "t_order_lines"),
+        ("m2", "t_suppliers"),
+        ("m2", "__join__"),
+        ("m3", "t_nation_dim"),
+        ("m4", "t_priority_orders"),
+    }
+    by = {(r.rule_id, r.table_name): r for r in rows}
+    m4 = by[("m4", "t_priority_orders")]
+    assert m4.timed_out and m4.fp is None and m4.tp == 0 and m4.fn > 0
+    assert m4.precision == 0.0 and m4.recall == 0.0 and m4.f1 == 0.0
+    assert by[("m1", "t_cust_orders")].fn > 0  # stricter filter -> FNs
+    assert by[("m2", "t_order_lines")].fp > 0  # looser filter -> FPs
+    assert by[("m3", "t_nation_dim")].fn > 0   # map_pk subset -> FNs
+    assert not any(r.timed_out for r in rows if r.rule_id != "m4")
+
+
+def test_table_overlap_null_safe(spark):
+    """The single-pass overlap must keep EXCEPT/INTERSECT's null-equality:
+    a NULL cell matches a NULL cell, and duplicates collapse (set
+    semantics)."""
+    from scalable_data_integration_with_llms_spark.operators.overlap import table_overlap
+
+    g = spark.createDataFrame(
+        [(1, None), (1, None), (2, "x"), (3, "y")], "a int, b string"
+    )
+    p = spark.createDataFrame(
+        [(1, None), (2, "x"), (4, None)], "a int, b string"
+    )
+    c = table_overlap(g, p, ["a", "b"], "t")
+    assert (c.tp, c.fp, c.fn) == (2, 1.0, 1)

@@ -46,6 +46,8 @@ def canon_cell(v):
         f = float(v)
         if math.isnan(f):
             return ("null",)
+        if math.isinf(f):
+            return ("f", f)  # int(inf) would raise
         if f == int(f) and abs(f) < 2**53:
             return ("f", int(f))  # integral float: value comparable, kind=f
         return ("f", f)
