@@ -208,23 +208,37 @@ def main() -> None:
     # cleared-world time.  The cache is dropped once at sweep end.
     from scalable_data_integration_with_llms_spark.caching import release_scoped
 
-    timings: dict[str, float] = {}
-    timings_cold: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        timings_cold[name] = round(runs[0], 4)
-        timings[name] = round(min(runs), 4)
-        # release query-scoped persists AFTER both runs: run 2 still reuses
-        # run 1's cache (plan-equality hit), but nothing leaks across
-        # queries.  Session memos (shared matching frames) keep their
-        # deliberate sweep lifetime and are dropped with clearCache below.
-        release_scoped()
-    spark.catalog.clearCache()
+    def sweep() -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        timings_cold: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            timings_cold[name] = round(runs[0], 4)
+            timings[name] = round(min(runs), 4)
+            # release query-scoped persists AFTER both runs: run 2 still
+            # reuses run 1's cache (plan-equality hit), but nothing leaks
+            # across queries.  Session memos (shared matching frames) keep
+            # their deliberate sweep lifetime, dropped with clearCache.
+            release_scoped()
+        spark.catalog.clearCache()
+        return timings, timings_cold
+
+    # Battery protocol (mechanized in round 7 — VERDICT r6 item 2): run the
+    # WHOLE battery N times (SPARK_GRAFT_BENCH_RUNS, default 1 so the
+    # driver's per-round invocation is unchanged) and report the MEDIAN-
+    # total run, with every run's totals — and per-query times when N>1 —
+    # committed alongside so comparisons can measure the host's own spread
+    # instead of judging against a hand-picked "best clean run".
+    n_batteries = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    batteries = [sweep() for _ in range(n_batteries)]
+    totals = [round(sum(t.values()), 4) for t, _ in batteries]
+    median_i = sorted(range(n_batteries), key=lambda i: totals[i])[n_batteries // 2]
+    timings, timings_cold = batteries[median_i]
 
     total = round(sum(timings.values()), 4)
 
@@ -240,7 +254,18 @@ def main() -> None:
         "queries_cold": timings_cold,
         "sf": sf,
         "n_queries": len(HEADLINE),
+        "runs": {
+            "n": n_batteries,
+            "totals": totals,
+            "selected": "median_total",
+            "selected_index": median_i,
+            "spread": round(max(totals) / min(totals), 4),
+        },
     }
+    if n_batteries > 1:
+        full["queries_runs"] = {
+            name: [b[0][name] for b in batteries] for name in HEADLINE
+        }
     # Default output is an UNCOMMITTED path so a driver/judge re-run can't
     # overwrite the committed quiet-machine battery (BENCH_FULL.json is
     # copied from here by the builder at commit time; VERDICT r4 item 4).

@@ -8,8 +8,16 @@ covers everything).
     python tools/bench_compare.py [--baseline BENCH_r01.json] [--threshold 2.0]
 
 The current run's numbers come from the full battery bench.py writes to
-BENCH_FULL_last_run.json, not the subset stdout line.  Exit 1 if any
-query regressed beyond the threshold.
+BENCH_FULL_last_run.json, not the subset stdout line.
+
+Noise-aware flagging (mechanized in round 7 — VERDICT r6 item 2): when the
+baseline carries the median-of-N run metadata bench.py emits under
+``runs``/``queries_runs``, a query is flagged only when its delta exceeds
+the HOST'S OWN measured spread for that query (max/min across the baseline
+battery runs, times a 1.5 safety margin), never below the --threshold
+floor.  This replaces the eyeballed "is 1.2x the VM or the code?" call the
+round-6 SCALE.md control experiment made in prose.  Exit 1 if any query
+regressed beyond its effective threshold.
 """
 
 from __future__ import annotations
@@ -23,19 +31,25 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+SPREAD_MARGIN = 1.5  # flag only beyond 1.5x the measured per-query spread
 
-def load_baseline(path: str) -> dict[str, float]:
+
+def load_baseline(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
     if "parsed" in doc:
         doc = doc["parsed"]
-    return doc["queries"]
+    return doc
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", default=None)
-    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--threshold", type=float, default=2.0,
+                    help="floor ratio; per-query spread can only raise it")
+    ap.add_argument("--no-run", action="store_true",
+                    help="compare an existing BENCH_FULL_last_run.json "
+                         "instead of re-running bench.py")
     args = ap.parse_args()
 
     baseline_path = args.baseline
@@ -49,39 +63,59 @@ def main() -> int:
                 print("no BENCH_FULL.json / BENCH_r*.json baseline found")
                 return 1
             baseline_path = candidates[-1]
-    base = load_baseline(baseline_path)
+    doc = load_baseline(baseline_path)
+    base = doc["queries"]
+    base_runs = doc.get("queries_runs") or {}
+    host_spread = (doc.get("runs") or {}).get("spread")
 
-    subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
-        capture_output=True, text=True, check=True, cwd=ROOT,
-    )
+    if not args.no_run:
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            capture_output=True, text=True, check=True, cwd=ROOT,
+        )
     # bench.py honors SPARK_GRAFT_BENCH_OUT; read the same path it writes
     out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_last_run.json")
     with open(os.path.join(ROOT, out_name)) as f:
         now = json.load(f)["queries"]
 
+    def effective_threshold(name: str) -> float:
+        """The flagging ratio for one query: the floor, raised to the
+        measured noise envelope when the baseline carries one.  Per-query
+        run spread when available; the battery-total spread otherwise."""
+        t = args.threshold
+        runs = base_runs.get(name)
+        if runs and min(runs) > 0:
+            t = max(t, (max(runs) / min(runs)) * SPREAD_MARGIN)
+        elif host_spread:
+            t = max(t, host_spread * SPREAD_MARGIN)
+        return t
+
     regressed = []
-    print(f"{'query':<28}{'base':>8}{'now':>8}{'ratio':>8}")
+    print(f"{'query':<28}{'base':>8}{'now':>8}{'ratio':>8}{'gate':>7}")
     for name, t in now.items():
         b = base.get(name)
         ratio = (t / b) if b else float("nan")
+        gate = effective_threshold(name) if b else float("nan")
         flag = ""
-        if b and ratio > args.threshold:
-            regressed.append((name, b, t))
+        if b and ratio > gate:
+            regressed.append((name, b, t, gate))
             flag = "  << REGRESSED"
         if b is None:
             flag = "  (new)"
-        print(f"{name:<28}{b if b else 0:>8.2f}{t:>8.2f}{ratio:>8.2f}{flag}")
+        print(f"{name:<28}{b if b else 0:>8.2f}{t:>8.2f}{ratio:>8.2f}{gate:>7.2f}{flag}")
     # both totals over the SHARED key set — summing all current queries
     # would inflate the ratio whenever new queries exist
     total_b = sum(v for k, v in base.items() if k in now)
     total_n = sum(v for k, v in now.items() if k in base)
     print(f"\ntotal (shared queries): base {total_b:.1f}s -> now {total_n:.1f}s "
-          f"({total_n / total_b:.2f}x)  baseline={os.path.basename(baseline_path)}")
+          f"({total_n / total_b:.2f}x)  baseline={os.path.basename(baseline_path)}"
+          + (f"  baseline battery spread {host_spread}x over "
+             f"{(doc.get('runs') or {}).get('n')} runs" if host_spread else
+             "  (baseline has no run metadata; flat threshold)"))
     if regressed:
-        print(f"\n{len(regressed)} regression(s) beyond {args.threshold}x:")
-        for name, b, t in regressed:
-            print(f"  {name}: {b:.2f}s -> {t:.2f}s")
+        print(f"\n{len(regressed)} regression(s) beyond their gates:")
+        for name, b, t, gate in regressed:
+            print(f"  {name}: {b:.2f}s -> {t:.2f}s (gate {gate:.2f}x)")
         return 1
     return 0
 
