@@ -31,75 +31,39 @@ from . import retrieval_q  # noqa: F401, E402
 from . import prompt_q  # noqa: F401, E402
 from . import ehr_q  # noqa: F401, E402
 
-# Verification-window priority (round 6): every registered query has a
-# driver-green row (union r1–r5 = 218/218), so the window is pure drift
-# rotation plus this round's code changes:
-# (a) the 4 queries whose code or oracle changed in round 6 (the bpe
-#     oracle un-pin, the gate repartition, the two advisor-item fixes);
-# (b) the 19 queries whose NEWEST driver-green row is still round 1 (the
-#     r5 window fit only 26 of the 45 r1-era drift re-checks);
-# (c) the round-2-latest block, oldest first — 50-window overflow rotates
-#     to the front of round 7.
+# Verification-window priority (round 7): drift rotation + this round's
+# code changes.  After the r6 driver run every query's newest green row is
+# r2+ and exactly 30 queries are still r2-latest, so the 50-window is:
+# (a) the 14 queries round 7 ADDED or whose code changed — the six new
+#     real-data/mapping queries (q_mapping_e2e, q_ehr_rounds,
+#     q_ehr_round2_matches, q_ehr_bidirectional_*, q_ehr_topk_sweep), the
+#     six seed-list-affected ensembles (ENSEMBLE_SEEDS grew to the
+#     reference's full four seeds), and the two mapping queries riding the
+#     single-pass table_overlap rewrite;
+# (b) the 28 remaining r2-latest queries (30 minus the two already in (a));
+# (c) 8 oldest r3-latest queries — after this round the oldest standing
+#     driver verification becomes r3 with 41 rows left there.
 _VERIFY_FIRST = [
-    # (a) new round-6 queries (EHR real-dataset e2e golden) + code/oracle changes
-    "q_ehr_gold_parity",
-    "q_ehr_round1_matches",
-    "q_ehr_matching_f1",
-    "q_synthea_round1_matches",
-    "q_synthea_matching_f1",
-    "q_example_selection_scalable",
-    "q_ehr_ensemble_f1",
-    "q_real_benchmarks_summary",
-    "q_bpe_train",
-    "q_stream_near_dup_gate",
-    "q_mixture_schedule",
-    "q_question_cost_report",
-    # (b) newest green row is r1
-    "q_events_hourly",
-    "q_events_rollup_multires",
-    "q_majority_vote",
-    "q_match_candidates",
-    "q_normalize_chain",
-    "q_orders_cube",
-    "q_orders_per_status",
-    "q_price_histogram",
-    "q_price_percentiles",
-    "q_range_join_purchase_context",
-    "q_salted_join_revenue",
-    "q_seeded_sample",
-    "q_stratified_sample",
-    "q_surrogate_keys",
-    "q_top_frequent",
-    "q_unique_value_sample",
-    "q_user_activity_windows",
-    "q_value_counts",
-    "q_weighted_sample",
-    # (c) newest green row is r2 (reference-ops block, three code states old)
-    "q12_priority_by_status",
-    "q_alignment_prf1",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_bidirectional_scores",
-    "q_chat_prompt",
-    "q_cms_supplier_counts",
-    "q_constraint_audit",
-    "q_coverage",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_ensemble_disjoint",
-    "q_ensemble_gold_filter",
+    # (a) new round-7 queries + code-changed queries
+    "q_mapping_e2e",
+    "q_ehr_rounds",
+    "q_ehr_round2_matches",
+    "q_ehr_bidirectional_scores",
+    "q_ehr_bidirectional_f1",
+    "q_ehr_topk_sweep",
+    "q_ensemble_union",
     "q_ensemble_intersection",
     "q_ensemble_majority",
-    "q_ensemble_union",
-    "q_example_selection",
-    "q_filtered_preferences",
+    "q_ensemble_disjoint",
+    "q_ensemble_gold_filter",
+    "q_ehr_ensemble_f1",
+    "q_mapping_overlap",
+    "q_mapping_map_pk",
+    # (b) newest green row is r2 (the drift-rotation block VERDICT r6 named)
     "q_fk_audit",
     "q_icl_packing",
     "q_json_props",
     "q_lsh_verified_pairs",
-    "q_mapping_map_pk",
-    "q_mapping_overlap",
     "q_match_round2",
     "q_mcq_scores",
     "q_mcq_validation",
@@ -124,6 +88,15 @@ _VERIFY_FIRST = [
     "q_token_stats",
     "q_topk_alignments",
     "q_yes_no_majority",
+    # (c) oldest r3-latest
+    "q_ann_recall",
+    "q_approx_distinct_users",
+    "q_approx_percentiles",
+    "q_bloom_contamination",
+    "q_bpe_token_stats",
+    "q_case_swap",
+    "q_contamination",
+    "q_corpus_pipeline_e2e",
 ]
 
 
