@@ -143,6 +143,13 @@ HEADLINE += [
     "q_synthea_matching_f1",
     "q_ehr_ensemble_f1",
     "q_real_benchmarks_summary",
+    # round-7 additions: full rounds / round-r / bidirectional / k-sweep on
+    # the real benchmark (q_mapping_e2e stays off the battery: its 3 s
+    # deliberate overlap-timeout case is a fixed floor, not operator cost)
+    "q_ehr_rounds",
+    "q_ehr_round2_matches",
+    "q_ehr_bidirectional_f1",
+    "q_ehr_topk_sweep",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

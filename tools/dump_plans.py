@@ -233,10 +233,25 @@ SHOWCASE = [
     (
         "q_ehr_ensemble_f1",
         "Seed-ensemble on the real dataset (round 6): the 4-seed dropout "
-        "is a broadcast of the 3-row seed dimension (no preference-frame "
+        "is a broadcast of the 4-row seed dimension (no preference-frame "
         "re-score per seed — the memoized frame is an InMemoryRelation), "
         "majority vote is one partial-agg'd groupBy + window max, and the "
         "confusion stays one full-outer pair join.",
+    ),
+    (
+        "q_ehr_topk_sweep",
+        "Real-data AN-k sweep (round 7): the bidirectional merge and rank "
+        "window run ONCE; the k=1..5 dimension is a broadcast 5-row cross "
+        "join filtered on rank<=k, and the per-(k,case) confusion is one "
+        "full-outer pair join — five evaluations for one merge's price.",
+    ),
+    (
+        "q_mapping_e2e",
+        "Multi-rule mapping benchmark (round 7): per-table overlap is ONE "
+        "null-safe full-outer join + aggregate per table (the three-set-op "
+        "form evaluated both namespaces' insert lineage three times); the "
+        "runaway rule's timeout costs its own 3 s budget without touching "
+        "the healthy tables (per-table timeout map).",
     ),
     (
         "q_concat_chunk_bins",
