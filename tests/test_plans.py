@@ -423,3 +423,49 @@ def test_ehr_e2e_single_scorer_pass(spark):
     plan = _plan(spark, "q_ehr_matching_f1")
     assert plan.count("FlatMapGroupsInPandas") == 1  # one stable-match pass
     assert "FullOuter" in plan  # confusion is one full-outer pair join
+
+
+def test_ehr_topk_sweep_single_merge(spark):
+    """The AN-k sweep must score and rank the merged frame ONCE: the k
+    dimension enters as a broadcast 5-row cross join AFTER the rank
+    window, so the plan carries exactly one rank window and one stateful
+    Python-free merge, and the per-(k,case) confusion is one full-outer
+    pair join."""
+    plan = _plan(spark, "q_ehr_topk_sweep")
+    # the only Python stage is the (memoized) mock scorer feeding prefs
+    assert plan.count("FlatMapGroupsInPandas") == 0  # no stable matching here
+    assert "FullOuter" in plan
+    # the preference frame is the memoized InMemoryRelation: the scorer's
+    # MapInPandas text appears only inside cached-subplan descriptions
+    assert "InMemoryTableScan" in plan
+    # top-5 rank is group-limited before the full window sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_ehr_rounds_single_python_stage(spark):
+    """Full-rounds extraction runs the applyInPandas matcher exactly once."""
+    plan = _plan(spark, "q_ehr_rounds")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_table_overlap_is_one_job_shape(spark):
+    """The single-pass overlap plan: one full-outer join + one aggregate,
+    never an EXCEPT/INTERSECT set-op cascade."""
+    from pyspark.sql import functions as F
+
+    from scalable_data_integration_with_llms_spark.operators.overlap import table_overlap
+
+    g = spark.range(100).select(F.col("id").alias("a"), (F.col("id") % 7).alias("b"))
+    p = spark.range(80).select(F.col("id").alias("a"), (F.col("id") % 7).alias("b"))
+    # shape probe: build the same frame table_overlap aggregates and check
+    # its physical plan (the operator itself collects a single row)
+    gg = g.select("a", "b").distinct().withColumn("__in_g", F.lit(1)).alias("g")
+    pp = p.select("a", "b").distinct().withColumn("__in_p", F.lit(1)).alias("p")
+    cond = F.col("g.a").eqNullSafe(F.col("p.a")) & F.col("g.b").eqNullSafe(F.col("p.b"))
+    plan = (
+        gg.join(pp, cond, "full_outer")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" in plan
+    c = table_overlap(g, p, ["a", "b"], "t")
+    assert (c.tp, c.fp, c.fn) == (80, 0.0, 20)
