@@ -46,6 +46,11 @@ def table_overlap(gold: DataFrame, pred: DataFrame, meaningful_cols: list[str], 
 
     from pyspark.sql import functions as F
 
+    if not meaningful_cols:
+        # no meaningful columns -> nothing to compare (the reference never
+        # evaluates such tables, Evaluator.py:199-208); zero counts keep
+        # callers without reference_skips well-defined
+        return OverlapCounts(table, 0, 0.0, 0)
     g = gold.select(*meaningful_cols).distinct().withColumn("__in_g", F.lit(1)).alias("g")
     p = pred.select(*meaningful_cols).distinct().withColumn("__in_p", F.lit(1)).alias("p")
     cond = reduce(

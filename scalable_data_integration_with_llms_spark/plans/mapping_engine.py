@@ -181,9 +181,26 @@ class MappingEngine:
             pred_join = self.spark.sql(
                 _sub_namespace(self.sc.join_overlap_sql, self.sc.target_tables, "pred")
             )
-            counts.append(
-                table_overlap(gold_join, pred_join, gold_join.columns, "__join__")
-            )
+            # the join overlap honors the same timeout contract as the
+            # per-table overlaps (keyed "__join__" in a dict) — the
+            # reference's single knob covers every overlap query
+            if isinstance(overlap_timeout_s, dict):
+                j_timeout = overlap_timeout_s.get("__join__")
+            else:
+                j_timeout = overlap_timeout_s
+            if j_timeout is not None:
+                from ..operators.overlap import timed_table_overlap
+
+                counts.append(
+                    timed_table_overlap(
+                        self.spark, gold_join, pred_join, gold_join.columns,
+                        "__join__", timeout_s=j_timeout,
+                    )
+                )
+            else:
+                counts.append(
+                    table_overlap(gold_join, pred_join, gold_join.columns, "__join__")
+                )
         return MappingResult(counts=counts, statement_log=log)
 
 

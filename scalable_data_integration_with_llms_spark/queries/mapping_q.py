@@ -452,13 +452,12 @@ def q_mapping_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for rule in rules:
-        rel_by_name = {r.name: r for r in schema.relations.values()}
         targets = {
-            t: ", ".join(f"{a.name} {a.type_str}" for a in rel_by_name[t].attributes)
+            t: ", ".join(f"{a.name} {a.type_str}" for a in schema.rel(t).attributes)
             for t in rule.target_relations
         }
         meaningful = {
-            t: [a.name for a in rel_by_name[t].attributes if a.meaningful]
+            t: [a.name for a in schema.rel(t).attributes if a.meaningful]
             for t in rule.target_relations
         }
         scenario = MappingScenario(

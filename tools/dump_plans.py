@@ -245,14 +245,13 @@ SHOWCASE = [
         "join filtered on rank<=k, and the per-(k,case) confusion is one "
         "full-outer pair join — five evaluations for one merge's price.",
     ),
-    (
-        "q_mapping_e2e",
-        "Multi-rule mapping benchmark (round 7): per-table overlap is ONE "
-        "null-safe full-outer join + aggregate per table (the three-set-op "
-        "form evaluated both namespaces' insert lineage three times); the "
-        "runaway rule's timeout costs its own 3 s budget without touching "
-        "the healthy tables (per-table timeout map).",
-    ),
+    # q_mapping_e2e is deliberately NOT showcased: its counts collect
+    # driver-side (the engine evaluates per rule), so the query's own
+    # executedPlan is just a LocalTableScan — the overlap shape that
+    # matters (ONE null-safe full-outer join + aggregate per table) is
+    # pinned instead by tests/test_plans.py::test_table_overlap_is_one_job_shape,
+    # and regenerating this file shouldn't pay the benchmark's deliberate
+    # 3 s timeout case.
     (
         "q_concat_chunk_bins",
         "Concat-then-chunk packing (round 5): running token offsets from a "
