@@ -152,6 +152,20 @@ class MappingEngine:
         log = []
         log += self._run_script(self.sc.gold_sql, "gold", timeout_s)
         log += self._run_script(predicted_sql, "pred", timeout_s)
+        # tables the join overlap reads are evaluated TWICE (their own
+        # table overlap + the join) — persist exactly those, both
+        # namespaces, so the insert lineage runs once per namespace (the
+        # reference materializes targets eagerly into the DB; this is the
+        # lazy engine's equivalent for the re-read case only)
+        persisted = []
+        if self.sc.join_overlap_sql:
+            for t in self.sc.target_tables:
+                if t in self.sc.join_overlap_sql:
+                    for ns in ("gold", "pred"):
+                        df = self._acc[(ns, t)].persist()
+                        self._acc[(ns, t)] = df
+                        df.createOrReplaceTempView(f"{ns}_{t}")
+                        persisted.append(df)
         counts = []
         for t in sorted(self.sc.target_tables):
             cols = self.sc.meaningful_cols[t]
@@ -201,6 +215,8 @@ class MappingEngine:
                 counts.append(
                     table_overlap(gold_join, pred_join, gold_join.columns, "__join__")
                 )
+        for df in persisted:
+            df.unpersist()
         return MappingResult(counts=counts, statement_log=log)
 
 
