@@ -51,6 +51,10 @@ HEAVY = [
     "q_ivfpq_adc",
     "q_kcenter_coreset",
     "q_domain_affinity",
+    # round 7: the rewritten single-pass table_overlap (J5) on the twin-
+    # namespace mapping scenario — orders+customer scale 10x in the sf1
+    # derivative, so this measures the one-shuffle overlap, not fixtures
+    "q_mapping_overlap",
 ]
 
 
@@ -147,7 +151,9 @@ def main() -> None:
               f"ratio={row['ratio']:6.2f}  {row['verdict']}")
     spark.catalog.clearCache()
 
-    out = os.path.join(ROOT, "SCALE_CURVE_r05.json")
+    out = os.path.join(
+        ROOT, sys.argv[1] if len(sys.argv) > 1 else "SCALE_CURVE_r07.json"
+    )
     with open(out, "w") as fh:
         json.dump({"copies": COPIES, "results": results}, fh, indent=1)
     print("wrote", out)
