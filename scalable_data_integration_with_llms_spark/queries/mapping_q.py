@@ -434,7 +434,6 @@ def q_mapping_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the overlap timeout sentinel (U8, rule m4's runaway join → FN =
     |gold|, FP = ∞) → per-rule-per-table PRF1.  The oracle re-derives
     every surviving row set and count in SQL over the base tables."""
-    from ..operators.overlap import OverlapCounts  # noqa: F401 (doc anchor)
     from ..operators.metrics import prf1_columns
     from ..sources.xml_loader import (
         load_mapping_xml,
