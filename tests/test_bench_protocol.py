@@ -1,0 +1,59 @@
+"""The bench protocol's noise gate (tools/bench_compare.py) and the
+committed battery's run metadata — pure-Python pins, no Spark needed."""
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from bench_compare import effective_threshold, load_baseline  # noqa: E402
+
+
+def test_effective_threshold_floor():
+    # no metadata at all -> the flat floor
+    assert effective_threshold("q", 2.0, {}, None) == 2.0
+
+
+def test_effective_threshold_per_query_spread_raises_floor():
+    # per-query spread 1.6x * margin 1.5 = 2.4 > floor
+    runs = {"q": [1.0, 1.6, 1.2]}
+    assert effective_threshold("q", 2.0, runs, None) == 1.6 * 1.5
+
+
+def test_effective_threshold_never_below_floor():
+    # tight per-query spread cannot LOWER the gate below the floor
+    runs = {"q": [1.0, 1.02, 1.01]}
+    assert effective_threshold("q", 2.0, runs, None) == 2.0
+
+
+def test_effective_threshold_battery_spread_fallback():
+    # query absent from per-run data -> the battery-total spread applies
+    assert effective_threshold("other", 2.0, {"q": [1, 2]}, 1.8) == 1.8 * 1.5
+
+
+def test_effective_threshold_zero_run_guard():
+    # a zero minimum (degenerate timing) must not divide by zero
+    assert effective_threshold("q", 2.0, {"q": [0.0, 1.0]}, None) == 2.0
+
+
+def test_committed_battery_carries_run_metadata():
+    """BENCH_FULL.json is the median-of-N protocol's artifact: run totals,
+    the median selection, and per-query run arrays for the noise gates."""
+    doc = load_baseline(os.path.join(ROOT, "BENCH_FULL.json"))
+    runs = doc["runs"]
+    assert runs["n"] >= 3
+    assert len(runs["totals"]) == runs["n"]
+    assert runs["selected"] == "median_total"
+    # the selected run's total is the committed headline value
+    assert doc["value"] == runs["totals"][runs["selected_index"]]
+    # median by construction: at least one total on each side
+    others = sorted(runs["totals"])
+    assert others[len(others) // 2] == doc["value"]
+    qr = doc["queries_runs"]
+    assert set(qr) == set(doc["queries"])
+    assert all(len(v) == runs["n"] for v in qr.values())
+    # the per-query medians' source run must contain the committed numbers
+    sel = runs["selected_index"]
+    assert all(doc["queries"][k] == qr[k][sel] for k in qr)

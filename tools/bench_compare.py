@@ -42,6 +42,25 @@ def load_baseline(path: str) -> dict:
     return doc
 
 
+def effective_threshold(
+    name: str,
+    floor: float,
+    base_runs: dict[str, list[float]],
+    host_spread: float | None,
+    margin: float = SPREAD_MARGIN,
+) -> float:
+    """The flagging ratio for one query: the floor, raised to the measured
+    noise envelope when the baseline carries one.  Per-query run spread
+    when available; the battery-total spread otherwise."""
+    t = floor
+    runs = base_runs.get(name)
+    if runs and min(runs) > 0:
+        t = max(t, (max(runs) / min(runs)) * margin)
+    elif host_spread:
+        t = max(t, host_spread * margin)
+    return t
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", default=None)
@@ -78,24 +97,16 @@ def main() -> int:
     with open(os.path.join(ROOT, out_name)) as f:
         now = json.load(f)["queries"]
 
-    def effective_threshold(name: str) -> float:
-        """The flagging ratio for one query: the floor, raised to the
-        measured noise envelope when the baseline carries one.  Per-query
-        run spread when available; the battery-total spread otherwise."""
-        t = args.threshold
-        runs = base_runs.get(name)
-        if runs and min(runs) > 0:
-            t = max(t, (max(runs) / min(runs)) * SPREAD_MARGIN)
-        elif host_spread:
-            t = max(t, host_spread * SPREAD_MARGIN)
-        return t
-
     regressed = []
     print(f"{'query':<28}{'base':>8}{'now':>8}{'ratio':>8}{'gate':>7}")
     for name, t in now.items():
         b = base.get(name)
         ratio = (t / b) if b else float("nan")
-        gate = effective_threshold(name) if b else float("nan")
+        gate = (
+            effective_threshold(name, args.threshold, base_runs, host_spread)
+            if b
+            else float("nan")
+        )
         flag = ""
         if b and ratio > gate:
             regressed.append((name, b, t, gate))
