@@ -37,8 +37,22 @@ def ensemble_intersection(runs: DataFrame, n_runs: int | None = None) -> DataFra
 
 
 def ensemble_disjoint(runs: DataFrame, n_runs: int | None = None) -> DataFrame:
-    """SO3: union − intersection (symmetric difference across runs, ``:41-51``)."""
-    return ensemble_union(runs).exceptAll(ensemble_intersection(runs, n_runs))
+    """SO3: union − intersection (symmetric difference across runs,
+    ``:41-51``) = pairs present in SOME run but not ALL runs — one
+    distinct + one aggregation, instead of evaluating the runs frame for
+    union and intersection separately and EXCEPTing them (three passes
+    plus a set-op shuffle; the DuckDB oracle still states the EXCEPT form,
+    so the algebraic identity is value-checked)."""
+    if n_runs is None:
+        n_runs = runs.select("seed").distinct().count()
+    return (
+        runs.select("seed", *_PAIR)
+        .distinct()
+        .groupBy(*_PAIR)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < n_runs)
+        .select(*_PAIR)
+    )
 
 
 def ensemble_majority(runs: DataFrame) -> DataFrame:
