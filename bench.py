@@ -150,6 +150,7 @@ HEADLINE += [
     "q_ehr_round2_matches",
     "q_ehr_bidirectional_f1",
     "q_ehr_topk_sweep",
+    "q_ehr_effort_report",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

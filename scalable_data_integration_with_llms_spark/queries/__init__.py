@@ -34,18 +34,19 @@ from . import ehr_q  # noqa: F401, E402
 # Verification-window priority (round 7): drift rotation + this round's
 # code changes.  After the r6 driver run every query's newest green row is
 # r2+ and exactly 30 queries are still r2-latest, so the 50-window is:
-# (a) the 14 queries round 7 ADDED or whose code changed — the six new
-#     real-data/mapping queries (q_mapping_e2e, q_ehr_rounds,
-#     q_ehr_round2_matches, q_ehr_bidirectional_*, q_ehr_topk_sweep), the
-#     six seed-list-affected ensembles (ENSEMBLE_SEEDS grew to the
-#     reference's full four seeds), and the two mapping queries riding the
-#     single-pass table_overlap rewrite;
+# (a) the 15 queries round 7 ADDED or whose code changed — the seven new
+#     real-data/mapping queries (q_mapping_e2e, q_ehr_effort_report,
+#     q_ehr_rounds, q_ehr_round2_matches, q_ehr_bidirectional_*,
+#     q_ehr_topk_sweep), the six seed-list-affected ensembles
+#     (ENSEMBLE_SEEDS grew to the reference's full four seeds), and the
+#     two mapping queries riding the single-pass table_overlap rewrite;
 # (b) the 28 remaining r2-latest queries (30 minus the two already in (a));
-# (c) 8 oldest r3-latest queries — after this round the oldest standing
-#     driver verification becomes r3 with 41 rows left there.
+# (c) 7 oldest r3-latest queries — after this round the oldest standing
+#     driver verification becomes r3 with 42 rows left there.
 _VERIFY_FIRST = [
     # (a) new round-7 queries + code-changed queries
     "q_mapping_e2e",
+    "q_ehr_effort_report",
     "q_ehr_rounds",
     "q_ehr_round2_matches",
     "q_ehr_bidirectional_scores",
@@ -96,7 +97,6 @@ _VERIFY_FIRST = [
     "q_bpe_token_stats",
     "q_case_swap",
     "q_contamination",
-    "q_corpus_pipeline_e2e",
 ]
 
 

@@ -587,3 +587,94 @@ def q_real_benchmarks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum(milli("recall")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_recall"),
         ((F.sum(milli("f1")) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_f1"),
     )
+
+
+# -- the reference's FULL per-case metric row on real data (A9 + SO6) ----------
+
+
+def _effort_oracle() -> str:
+    """tp/fp/fn/tn + precision/recall/f1/accuracy/accuracy2/effort per case,
+    derived in SQL from the pinned round-1 VALUES, the gold VALUES, and the
+    independently parsed catalog (eval_utils.py:466-502 compute_prf1e +
+    get_tn: TN = target columns neither gold-aligned nor predicted-mapped;
+    N = |target columns|; effort = (3·fn + fp)/|gold| — on this dataset the
+    raw gold list is duplicate-free, so the deduped VALUES count IS the
+    reference's len(gold_mapping))."""
+    round1, gold = _golden("ehr")
+    p = "CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END"
+    r = "CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END"
+    return f"""
+WITH pred AS (SELECT DISTINCT case_id, src, tgt FROM {_values(round1, "rv")}),
+gold AS (SELECT DISTINCT case_id, src, tgt FROM {_values(gold, "gv")}),
+cat AS (SELECT * FROM {_catalog_values_sql()}),
+tgtcols AS (SELECT case_id, col_name AS tgt FROM cat WHERE side = 'target'),
+ncols AS (SELECT case_id, COUNT(*) AS n_target_cols FROM tgtcols GROUP BY case_id),
+lengold AS (SELECT case_id, COUNT(*) AS len_gold FROM gold GROUP BY case_id),
+counts AS (
+  SELECT ncols.case_id,
+         COALESCE(t.tp, 0) AS tp, COALESCE(f.fp, 0) AS fp, COALESCE(n.fn, 0) AS fn
+  FROM ncols
+  LEFT JOIN (SELECT case_id, COUNT(*) AS tp FROM (SELECT * FROM pred INTERSECT SELECT * FROM gold) GROUP BY case_id) t USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fp FROM (SELECT * FROM pred EXCEPT SELECT * FROM gold) GROUP BY case_id) f USING (case_id)
+  LEFT JOIN (SELECT case_id, COUNT(*) AS fn FROM (SELECT * FROM gold EXCEPT SELECT * FROM pred) GROUP BY case_id) n USING (case_id)
+),
+tn AS (
+  SELECT t.case_id, COUNT(*) AS tn
+  FROM tgtcols t
+  WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.case_id = t.case_id AND g.tgt = t.tgt)
+    AND NOT EXISTS (SELECT 1 FROM pred p WHERE p.case_id = t.case_id AND p.tgt = t.tgt)
+  GROUP BY t.case_id
+)
+SELECT counts.case_id, tp, fp, fn,
+       CAST(COALESCE(tn.tn, 0) AS BIGINT) AS tn,
+       {p} AS precision,
+       {r} AS recall,
+       CASE WHEN ({p}) + ({r}) = 0 THEN 0.0
+            ELSE (2.0 * ({r}) * ({p})) / (({r}) + ({p})) END AS f1,
+       (tp + COALESCE(tn.tn, 0)) / n_target_cols AS accuracy,
+       (tp + COALESCE(tn.tn, 0)) / (tp + COALESCE(tn.tn, 0) + fp + fn) AS accuracy2,
+       (3 * fn + fp) / len_gold AS effort
+FROM counts
+JOIN ncols USING (case_id)
+JOIN lengold USING (case_id)
+LEFT JOIN tn ON tn.case_id = counts.case_id
+"""
+
+
+@query("q_ehr_effort_report", _effort_oracle())
+def q_ehr_effort_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete per-case evaluation row on real data
+    (eval_utils.py:477-502): P/R/F1 plus TN-based accuracy, accuracy2, and
+    the annotation-effort score, for all 52 EHR cases — A9 and SO6
+    together on the real benchmark.  TN comes from the catalog's target
+    columns (one anti-join vs the gold∪pred covered set); every division
+    is exact-bigint over exact-bigint, so the doubles are engine-identical."""
+    from ..operators.metrics import tn_counts
+    from ..sources.dataset_json import catalog_from_cases
+
+    pred = _round1(spark, "ehr")
+    gold = dataset_gold_df(spark, "ehr")
+    counts = prf1_columns(confusion_counts(pred, gold))
+    tgt_cols = (
+        catalog_from_cases(dataset_cases_df(spark, "ehr"))
+        .filter(F.col("side") == "target")
+        .select("case_id", F.col("col_name").alias("tgt"))
+    )
+    tn = tn_counts(pred, gold, tgt_cols)
+    ncols = tgt_cols.groupBy("case_id").agg(
+        F.count(F.lit(1)).alias("n_target_cols")
+    )
+    len_gold = gold.groupBy("case_id").agg(F.count(F.lit(1)).alias("len_gold"))
+    out = (
+        counts.join(ncols, "case_id")
+        .join(len_gold, "case_id")
+        .join(tn, "case_id", "left")
+        .withColumn("tn", F.coalesce(F.col("tn"), F.lit(0)).cast("bigint"))
+    )
+    tp, fp, fn, tncol = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return out.select(
+        "case_id", "tp", "fp", "fn", "tn", "precision", "recall", "f1",
+        ((tp + tncol) / F.col("n_target_cols")).alias("accuracy"),
+        ((tp + tncol) / (tp + tncol + fp + fn)).alias("accuracy2"),
+        ((3 * fn + fp) / F.col("len_gold")).alias("effort"),
+    )

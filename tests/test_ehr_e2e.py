@@ -180,3 +180,24 @@ def test_preferences_parallelism_is_a_parameter(spark):
     assert {tuple(r) for r in base.select(*cols).collect()} == {
         tuple(r) for r in alt.select(*cols).collect()
     }
+
+
+def test_ehr_effort_report(spark, duck):
+    """The full compute_prf1e row on real data: oracle parity plus the
+    reference identities — tp+fn partitions gold, tp+tn <= N, accuracy2
+    consistency, and effort's (3·fn+fp)/|gold| form."""
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(spark, duck, "q_ehr_effort_report")
+    rows = QUERIES["q_ehr_effort_report"](spark, SF).collect()
+    assert len(rows) == 52
+    assert sum(r.tp + r.fn for r in rows) == 310
+    f1s = {r.case_id: r for r in QUERIES["q_ehr_matching_f1"](spark, SF).collect()}
+    for r in rows:
+        base = f1s[r.case_id]
+        assert (r.tp, r.fp, r.fn) == (base.tp, base.fp, base.fn)
+        assert r.tn >= 0
+        denom = r.tp + r.tn + r.fp + r.fn
+        assert r.accuracy2 == pytest.approx((r.tp + r.tn) / denom)
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.effort >= 0.0
