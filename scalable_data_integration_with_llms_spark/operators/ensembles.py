@@ -42,7 +42,10 @@ def ensemble_disjoint(runs: DataFrame, n_runs: int | None = None) -> DataFrame:
     distinct + one aggregation, instead of evaluating the runs frame for
     union and intersection separately and EXCEPTing them (three passes
     plus a set-op shuffle; the DuckDB oracle still states the EXCEPT form,
-    so the algebraic identity is value-checked)."""
+    so the algebraic identity is value-checked).  ``n != n_runs`` (not
+    ``<``) keeps the identity even when a caller passes ``n_runs`` smaller
+    than the distinct seeds present: such pairs are outside the
+    intersection, so union − intersection INCLUDES them."""
     if n_runs is None:
         n_runs = runs.select("seed").distinct().count()
     return (
@@ -50,7 +53,7 @@ def ensemble_disjoint(runs: DataFrame, n_runs: int | None = None) -> DataFrame:
         .distinct()
         .groupBy(*_PAIR)
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") < n_runs)
+        .filter(F.col("n") != n_runs)
         .select(*_PAIR)
     )
 

@@ -89,7 +89,10 @@ def timed_table_overlap(
     )
     if res.status == OK:
         return res.value
-    gold_rows = gold.select(*meaningful_cols).distinct().count()
+    # reference counts the RAW gold select (``Evaluator.py:146-147``:
+    # ``len(results.rows)`` of ``SELECT <cols> FROM gold.<table>`` — no
+    # DISTINCT), so duplicates in a timed-out table's gold side count
+    gold_rows = gold.select(*meaningful_cols).count()
     return OverlapCounts(table, 0, INF_FP, gold_rows)
 
 

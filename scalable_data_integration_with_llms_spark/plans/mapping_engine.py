@@ -35,6 +35,20 @@ class MappingScenario:
     join_overlap_sql: str | None = None  # multi-table rules (J6)
 
 
+def join_referenced_tables(join_sql: str, tables: dict[str, str] | list[str]) -> list[str]:
+    """Target tables the join-overlap SQL actually references, in dict
+    order.  Word-boundary match so a target whose name is a substring of
+    another identifier is not selected spuriously, and case-insensitive
+    because Spark SQL identifiers are (ADVICE r7 on the old plain
+    ``t in sql`` substring test)."""
+    import re
+
+    return [
+        t for t in tables
+        if re.search(rf"\b{re.escape(t)}\b", join_sql, re.IGNORECASE)
+    ]
+
+
 @dataclass
 class MappingResult:
     counts: list[OverlapCounts]
@@ -159,13 +173,12 @@ class MappingEngine:
         # lazy engine's equivalent for the re-read case only)
         persisted = []
         if self.sc.join_overlap_sql:
-            for t in self.sc.target_tables:
-                if t in self.sc.join_overlap_sql:
-                    for ns in ("gold", "pred"):
-                        df = self._acc[(ns, t)].persist()
-                        self._acc[(ns, t)] = df
-                        df.createOrReplaceTempView(f"{ns}_{t}")
-                        persisted.append(df)
+            for t in join_referenced_tables(self.sc.join_overlap_sql, self.sc.target_tables):
+                for ns in ("gold", "pred"):
+                    df = self._acc[(ns, t)].persist()
+                    self._acc[(ns, t)] = df
+                    df.createOrReplaceTempView(f"{ns}_{t}")
+                    persisted.append(df)
         counts = []
         for t in sorted(self.sc.target_tables):
             cols = self.sc.meaningful_cols[t]

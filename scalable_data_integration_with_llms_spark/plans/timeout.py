@@ -37,18 +37,29 @@ def run_with_timeout(
     action: Callable[[], Any],
     timeout_s: float = DEFAULT_TIMEOUT_S,
 ) -> ExecResult:
-    """Run a Spark action, cancelling its job group after ``timeout_s``."""
+    """Run a Spark action, cancelling its job group after ``timeout_s``.
+
+    The cancel is RE-ISSUED every 250 ms until the action returns:
+    ``cancelJobGroup`` only cancels jobs active at that instant, so a
+    one-shot cancel fired while the driver is still planning (or between
+    the jobs of a multi-job action) would let the next job run to
+    completion unbounded — exactly the runaway case the timeout exists
+    for."""
     group = f"sdi-timeout-{uuid.uuid4().hex[:12]}"
     sc = spark.sparkContext
     timed_out = threading.Event()
+    done = threading.Event()
 
-    def cancel() -> None:
+    def cancel_loop() -> None:
+        if done.wait(timeout_s):
+            return
         timed_out.set()
-        sc.cancelJobGroup(group)
+        while not done.wait(0.25):
+            sc.cancelJobGroup(group)
 
-    timer = threading.Timer(timeout_s, cancel)
+    canceller = threading.Thread(target=cancel_loop, daemon=True)
     sc.setJobGroup(group, "sdi timed statement", interruptOnCancel=True)
-    timer.start()
+    canceller.start()
     try:
         value = action()
         return ExecResult(OK, value=value)
@@ -57,5 +68,5 @@ def run_with_timeout(
             return ExecResult(TIMEOUT, error=str(e))
         return ExecResult(ERROR, error=str(e))
     finally:
-        timer.cancel()
+        done.set()
         sc.setLocalProperty("spark.jobGroup.id", None)

@@ -31,72 +31,71 @@ from . import retrieval_q  # noqa: F401, E402
 from . import prompt_q  # noqa: F401, E402
 from . import ehr_q  # noqa: F401, E402
 
-# Verification-window priority (round 7): drift rotation + this round's
-# code changes.  After the r6 driver run every query's newest green row is
-# r2+ and exactly 30 queries are still r2-latest, so the 50-window is:
-# (a) the 15 queries round 7 ADDED or whose code changed — the seven new
-#     real-data/mapping queries (q_mapping_e2e, q_ehr_effort_report,
-#     q_ehr_rounds, q_ehr_round2_matches, q_ehr_bidirectional_*,
-#     q_ehr_topk_sweep), the six seed-list-affected ensembles
-#     (ENSEMBLE_SEEDS grew to the reference's full four seeds), and the
-#     two mapping queries riding the single-pass table_overlap rewrite;
-# (b) the 28 remaining r2-latest queries (30 minus the two already in (a));
-# (c) 7 oldest r3-latest queries — after this round the oldest standing
-#     driver verification becomes r3 with 42 rows left there.
+# Verification-window priority (round 8): drift rotation + this round's
+# code changes.  After the r7 driver run the oldest standing driver-green
+# row is r3 with exactly 42 queries there, so the 50-window is:
+# (a) the 5 queries round 8 ADDED or whose code changed — q_mapping_pass_rate
+#     (new A12-on-mapping aggregation), the three mapping queries riding the
+#     engine's persist-heuristic word-boundary fix and the timeout-sentinel
+#     raw-count fix (ADVICE r7), and q_ensemble_disjoint (n != n_runs
+#     identity fix, ADVICE r7);
+# (b) all 42 r3-latest queries — after this round the oldest standing
+#     driver verification becomes r4;
+# (c) 3 oldest r4-latest queries to fill the window.
 _VERIFY_FIRST = [
-    # (a) new round-7 queries + code-changed queries
+    # (a) new round-8 query + code-changed queries
+    "q_mapping_pass_rate",
     "q_mapping_e2e",
-    "q_ehr_effort_report",
-    "q_ehr_rounds",
-    "q_ehr_round2_matches",
-    "q_ehr_bidirectional_scores",
-    "q_ehr_bidirectional_f1",
-    "q_ehr_topk_sweep",
-    "q_ensemble_union",
-    "q_ensemble_intersection",
-    "q_ensemble_majority",
-    "q_ensemble_disjoint",
-    "q_ensemble_gold_filter",
-    "q_ehr_ensemble_f1",
     "q_mapping_overlap",
     "q_mapping_map_pk",
-    # (b) newest green row is r2 (the drift-rotation block VERDICT r6 named)
-    "q_fk_audit",
-    "q_icl_packing",
-    "q_json_props",
-    "q_lsh_verified_pairs",
-    "q_match_round2",
-    "q_mcq_scores",
-    "q_mcq_validation",
-    "q_metric_ci",
-    "q_metrics_by_category",
-    "q_minhash_signatures",
-    "q_mock_match_scores",
-    "q_mrr",
-    "q_multimodal_features",
-    "q_parse_create_view",
-    "q_parse_matches_json",
-    "q_pass_rate",
-    "q_pipeline_e2e",
-    "q_pivot_status_priority",
-    "q_profile_orders",
-    "q_prompt_assembly",
-    "q_sessionization",
-    "q_softmax_scores",
-    "q_stable_matching",
-    "q_stream_hourly",
-    "q_subsumed_rules",
-    "q_token_stats",
-    "q_topk_alignments",
-    "q_yes_no_majority",
-    # (c) oldest r3-latest
-    "q_ann_recall",
-    "q_approx_distinct_users",
-    "q_approx_percentiles",
-    "q_bloom_contamination",
-    "q_bpe_token_stats",
-    "q_case_swap",
-    "q_contamination",
+    "q_ensemble_disjoint",
+    # (b) newest driver-green row is r3 (the full stale block)
+    "q_corpus_pipeline_e2e",
+    "q_cosine_topk",
+    "q_dedup_containment",
+    "q_dedup_keepers",
+    "q_demo_rating",
+    "q_doc_commonness",
+    "q_doc_fingerprint",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_events_gapfill",
+    "q_gold_in_options",
+    "q_incremental_dedup",
+    "q_ivf_recall",
+    "q_kmeans_iteration",
+    "q_label_centroids",
+    "q_langid",
+    "q_lsh_hyperplane_buckets",
+    "q_media_frames",
+    "q_media_metadata",
+    "q_minhash_est_jaccard",
+    "q_pack_sequences",
+    "q_parse_tada_yes",
+    "q_pii_scrub",
+    "q_repetition_ratio",
+    "q_session_window_native",
+    "q_sessionization_stream",
+    "q_shard_assignment",
+    "q_simhash",
+    "q_simhash_near_dup",
+    "q_sliding_windows",
+    "q_source_drift",
+    "q_source_mixture",
+    "q_stream_dedup",
+    "q_stream_enriched",
+    "q_stream_stream_join",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_token_stats_t",
+    "q_top_bigrams",
+    "q_topk_sweep",
+    "q_unpivot_status_metrics",
+    "q_vocab",
+    # (c) oldest r4-latest
+    "q_ann_filtered",
+    "q_bibtex_import",
+    "q_bloom_join_pushdown",
 ]
 
 

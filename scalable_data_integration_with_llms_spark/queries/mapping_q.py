@@ -384,7 +384,7 @@ nation_dim AS (SELECT pk_val, ROW_NUMBER() OVER (ORDER BY pk_val) - 1 AS pk_id
 m3_gold AS (SELECT DISTINCT pk_id, n_name FROM nation JOIN nation_dim ON n_name = pk_val),
 m3_pred AS (SELECT DISTINCT pk_id, n_name FROM nation JOIN nation_dim ON n_name = pk_val
             WHERE n_regionkey < 3),
-m4_gold_n AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT o_orderkey, o_orderpriority
+m4_gold_n AS (SELECT COUNT(*) AS n FROM (SELECT o_orderkey, o_orderpriority
               FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))),
 counts AS (
   SELECT 'm1' AS rule_id, 't_cust_orders' AS table_name,
@@ -494,3 +494,146 @@ def q_mapping_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_id", "table_name", "tp", "fp", "fn", "timed_out",
         "precision", "recall", "f1",
     )
+
+
+# -- A12 on the mapping path: pass-rate over (config × seed) runs --------------
+# The reference aggregates mapping experiments over the (args, seed) run
+# matrix (``AnaylsisUtils.py:121-208``): per (args, seed) the mean F1 and the
+# fraction of tests with perfect precision/recall ("tests_passed"), then the
+# max over seeds per args.  q_mapping_e2e evaluates ONE simulated response;
+# this query runs the full engine for every cell of a 2-config × 2-seed
+# matrix of simulated LLM responses and chains execute → overlap → the
+# two-level aggregation through ``operators/metrics.pass_rate``.
+
+_PR_SEEDS = (7, 77)
+
+# (config, seed) -> (t_seg acctbal threshold, t_nat regionkey predicate).
+# Gold is th=0 / "< 3"; a lower threshold or wider predicate adds FP rows
+# (perfect recall), a higher/narrower one adds FN rows (perfect precision).
+_PR_VARIANTS = {
+    ("terse", 7): (0, "< 3"),        # both tables perfect
+    ("terse", 77): (-1000, "< 2"),   # seg FP, nat FN
+    ("cot", 7): (1000, "<= 3"),      # seg FN, nat FP
+    ("cot", 77): (0, "< 2"),         # seg perfect, nat FN
+}
+
+_PR_GOLD_SQL = """
+INSERT INTO t_seg SELECT c_name, c_mktsegment FROM customer WHERE c_acctbal > 0;
+INSERT INTO t_nat SELECT n_name FROM nation WHERE n_regionkey < 3;
+"""
+
+# simulated response: prose + code fence + a CREATE of a target table the
+# admission filter (P6) must drop before execution
+_PR_RESPONSE = """
+Here is the requested mapping:
+
+```sql
+CREATE TABLE t_seg (c_name TEXT);
+INSERT INTO t_seg SELECT c_name, c_mktsegment FROM customer WHERE c_acctbal > {th};
+INSERT INTO t_nat SELECT n_name FROM nation WHERE n_regionkey {natpred};
+```
+"""
+
+
+def _pr_variant_counts_sql(config: str, seed: int, th: int, natpred: str) -> str:
+    seg_pred = (
+        f"SELECT DISTINCT c_name, c_mktsegment FROM customer WHERE c_acctbal > {th}"
+    )
+    seg_gold = "SELECT DISTINCT c_name, c_mktsegment FROM customer WHERE c_acctbal > 0"
+    nat_pred = f"SELECT DISTINCT n_name FROM nation WHERE n_regionkey {natpred}"
+    nat_gold = "SELECT DISTINCT n_name FROM nation WHERE n_regionkey < 3"
+    rows = []
+    for table, pred, gold in (("t_seg", seg_pred, seg_gold), ("t_nat", nat_pred, nat_gold)):
+        rows.append(
+            f"SELECT '{config}' AS config, {seed} AS seed, '{table}' AS table_name,\n"
+            f"  (SELECT COUNT(*) FROM ({pred} INTERSECT {gold})) AS tp,\n"
+            f"  CAST((SELECT COUNT(*) FROM ({pred} EXCEPT {gold})) AS DOUBLE) AS fp,\n"
+            f"  (SELECT COUNT(*) FROM ({gold} EXCEPT {pred})) AS fn"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+_PASS_RATE_ORACLE = f"""
+WITH tests AS (
+{" UNION ALL ".join(_pr_variant_counts_sql(c, s, th, np) for (c, s), (th, np) in _PR_VARIANTS.items())}
+),
+prf AS (SELECT config, seed, {_prf1_sql("tp", "fp", "fn")} FROM tests),
+per_seed AS (
+  SELECT config, seed,
+         AVG(f1) AS avg_f1,
+         SUM(CASE WHEN precision >= 1.0 THEN 1 ELSE 0 END) AS np_pass,
+         SUM(CASE WHEN recall >= 1.0 THEN 1 ELSE 0 END) AS nr_pass,
+         COUNT(*) AS n_tests
+  FROM prf GROUP BY config, seed
+)
+SELECT config,
+       (SUM(np_pass) * 1.0) / SUM(n_tests) AS mean_pass_precision,
+       MAX((np_pass * 1.0) / n_tests) AS max_pass_precision,
+       (SUM(nr_pass) * 1.0) / SUM(n_tests) AS mean_pass_recall,
+       MAX((nr_pass * 1.0) / n_tests) AS max_pass_recall,
+       MAX(avg_f1) AS max_avg_f1
+FROM per_seed GROUP BY config
+"""
+
+
+@query("q_mapping_pass_rate", _PASS_RATE_ORACLE)
+def q_mapping_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 on the mapping path (``AnaylsisUtils.py:121-146``
+    ``get_max_pass_rate_mapping`` + ``tests_passed``): a 2-config × 2-seed
+    matrix of simulated LLM responses, each run through the FULL engine
+    (admission drops the CREATE of a target table, execution into twin
+    namespaces, per-table distinct overlap), then the reference's
+    two-level aggregation — per (config, seed) the mean F1 over tables and
+    the fraction of tables with perfect precision/recall, then per config
+    the mean/max over seeds via ``operators/metrics.pass_rate`` (the
+    reference's ``frac_perfect_*`` is exactly pass_rate's metric ≥ 1
+    test).  The oracle re-derives every overlap count from the base
+    tables and states the two-level aggregation independently."""
+    from pyspark.sql import functions as F
+
+    from ..operators.metrics import pass_rate, prf1_columns
+
+    rows = []
+    for (config, seed), (th, natpred) in _PR_VARIANTS.items():
+        scenario = MappingScenario(
+            source_tables={
+                "customer": load_table(spark, sf_dir, "customer"),
+                "nation": load_table(spark, sf_dir, "nation"),
+            },
+            target_tables={
+                "t_seg": "c_name string, c_mktsegment string",
+                "t_nat": "n_name string",
+            },
+            gold_sql=_PR_GOLD_SQL,
+            meaningful_cols={
+                "t_seg": ["c_name", "c_mktsegment"],
+                "t_nat": ["n_name"],
+            },
+        )
+        engine = MappingEngine(spark, scenario)
+        result = engine.evaluate(
+            _PR_RESPONSE.format(th=th, natpred=natpred), reference_skips=True
+        )
+        rows += [
+            (config, seed, c.table, c.tp, float(c.fp), c.fn) for c in result.counts
+        ]
+    prf = prf1_columns(
+        spark.createDataFrame(
+            rows,
+            "config string, seed int, table_name string, tp bigint, fp double, fn bigint",
+        ),
+        all_zero_is_perfect=True,
+    )
+    pr_p = pass_rate(prf, F.col("precision"), ["config"], "seed").withColumnsRenamed(
+        {"mean_pass_rate": "mean_pass_precision", "max_pass_rate": "max_pass_precision"}
+    )
+    pr_r = pass_rate(prf, F.col("recall"), ["config"], "seed").withColumnsRenamed(
+        {"mean_pass_rate": "mean_pass_recall", "max_pass_rate": "max_pass_recall"}
+    )
+    f1 = (
+        prf.groupBy("config", "seed")
+        .agg(F.avg("f1").alias("avg_f1"))
+        .groupBy("config")
+        .agg(F.max("avg_f1").alias("max_avg_f1"))
+    )
+    return pr_p.join(pr_r, "config").join(f1, "config")

@@ -94,7 +94,12 @@ def main() -> int:
         )
     # bench.py honors SPARK_GRAFT_BENCH_OUT; read the same path it writes
     out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_last_run.json")
-    with open(os.path.join(ROOT, out_name)) as f:
+    out_path = os.path.join(ROOT, out_name)
+    if not os.path.exists(out_path):
+        print(f"{out_name} not found — run bench.py first"
+              + (" (invoked with --no-run, so nothing was benched)" if args.no_run else ""))
+        return 1
+    with open(out_path) as f:
         now = json.load(f)["queries"]
 
     regressed = []
