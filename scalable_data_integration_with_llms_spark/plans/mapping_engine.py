@@ -33,6 +33,16 @@ class MappingScenario:
     gold_sql: str
     meaningful_cols: dict[str, list[str]]
     join_overlap_sql: str | None = None  # multi-table rules (J6)
+    # Temp-view namespace prefix.  Spark temp views are session-global, so
+    # CONCURRENT engine runs (an experiment run matrix driven from a thread
+    # pool — Spark schedules jobs from pinned Python threads independently)
+    # must not share view names: give each run a distinct prefix and every
+    # source_/gold_/pred_ view is isolated.  The ``__mappk_*`` dimensions
+    # stay unprefixed: they are derived deterministically from the
+    # scenario's own source DataFrames, so concurrent re-registration is
+    # idempotent — unless two concurrent scenarios bind the SAME source
+    # table name to DIFFERENT data and both call map_pk on it (don't).
+    view_ns: str = ""
 
 
 def join_referenced_tables(join_sql: str, tables: dict[str, str] | list[str]) -> list[str]:
@@ -61,8 +71,9 @@ class MappingEngine:
         self.sc = scenario
 
     def _register_sources(self) -> None:
+        vp = self.sc.view_ns
         for name, df in self.sc.source_tables.items():
-            df.createOrReplaceTempView(f"source_{name}")
+            df.createOrReplaceTempView(f"{vp}source_{name}")
 
     def _reset_targets(self, ns: str) -> None:
         """Empty every target table (the reference's reset+reimport,
@@ -77,7 +88,7 @@ class MappingEngine:
             )
             empty = self.spark.sql(f"SELECT {cols} WHERE 1=0")
             self._acc[(ns, t)] = empty
-            empty.createOrReplaceTempView(f"{ns}_{t}")
+            empty.createOrReplaceTempView(f"{self.sc.view_ns}{ns}_{t}")
 
     def _apply_insert(self, ns: str, table: str, select_sql: str) -> None:
         """Accumulate an INSERT into the namespace table: positional INSERT
@@ -94,14 +105,16 @@ class MappingEngine:
             aligned = aligned.withColumn(c, aligned[c].cast(dt))
         updated = prior.unionByName(aligned)
         self._acc[(ns, table)] = updated
-        updated.createOrReplaceTempView(f"{ns}_{table}")
+        updated.createOrReplaceTempView(f"{self.sc.view_ns}{ns}_{table}")
 
     def _run_script(self, sql_script: str, ns: str, timeout_s: float) -> list[Statement]:
         """Admission → qualification → execution of one script into ``ns``."""
         src_names = set(self.sc.source_tables)
         tgt_names = set(self.sc.target_tables)
+        vp = self.sc.view_ns
         stmts = prepare_response(
-            sql_script, src_names, tgt_names, source_ns="source", target_ns=ns
+            sql_script, src_names, tgt_names,
+            source_ns=f"{vp}source", target_ns=f"{vp}{ns}",
         )
         for s in stmts:
             if not s.admitted:
@@ -112,7 +125,7 @@ class MappingEngine:
             for tbl, attr in pk_refs:
                 self._register_map_pk_dim(tbl, attr)
             if s.kind == "INSERT" and s.target_table:
-                bare = s.target_table.split(".")[-1].removeprefix(f"{ns}_")
+                bare = s.target_table.split(".")[-1].removeprefix(f"{vp}{ns}_")
                 select_sql = _strip_insert_prefix(s.sql)
                 res = run_with_timeout(
                     self.spark,
@@ -177,15 +190,15 @@ class MappingEngine:
                 for ns in ("gold", "pred"):
                     df = self._acc[(ns, t)].persist()
                     self._acc[(ns, t)] = df
-                    df.createOrReplaceTempView(f"{ns}_{t}")
+                    df.createOrReplaceTempView(f"{self.sc.view_ns}{ns}_{t}")
                     persisted.append(df)
         counts = []
         for t in sorted(self.sc.target_tables):
             cols = self.sc.meaningful_cols[t]
             if reference_skips and not cols:
                 continue
-            gold_df = self.spark.table(f"gold_{t}")
-            pred_df = self.spark.table(f"pred_{t}")
+            gold_df = self.spark.table(f"{self.sc.view_ns}gold_{t}")
+            pred_df = self.spark.table(f"{self.sc.view_ns}pred_{t}")
             if isinstance(overlap_timeout_s, dict):
                 t_timeout = overlap_timeout_s.get(t)
             else:
@@ -203,10 +216,16 @@ class MappingEngine:
             counts.append(c)
         if self.sc.join_overlap_sql:
             gold_join = self.spark.sql(
-                _sub_namespace(self.sc.join_overlap_sql, self.sc.target_tables, "gold")
+                _sub_namespace(
+                    self.sc.join_overlap_sql, self.sc.target_tables,
+                    f"{self.sc.view_ns}gold",
+                )
             )
             pred_join = self.spark.sql(
-                _sub_namespace(self.sc.join_overlap_sql, self.sc.target_tables, "pred")
+                _sub_namespace(
+                    self.sc.join_overlap_sql, self.sc.target_tables,
+                    f"{self.sc.view_ns}pred",
+                )
             )
             # the join overlap honors the same timeout contract as the
             # per-table overlaps (keyed "__join__" in a dict) — the

@@ -593,8 +593,15 @@ def q_mapping_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.metrics import pass_rate, prf1_columns
 
-    rows = []
-    for (config, seed), (th, natpred) in _PR_VARIANTS.items():
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_cell(cell):
+        # concurrent cells: each gets its own temp-view namespace
+        # (scenario.view_ns) so the 4 engine runs submit their overlap
+        # jobs in parallel from pinned threads — the run matrix is
+        # embarrassingly parallel and must not serialize on per-job
+        # driver latency
+        (config, seed), (th, natpred) = cell
         scenario = MappingScenario(
             source_tables={
                 "customer": load_table(spark, sf_dir, "customer"),
@@ -609,14 +616,18 @@ def q_mapping_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "t_seg": ["c_name", "c_mktsegment"],
                 "t_nat": ["n_name"],
             },
+            view_ns=f"pr_{config}_{seed}_",
         )
         engine = MappingEngine(spark, scenario)
         result = engine.evaluate(
             _PR_RESPONSE.format(th=th, natpred=natpred), reference_skips=True
         )
-        rows += [
+        return [
             (config, seed, c.table, c.tp, float(c.fp), c.fn) for c in result.counts
         ]
+
+    with ThreadPoolExecutor(max_workers=len(_PR_VARIANTS)) as pool:
+        rows = [r for cell_rows in pool.map(run_cell, _PR_VARIANTS.items()) for r in cell_rows]
     prf = prf1_columns(
         spark.createDataFrame(
             rows,

@@ -209,12 +209,80 @@ def matching_f1(spark: SparkSession, cat: DataFrame) -> DataFrame:
     return prf1_columns(confusion_counts(pred, gold))
 
 
+def _ranked_prefs(cat: DataFrame) -> DataFrame:
+    from scalable_data_integration_with_llms_spark.llm.boundary import mock_score_candidates
+    from scalable_data_integration_with_llms_spark.operators.candidates import (
+        generate_candidates,
+        rank_preferences,
+    )
+
+    cands = generate_candidates(cat.select("case_id", "side", "col_name", "col_type"))
+    return rank_preferences(mock_score_candidates(cands))
+
+
+def _replicated_gold(spark: SparkSession, cat: DataFrame) -> DataFrame:
+    from scalable_data_integration_with_llms_spark.queries.ehr_q import dataset_gold_df
+
+    reps = cat.select("rep").distinct()
+    return (
+        dataset_gold_df(spark, "ehr")
+        .crossJoin(F.broadcast(reps))
+        .withColumn("case_id", F.concat_ws("#", "case_id", "rep"))
+    )
+
+
+def bidir_f1(spark: SparkSession, cat: DataFrame) -> DataFrame:
+    """q_ehr_bidirectional_f1's plan across the case dimension: candidate
+    scoring → J3 avg merge → top-1 per target attr → per-case PRF1 vs the
+    replicated gold (round-8 scale-curve row VERDICT r7 asked for)."""
+    from scalable_data_integration_with_llms_spark.operators.candidates import (
+        bidirectional_merge,
+        top_k_per_query,
+    )
+    from scalable_data_integration_with_llms_spark.operators.metrics import (
+        confusion_counts,
+        prf1_columns,
+    )
+
+    merged = bidirectional_merge(_ranked_prefs(cat), agg="avg")
+    pred = top_k_per_query(merged, 1).select("case_id", "src", "tgt")
+    return prf1_columns(confusion_counts(pred, _replicated_gold(spark, cat)))
+
+
+def topk_sweep(spark: SparkSession, cat: DataFrame) -> DataFrame:
+    """q_ehr_topk_sweep's plan across the case dimension: one scored merge,
+    the 5-row k dimension broadcast in, per-(k, case) PRF1 — the k sweep
+    must stay a broadcast multiplier, not 5 re-scores, at every case
+    count."""
+    from scalable_data_integration_with_llms_spark.operators.candidates import (
+        bidirectional_merge,
+        top_k_per_query,
+    )
+    from scalable_data_integration_with_llms_spark.operators.metrics import (
+        confusion_counts,
+        prf1_columns,
+    )
+
+    merged = bidirectional_merge(_ranked_prefs(cat), agg="avg")
+    topk = top_k_per_query(merged, 5)
+    ks = spark.createDataFrame([(k,) for k in range(1, 6)], "k int")
+    pred = (
+        topk.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("k", "case_id", "src", "tgt")
+    )
+    gold = _replicated_gold(spark, cat).crossJoin(F.broadcast(ks))
+    return prf1_columns(confusion_counts(pred, gold, group_cols=["k"]))
+
+
 STAGES = {
     "mm_render": mm_render,
     "icl_pack": icl_pack,
     "cost_report": cost_report,
     "match_pipeline": match_pipeline,
     "matching_f1": matching_f1,
+    "bidir_f1": bidir_f1,
+    "topk_sweep": topk_sweep,
 }
 
 

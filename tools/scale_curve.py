@@ -55,6 +55,12 @@ HEAVY = [
     # namespace mapping scenario — orders+customer scale 10x in the sf1
     # derivative, so this measures the one-shuffle overlap, not fixtures
     "q_mapping_overlap",
+    # round 8: the full multi-rule mapping benchmark (XML rules ->
+    # subsumption -> admission -> map_pk -> execution -> overlap with the
+    # m4 timeout sentinel).  The sentinel contributes a FIXED ~3s per
+    # level (it is a timeout, not work), so the informative part of the
+    # ratio is the m1-m3 overlap scaling on 10x orders/lineitem/customer.
+    "q_mapping_e2e",
 ]
 
 
