@@ -151,6 +151,11 @@ HEADLINE += [
     "q_ehr_bidirectional_f1",
     "q_ehr_topk_sweep",
     "q_ehr_effort_report",
+    # round-8 additions: the parallel mapping run matrix and the two new
+    # component-closing oracle queries (sink roundtrip, dataset loaders)
+    "q_mapping_pass_rate",
+    "q_sink_roundtrip",
+    "q_dataset_loaders",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

@@ -30,11 +30,14 @@ from . import pipeline_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
 from . import prompt_q  # noqa: F401, E402
 from . import ehr_q  # noqa: F401, E402
+from . import sinks_q  # noqa: F401, E402
 
 # Verification-window priority (round 8): drift rotation + this round's
 # code changes.  After the r7 driver run the oldest standing driver-green
 # row is r3 with exactly 42 queries there, so the 50-window is:
-# (a) the 5 queries round 8 ADDED or whose code changed — q_mapping_pass_rate
+# (a) the 7 queries round 8 ADDED or whose code changed — q_mapping_pass_rate,
+#     q_sink_roundtrip and q_dataset_loaders (new oracle rows for the K1-K3
+#     sinks and S3 loaders)
 #     (new A12-on-mapping aggregation), the three mapping queries riding the
 #     engine's persist-heuristic word-boundary fix and the timeout-sentinel
 #     raw-count fix (ADVICE r7), and q_ensemble_disjoint (n != n_runs
@@ -43,8 +46,10 @@ from . import ehr_q  # noqa: F401, E402
 #     driver verification becomes r4;
 # (c) 3 oldest r4-latest queries to fill the window.
 _VERIFY_FIRST = [
-    # (a) new round-8 query + code-changed queries
+    # (a) new round-8 queries + code-changed queries
     "q_mapping_pass_rate",
+    "q_sink_roundtrip",
+    "q_dataset_loaders",
     "q_mapping_e2e",
     "q_mapping_overlap",
     "q_mapping_map_pk",
@@ -92,10 +97,8 @@ _VERIFY_FIRST = [
     "q_topk_sweep",
     "q_unpivot_status_metrics",
     "q_vocab",
-    # (c) oldest r4-latest
+    # (c) oldest r4-latest (one fill: 42 stale + 7 changed/new = 49)
     "q_ann_filtered",
-    "q_bibtex_import",
-    "q_bloom_join_pushdown",
 ]
 
 

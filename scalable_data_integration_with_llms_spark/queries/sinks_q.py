@@ -1,0 +1,238 @@
+"""Oracle-bearing queries for the sink (K1–K3) and instance-loader (S3)
+components — previously pytest-only (VERDICT r5–r7 "no natural oracle
+query").  The natural oracle is a ROUNDTRIP: push a deterministic frame
+through the sink's write path, read it back through the matching read path,
+and let the driver's value-hash compare the re-read rows against DuckDB —
+any encode/decode infidelity breaks the hash.
+
+Temp outputs go under ``tempfile.mkdtemp`` and are left for the OS: the
+returned DataFrames are LAZY over the written files, so deleting them
+before the driver collects would break the contract.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import load_table
+from .registry import query
+
+# -- K1/K2/K3: sink roundtrip -------------------------------------------------
+
+_SINK_AGG_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+_SINK_ORACLE = f"""
+WITH agg AS ({_SINK_AGG_SQL})
+SELECT o_orderstatus, n_orders, sum_cents, n_orders AS xlsx_n_orders
+FROM agg
+"""
+
+
+def _xlsx_rows(path: str) -> list[tuple[str, int]]:
+    """Read back the stdlib-written .xlsx (K2): unzip, parse sheet1's OOXML
+    rows — (o_orderstatus, n_orders) per data row."""
+    import re
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    out = []
+    for row_xml in re.findall(r"<row [^>]*>(.*?)</row>", sheet)[1:]:  # skip header
+        cells = re.findall(r"<c [^>]*?(?: t=\"(\w+)\")?><(?:is><t>(.*?)</t></is|v>(.*?)</v)>", row_xml)
+        vals = [c[1] or c[2] for c in cells]
+        out.append((vals[0], int(float(vals[1]))))
+    return out
+
+
+@query("q_sink_roundtrip", _SINK_ORACLE)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2+K3 value-level roundtrip (``ask_LLM.py:275-284`` JSON results,
+    ``eval_dataset.py:443`` Excel report, ``ExperimentCollection.py:16-28``
+    pickle cache): a per-status exact-cents aggregate goes through the
+    parquet cache (K3 build-then-reread), the distributed JSON sink (K1,
+    read back with an explicit schema), and the stdlib xlsx report sink
+    (K2, unzipped and OOXML-parsed back); the returned frame joins the
+    JSON-read rows with the xlsx-read counts, so every sink's encode and
+    decode sits on the oracle's value-hash path."""
+    from ..sources.sinks import cached_parquet, report_xlsx, write_json
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_cents"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sdi_sink_")
+    # K3: build -> write parquet -> read back (the cache-miss path)
+    cached = cached_parquet(spark, os.path.join(tmp, "cache"), lambda: agg)
+    # K1: distributed JSON out, explicit-schema read back
+    json_path = os.path.join(tmp, "json")
+    write_json(cached, json_path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+    jdf = spark.read.schema(schema).json(json_path)
+    # K2: xlsx report out, stdlib parse back (driver-side, report-sized)
+    xlsx_path = os.path.join(tmp, "report.xlsx")
+    report_xlsx(cached.orderBy("o_orderstatus"), xlsx_path)
+    xdf = spark.createDataFrame(
+        _xlsx_rows(xlsx_path), "o_orderstatus string, xlsx_n_orders bigint"
+    )
+    return jdf.join(xdf, "o_orderstatus").select(
+        "o_orderstatus", "n_orders", "sum_cents", "xlsx_n_orders"
+    )
+
+
+# -- S3: the five per-dataset instance loaders on drift fixtures --------------
+
+_LOADER_FIXTURES = {
+    "valentine/Wikidata/Musicians/musicians_joinable/musicians_joinable_source.csv": "name,age\nbob,3\n",
+    "valentine/Wikidata/Musicians/musicians_joinable/musicians_joinable_target.csv": "title,year\nx,1999\n",
+    "ehr/mimic-iii/data/ADMISSIONS.csv": "row_id,hadm_id,ward\n1,77,icu\n",
+    "ehr/omop/data/visit_occurrence.csv": "visit_id,admitting_source_value,admitting_source_concept_id\n5,home,9\n",
+    "bird/books/bdb/data/book.csv": "id,title\n1,dune\n",
+    "bird/books/bdb2/data/titles.csv": "tid\n9\n",
+    "synthea/synthea/data/patients.csv": "Id,BIRTHDATE\np1,2001\n",
+    "synthea/omop/data/visit_detail.csv": "visit_detail_id,admitting_source_value\n3,er\n",
+    "gdc/gdc_a/cases.csv": "case_id,site\nc1,lung\n",
+    "gdc/gdc_b/cases.csv": "case_id\nc9\n",
+}
+
+_LOADER_BASE: list[str] = []  # memo: fixtures written once per process
+
+
+def _loader_base() -> str:
+    if not _LOADER_BASE:
+        base = tempfile.mkdtemp(prefix="sdi_loaders_")
+        for rel, text in _LOADER_FIXTURES.items():
+            path = os.path.join(base, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                f.write(text)
+        _LOADER_BASE.append(base)
+    return _LOADER_BASE[0]
+
+
+def _melt(df: DataFrame, dataset: str, side: str) -> DataFrame:
+    pairs = ", ".join(f"'{c}', `{c}`" for c in df.columns)
+    return df.selectExpr(
+        f"'{dataset}' AS dataset",
+        f"'{side}' AS side",
+        f"stack({len(df.columns)}, {pairs}) AS (col_name, col_value)",
+    )
+
+
+_LOADERS_ORACLE = """
+SELECT * FROM (VALUES
+  ('valentine', 'source', 'age', '3'),
+  ('valentine', 'source', 'name', 'bob'),
+  ('valentine', 'target', 'title', 'x'),
+  ('valentine', 'target', 'year', '1999'),
+  ('ehr', 'source', 'hadm_id', '77'),
+  ('ehr', 'source', 'ward', 'icu'),
+  ('ehr', 'source', 'insurance', NULL),
+  ('ehr', 'target', 'visit_id', '5'),
+  ('ehr', 'target', 'admitted_from_source_value', 'home'),
+  ('ehr', 'target', 'admitted_from_concept_id', '9'),
+  ('bird', 'source', 'id', '1'),
+  ('bird', 'source', 'title', 'dune'),
+  ('bird', 'source', 'isbn', NULL),
+  ('bird', 'target', 'tid', '9'),
+  ('synthea', 'source', 'id', 'p1'),
+  ('synthea', 'source', 'birthdate', '2001'),
+  ('synthea', 'target', 'visit_detail_id', '3'),
+  ('synthea', 'target', 'admitted_from_source_value', 'er'),
+  ('gdc', 'source', 'case_id', 'c1'),
+  ('gdc', 'source', 'site', 'lung'),
+  ('gdc', 'target', 'case_id', 'c9'),
+  ('gdc', 'target', 'site', NULL)
+) AS t(dataset, side, col_name, col_value)
+"""
+
+
+@query("q_dataset_loaders", _LOADERS_ORACLE)
+def q_dataset_loaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 full parity as one oracle query
+    (``Stable Schema Matching/prompt/InstanceDataHandler.py``): all five
+    per-dataset loaders run over synthesized drift fixtures — valentine's
+    schema∩csv intersection, ehr's case-insensitive filenames + mimic-iii
+    ``row_id`` drop + OMOP visit drift renames + NULL back-fill, bird's
+    domain layout, synthea's lowercased headers, gdc's flat layout — and
+    the realigned cells are melted to one (dataset, side, col_name,
+    col_value) frame whose oracle is the hand-derived golden."""
+    from ..sources.dataset_loaders import (
+        load_bird_pair,
+        load_ehr_pair,
+        load_gdc_pair,
+        load_synthea_pair,
+        load_valentine_pair,
+    )
+
+    base = _loader_base()
+    v_src, v_tgt = load_valentine_pair(
+        spark,
+        os.path.join(base, "valentine"),
+        "Wikidata/Musicians/musicians_joinable",
+        ["age", "name", "genre"],
+        ["title", "year"],
+    )
+    e_src, e_tgt = load_ehr_pair(
+        spark,
+        os.path.join(base, "ehr"),
+        "mimic-iii:ADMISSIONS|omop:VISIT_OCCURRENCE",
+        ["hadm_id", "ward", "insurance"],
+        ["visit_id", "admitted_from_source_value", "admitted_from_concept_id"],
+    )
+    b_src, b_tgt = load_bird_pair(
+        spark,
+        os.path.join(base, "bird"),
+        "books|bdb:book|bdb2:titles",
+        ["id", "title", "isbn"],
+        ["tid"],
+    )
+    s_src, s_tgt = load_synthea_pair(
+        spark,
+        os.path.join(base, "synthea"),
+        "synthea:patients|omop:VISIT_DETAIL",
+        ["id", "birthdate"],
+        ["visit_detail_id", "admitted_from_source_value"],
+    )
+    g_src, g_tgt = load_gdc_pair(
+        spark,
+        os.path.join(base, "gdc"),
+        "gdc_a:cases|gdc_b:cases",
+        ["case_id", "site"],
+        ["case_id", "site"],
+    )
+    parts = [
+        _melt(v_src, "valentine", "source"),
+        _melt(v_tgt, "valentine", "target"),
+        _melt(e_src, "ehr", "source"),
+        _melt(e_tgt, "ehr", "target"),
+        _melt(b_src, "bird", "source"),
+        _melt(b_tgt, "bird", "target"),
+        _melt(s_src, "synthea", "source"),
+        _melt(s_tgt, "synthea", "target"),
+        _melt(g_src, "gdc", "source"),
+        _melt(g_tgt, "gdc", "target"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
