@@ -54,6 +54,7 @@ def run_with_timeout(
         if done.wait(timeout_s):
             return
         timed_out.set()
+        sc.cancelJobGroup(group)  # first cancel AT the deadline, not 250ms after
         while not done.wait(0.25):
             sc.cancelJobGroup(group)
 

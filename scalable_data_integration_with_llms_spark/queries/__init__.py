@@ -35,16 +35,16 @@ from . import sinks_q  # noqa: F401, E402
 # Verification-window priority (round 8): drift rotation + this round's
 # code changes.  After the r7 driver run the oldest standing driver-green
 # row is r3 with exactly 42 queries there, so the 50-window is:
-# (a) the 7 queries round 8 ADDED or whose code changed — q_mapping_pass_rate,
-#     q_sink_roundtrip and q_dataset_loaders (new oracle rows for the K1-K3
-#     sinks and S3 loaders)
-#     (new A12-on-mapping aggregation), the three mapping queries riding the
+# (a) the 7 queries round 8 ADDED or whose code changed —
+#     q_mapping_pass_rate (new A12-on-mapping aggregation),
+#     q_sink_roundtrip and q_dataset_loaders (new oracle rows for the
+#     K1-K3 sinks and S3 loaders), the three mapping queries riding the
 #     engine's persist-heuristic word-boundary fix and the timeout-sentinel
 #     raw-count fix (ADVICE r7), and q_ensemble_disjoint (n != n_runs
 #     identity fix, ADVICE r7);
 # (b) all 42 r3-latest queries — after this round the oldest standing
-#     driver verification becomes r4;
-# (c) 3 oldest r4-latest queries to fill the window.
+#     driver verification becomes r4 (49 rows will remain r4-latest);
+# (c) 1 oldest r4-latest query to fill the window to 50.
 _VERIFY_FIRST = [
     # (a) new round-8 queries + code-changed queries
     "q_mapping_pass_rate",

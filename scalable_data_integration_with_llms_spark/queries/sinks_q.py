@@ -38,19 +38,28 @@ FROM agg
 """
 
 
-def _xlsx_rows(path: str) -> list[tuple[str, int]]:
-    """Read back the stdlib-written .xlsx (K2): unzip, parse sheet1's OOXML
-    rows — (o_orderstatus, n_orders) per data row."""
-    import re
+def _xlsx_rows(path: str) -> list[tuple[str | None, int]]:
+    """Read back the stdlib-written .xlsx (K2): unzip, XML-parse sheet1 —
+    (o_orderstatus, n_orders) per data row.  Real XML parsing (not a
+    regex): self-closing empty cells keep their position via the cell
+    ref's column letters, and entity escapes un-escape for free."""
+    import xml.etree.ElementTree as ET
     import zipfile
 
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
     with zipfile.ZipFile(path) as z:
-        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
     out = []
-    for row_xml in re.findall(r"<row [^>]*>(.*?)</row>", sheet)[1:]:  # skip header
-        cells = re.findall(r"<c [^>]*?(?: t=\"(\w+)\")?><(?:is><t>(.*?)</t></is|v>(.*?)</v)>", row_xml)
-        vals = [c[1] or c[2] for c in cells]
-        out.append((vals[0], int(float(vals[1]))))
+    for row in list(root.find(f"{ns}sheetData"))[1:]:  # skip header row
+        by_col: dict[str, str | None] = {}
+        for c in row:
+            col = "".join(ch for ch in c.get("r", "") if ch.isalpha())
+            t = c.find(f"{ns}is/{ns}t")
+            v = c.find(f"{ns}v")
+            by_col[col] = t.text if t is not None else (v.text if v is not None else None)
+        status, n = by_col.get("A"), by_col.get("B")
+        assert n is not None, f"xlsx row missing n_orders cell: {by_col}"
+        out.append((status, int(float(n))))
     return out
 
 

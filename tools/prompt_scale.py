@@ -158,19 +158,12 @@ def match_pipeline(spark: SparkSession, cat: DataFrame) -> DataFrame:
     mock scoring (mapInPandas) → ranking → per-case Gale–Shapley
     (applyInPandas) → round-1 extraction.  THE at-scale shape of the
     engine (millions of independent cases on a corpus feed)."""
-    from scalable_data_integration_with_llms_spark.llm.boundary import mock_score_candidates
-    from scalable_data_integration_with_llms_spark.operators.candidates import (
-        generate_candidates,
-        rank_preferences,
-    )
     from scalable_data_integration_with_llms_spark.operators.stable_matching import (
         round_r,
         stable_match,
     )
 
-    cands = generate_candidates(cat.select("case_id", "side", "col_name", "col_type"))
-    prefs = rank_preferences(mock_score_candidates(cands))
-    matched = round_r(stable_match(prefs, top_k=5), 1)
+    matched = round_r(stable_match(_ranked_prefs(cat), top_k=5), 1)
     return matched.select(
         "case_id", F.concat("src", F.lit(">"), "tgt").alias("prompt")
     )
@@ -182,11 +175,6 @@ def matching_f1(spark: SparkSession, cat: DataFrame) -> DataFrame:
     and per-case PRF1 — gold pairs replicated with the same disjoint case
     ids, so the metric tail scales with the cases exactly like the
     pipeline head does."""
-    from scalable_data_integration_with_llms_spark.llm.boundary import mock_score_candidates
-    from scalable_data_integration_with_llms_spark.operators.candidates import (
-        generate_candidates,
-        rank_preferences,
-    )
     from scalable_data_integration_with_llms_spark.operators.metrics import (
         confusion_counts,
         prf1_columns,
@@ -195,18 +183,9 @@ def matching_f1(spark: SparkSession, cat: DataFrame) -> DataFrame:
         round_r,
         stable_match,
     )
-    from scalable_data_integration_with_llms_spark.queries.ehr_q import dataset_gold_df
 
-    cands = generate_candidates(cat.select("case_id", "side", "col_name", "col_type"))
-    prefs = rank_preferences(mock_score_candidates(cands))
-    pred = round_r(stable_match(prefs, top_k=5), 1)
-    reps = cat.select("rep").distinct()
-    gold = (
-        dataset_gold_df(spark, "ehr")
-        .crossJoin(F.broadcast(reps))
-        .withColumn("case_id", F.concat_ws("#", "case_id", "rep"))
-    )
-    return prf1_columns(confusion_counts(pred, gold))
+    pred = round_r(stable_match(_ranked_prefs(cat), top_k=5), 1)
+    return prf1_columns(confusion_counts(pred, _replicated_gold(spark, cat)))
 
 
 def _ranked_prefs(cat: DataFrame) -> DataFrame:
