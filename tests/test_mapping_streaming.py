@@ -304,3 +304,34 @@ def test_table_overlap_null_safe(spark):
     )
     c = table_overlap(g, p, ["a", "b"], "t")
     assert (c.tp, c.fp, c.fn) == (2, 1.0, 1)
+
+
+def test_concurrent_engines_view_ns_isolation(spark):
+    """view_ns contract under the WORST case: two engines running
+    CONCURRENTLY with the same source/target table names bound to
+    DIFFERENT data — each run's overlap must see only its own views."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scalable_data_integration_with_llms_spark.plans.mapping_engine import MappingEngine, MappingScenario
+
+    def run(tag: str, n_rows: int, pred_rows: int):
+        src = spark.range(n_rows).selectExpr("CAST(id AS STRING) AS v")
+        scenario = MappingScenario(
+            source_tables={"t_src": src},
+            target_tables={"t_out": "v string"},
+            gold_sql="INSERT INTO t_out SELECT v FROM t_src;",
+            meaningful_cols={"t_out": ["v"]},
+            view_ns=f"iso_{tag}_",
+        )
+        engine = MappingEngine(spark, scenario)
+        result = engine.evaluate(
+            f"```sql\nINSERT INTO t_out SELECT v FROM t_src WHERE CAST(v AS INT) < {pred_rows};\n```"
+        )
+        (c,) = result.counts
+        return (c.tp, c.fp, c.fn)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(run, "a", 100, 70)   # tp=70, fn=30
+        fb = pool.submit(run, "b", 40, 40)    # tp=40, perfect
+        assert fa.result() == (70, 0.0, 30)
+        assert fb.result() == (40, 0.0, 0)
