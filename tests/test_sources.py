@@ -248,3 +248,22 @@ def test_bibtex_first_seen_dim(spark):
     ids = {r.name: r.name_id for r in author_dim_first_seen(occ).collect()}
     # title-casing folds "john doe" into "John Doe"; first-seen order ids
     assert ids == {"John Doe": 0, "Alice Smith": 1, "Bob Crow": 2}
+
+
+def test_xlsx_roundtrip_hostile_values(spark, tmp_path):
+    """The K2 xlsx sink and the q_sink_roundtrip parse-back survive the
+    hostile cases the round-8 review flagged: NULL cells (self-closing
+    <c/>) keep their column position via cell refs, and XML entities
+    un-escape on the way back."""
+    from scalable_data_integration_with_llms_spark.queries.sinks_q import _xlsx_rows
+    from scalable_data_integration_with_llms_spark.sources.sinks import report_xlsx
+
+    rows = [
+        (None, 1),                 # NULL first column -> self-closing cell A
+        ("a&b<c>\"d\"", 2),        # every escapable character
+        ("plain", 3),
+    ]
+    df = spark.createDataFrame(rows, "o_orderstatus string, n_orders bigint")
+    path = str(tmp_path / "hostile.xlsx")
+    report_xlsx(df.orderBy(df.n_orders), path)
+    assert _xlsx_rows(path) == rows
