@@ -62,3 +62,47 @@ def test_fk_audit_counts_orphans(spark):
     row = audit_foreign_keys(child, parent, "fk", "pk", "t.fk->p").first()
     # two rows with fk=9 are orphans (one distinct key); NULL FK is not an orphan
     assert (row.fk_name, row.orphan_rows, row.orphan_keys) == ("t.fk->p", 2, 1)
+
+
+def test_pass_rate_matches_pandas_reference():
+    """A12 differential: operators/metrics.pass_rate equals a literal
+    pandas transcription of the reference's two-level aggregation
+    (AnaylsisUtils.py:121-146 — per-(args, seed) tests_passed, then
+    mean/max over seeds) on a crafted matrix with unequal test counts per
+    seed, where mean-of-means and pooled-mean DIFFER (pass_rate's contract
+    is the pooled sum(n_passed)/sum(n_tests))."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from scalable_data_integration_with_llms_spark.operators.metrics import pass_rate
+    from scalable_data_integration_with_llms_spark.session import get_spark
+
+    spark = get_spark("pass-rate-diff")
+    rows = [
+        # config A, seed 1: 2 tests, both perfect
+        ("A", 1, 1.0), ("A", 1, 1.0),
+        # config A, seed 2: 4 tests, one perfect
+        ("A", 2, 1.0), ("A", 2, 0.5), ("A", 2, 0.0), ("A", 2, 0.25),
+        # config B, seed 1: 3 tests, none perfect
+        ("B", 1, 0.9), ("B", 1, 0.0), ("B", 1, 0.99),
+    ]
+    df = spark.createDataFrame(rows, "config string, seed int, metric double")
+    got = {
+        r["config"]: (r["mean_pass_rate"], r["max_pass_rate"])
+        for r in pass_rate(df, F.col("metric"), ["config"], "seed").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["config", "seed", "metric"])
+    per_seed = pdf.groupby(["config", "seed"])["metric"].agg(
+        n_passed=lambda c: (c >= 1).sum(), n_tests="count"
+    ).reset_index()
+    per_seed["rate"] = per_seed.n_passed / per_seed.n_tests
+    want = {
+        cfg: (g.n_passed.sum() / g.n_tests.sum(), g.rate.max())
+        for cfg, g in per_seed.groupby("config")
+    }
+    assert got == want
+    # the crafted matrix makes pooled != mean-of-means, so the test would
+    # catch an implementation switching to the wrong aggregation
+    a = per_seed[per_seed.config == "A"]
+    assert a.n_passed.sum() / a.n_tests.sum() != a.rate.mean()
