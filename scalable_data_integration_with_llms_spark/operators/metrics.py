@@ -201,10 +201,13 @@ def mean_ci95_t(
 
 
 def pass_rate(df: DataFrame, metric: Column, args_cols: list[str], seed_col: str) -> DataFrame:
-    """A12: tests_passed = fraction of tests with metric ≥ 1, averaged per
-    (args, seed) then aggregated per args as mean-of-means and max
-    (``AnaylsisUtils.py:121-208``).  All ratios are exact int/int divisions.
-    """
+    """A12: tests_passed = fraction of tests with metric ≥ 1 per
+    (args, seed), then per args the POOLED rate (sum passed / sum tests)
+    and the max over seeds (``AnaylsisUtils.py:121-208``).  When every
+    seed runs the same test set — the reference's case — pooled equals
+    its mean-of-means; with unequal counts pooled weights each test once
+    (pinned by test_pass_rate_matches_pandas_reference).  All ratios are
+    exact int/int divisions."""
     passed = F.sum(F.when(metric >= 1.0, 1).otherwise(0))
     per_seed = df.groupBy(*args_cols, seed_col).agg(
         (passed / F.count(F.lit(1))).alias("pass_rate"),
