@@ -47,16 +47,14 @@ class MappingScenario:
 
 def join_referenced_tables(join_sql: str, tables: dict[str, str] | list[str]) -> list[str]:
     """Target tables the join-overlap SQL actually references, in dict
-    order.  Word-boundary match so a target whose name is a substring of
-    another identifier is not selected spuriously, and case-insensitive
-    because Spark SQL identifiers are (ADVICE r7 on the old plain
-    ``t in sql`` substring test)."""
-    import re
+    order — decided by ``sql_rewrite.referenced_tables``, the same
+    literal-aware word-boundary matcher ``_sub_namespace`` substitutes
+    with, so the persist selection and the namespace rewrite can never
+    diverge (ADVICE r8; previously an independent ``\\b``-regex that also
+    scanned string literals)."""
+    from ..plans.sql_rewrite import referenced_tables
 
-    return [
-        t for t in tables
-        if re.search(rf"\b{re.escape(t)}\b", join_sql, re.IGNORECASE)
-    ]
+    return referenced_tables(join_sql, list(tables))
 
 
 @dataclass

@@ -134,23 +134,50 @@ def admit(statements: list[Statement], target_tables: set[str]) -> list[Statemen
     return statements
 
 
+_LITERAL_SPLIT = re.compile(r"('(?:[^']|'')*')")  # keep quoted literals intact
+
+
+def _table_ref_pattern(names) -> re.Pattern:
+    """The ONE matcher for bare table references: word-boundary, longest
+    name first, case-insensitive; ``(?<![\\w.])`` protects already-qualified
+    ``ns.t``, ``(?![\\w(]`` keeps function calls and longer identifiers out
+    while letting ``t.col`` qualifiers follow a rename."""
+    return re.compile(
+        r"(?<![\w.])(" + "|".join(re.escape(t) for t in sorted(names, key=len, reverse=True)) + r")(?![\w(])",
+        re.IGNORECASE,
+    )
+
+
 def _replace_table_refs(sql: str, mapping: dict[str, str]) -> str:
     """Word-boundary replacement of bare table names outside string
     literals.  Names already namespace-qualified (``ns.t``) are protected by
     the lookbehind; a trailing ``.`` is allowed so table-qualified column
     references (``t.col``) follow the table rename and don't dangle."""
-    parts = re.split(r"('(?:[^']|'')*')", sql)  # keep quoted literals intact
-    pattern = re.compile(
-        r"(?<![\w.])(" + "|".join(re.escape(t) for t in sorted(mapping, key=len, reverse=True)) + r")(?![\w(])",
-        re.IGNORECASE,
-    )
+    pattern = _table_ref_pattern(mapping)
     out = []
-    for i, part in enumerate(parts):
+    for i, part in enumerate(_LITERAL_SPLIT.split(sql)):
         if i % 2 == 1:
             out.append(part)
         else:
             out.append(pattern.sub(lambda m: mapping[m.group(1).lower()], part))
     return "".join(out)
+
+
+def referenced_tables(sql: str, names) -> list[str]:
+    """Which of ``names`` the SQL actually references, decided by the EXACT
+    matcher ``_replace_table_refs`` substitutes with (same literal split,
+    same word-boundary pattern), so a caller choosing what to persist can
+    never disagree with what the namespace rewrite will touch (ADVICE r8 on
+    the old independent regex in ``mapping_engine.join_referenced_tables``).
+    Returns names in their input order."""
+    if not names:
+        return []
+    pattern = _table_ref_pattern(names)
+    found = set()
+    for i, part in enumerate(_LITERAL_SPLIT.split(sql)):
+        if i % 2 == 0:
+            found.update(m.group(1).lower() for m in pattern.finditer(part))
+    return [t for t in names if t.lower() in found]
 
 
 def _replace_table_refs_ast(sql: str, mapping: dict[str, str]) -> str:

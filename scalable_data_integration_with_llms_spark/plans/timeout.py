@@ -63,6 +63,18 @@ def run_with_timeout(
     canceller.start()
     try:
         value = action()
+        # A statement that completes AFTER the deadline — in the ≤250 ms gap
+        # before a re-issued cancel lands, or via driver-only work no cancel
+        # can reach — is still a deadline violation.  The reference's
+        # DB-level timeout is a hard wall (DatabaseManager.py:202-238: the
+        # interrupt timer fires at 30 s regardless of how close the
+        # statement is to finishing), so classify late-but-complete as
+        # TIMEOUT rather than OK; this also makes the status deterministic
+        # instead of a function of the cancel-landing race.
+        if timed_out.is_set():
+            return ExecResult(
+                TIMEOUT, error=f"completed after {timeout_s}s deadline"
+            )
         return ExecResult(OK, value=value)
     except Exception as e:  # cancelled jobs surface as exceptions
         if timed_out.is_set():

@@ -20,12 +20,19 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Return (or create) the engine's SparkSession.
 
-    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (bench contract).
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (bench contract) and,
+    for adversarial correctness sweeps, ``SDI_SESSION_TZ`` (session
+    timezone; default UTC — results must NOT depend on it: every
+    date-bucket / sessionization query does its epoch math explicitly) and
+    ``SDI_ANSI`` (``spark.sql.ansi.enabled`` override; Spark 4 defaults
+    this to true, the sweep re-proves the registry with it toggled off).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     n_shuffle = shuffle_partitions or int(
         os.environ.get("SDI_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    session_tz = os.environ.get("SDI_SESSION_TZ", "UTC")
+    ansi = os.environ.get("SDI_ANSI")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -37,8 +44,10 @@ def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", session_tz)
         .config("spark.driver.memory", os.environ.get("SDI_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if ansi is not None:
+        builder = builder.config("spark.sql.ansi.enabled", ansi)
     return builder.getOrCreate()

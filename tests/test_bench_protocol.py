@@ -57,3 +57,21 @@ def test_committed_battery_carries_run_metadata():
     # the per-query medians' source run must contain the committed numbers
     sel = runs["selected_index"]
     assert all(doc["queries"][k] == qr[k][sel] for k in qr)
+
+
+def test_rotate_window_parses_two_digit_rounds(tmp_path):
+    """ADVICE r8: CORRECTNESS_r10.json and beyond must be counted (the old
+    glob/split stopped at single-digit rounds), while FULL/SF01/ADVERSARIAL
+    variants stay excluded."""
+    from rotate_window import newest_green_rounds
+
+    green = {"q_x": {"rows_match": True, "schema_match": True, "hash_match": True}}
+    red = {"q_x": {"rows_match": False, "schema_match": True, "hash_match": False}}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(green))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(green))
+    (tmp_path / "CORRECTNESS_r12.json").write_text(json.dumps(red))
+    # variant artifacts must not count as driver rounds
+    (tmp_path / "CORRECTNESS_FULL_r13.json").write_text(json.dumps(green))
+    (tmp_path / "CORRECTNESS_ADVERSARIAL_r14.json").write_text(json.dumps(green))
+    latest = newest_green_rounds(root=str(tmp_path))
+    assert latest == {"q_x": 10}

@@ -162,6 +162,20 @@ def test_timeout_classification(spark):
     assert err.status == ERROR
 
 
+def test_timeout_late_complete_is_timeout(spark):
+    """ADVICE r8: work that finishes AFTER the deadline but that no job
+    cancel can reach (driver-only, or inside the 250 ms re-issue gap) is
+    still a deadline violation — the reference's interrupt timer is a hard
+    wall (DatabaseManager.py:202-238), so status must be TIMEOUT, not OK."""
+    import time
+
+    from scalable_data_integration_with_llms_spark.plans.timeout import TIMEOUT, run_with_timeout
+
+    res = run_with_timeout(spark, lambda: time.sleep(0.6) or 42, 0.2)
+    assert res.status == TIMEOUT
+    assert res.value is None
+
+
 def test_timeout_sentinel(spark):
     """Timed-out predicted query scores FN=|gold|, FP=∞ (Evaluator.py:141-151)."""
     from pyspark.sql import functions as F

@@ -92,6 +92,24 @@ def test_join_referenced_tables_word_boundary():
     ]
 
 
+def test_join_referenced_tables_matches_rewrite_semantics():
+    """ADVICE r8: the persist heuristic must use the SAME matcher as
+    _replace_table_refs — a name inside a string literal or already
+    namespace-qualified is not a reference the rewrite would touch, so it
+    must not drive a persist either."""
+    from scalable_data_integration_with_llms_spark.plans.mapping_engine import join_referenced_tables
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import _replace_table_refs
+
+    tables = ["t_a", "t_b", "t_c"]
+    sql = "SELECT 't_a ignored' AS lbl, x FROM t_b JOIN other.t_c USING (k)"
+    got = join_referenced_tables(sql, tables)
+    assert got == ["t_b"]
+    # agreement property: a table is selected iff the rewrite changes the SQL
+    for t in tables:
+        rewritten = _replace_table_refs(sql, {t: f"ns_{t}"})
+        assert (t in got) == (rewritten != sql), (t, rewritten)
+
+
 def test_timeout_sentinel_fn_counts_duplicates(spark):
     """ADVICE r7: the U8 sentinel FN is the RAW gold row count
     (Evaluator.py:146-147 len(results.rows)), duplicates included."""

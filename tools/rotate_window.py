@@ -20,6 +20,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 from collections import Counter
 
@@ -27,11 +28,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def newest_green_rounds() -> dict[str, int]:
+def newest_green_rounds(root: str = ROOT) -> dict[str, int]:
     """query -> newest driver round with a green row (0 = never)."""
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(f))
+        if not m:  # skip FULL/SF01/ADVERSARIAL variants — driver rounds only
+            continue
+        rnd = int(m.group(1))
         for q, v in json.load(open(f)).items():
             ok = (
                 isinstance(v, dict)

@@ -61,6 +61,12 @@ HEAVY = [
     # level (it is a timeout, not work), so the informative part of the
     # ratio is the m1-m3 overlap scaling on 10x orders/lineitem/customer.
     "q_mapping_e2e",
+    # round 9: the 2-config x 2-seed run matrix (A12 on the mapping
+    # engine).  The 4 cells submit CONCURRENTLY from pinned threads with
+    # per-cell view namespaces; a linear-ok ratio here proves the matrix
+    # STAYS parallel at 10x data (a serialized matrix would show ~4x the
+    # per-cell scaling, well past the gate).
+    "q_mapping_pass_rate",
 ]
 
 
