@@ -1152,8 +1152,17 @@ FROM m
 
 @query("q_user_value_trend", _TREND_ORACLE)
 def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    x = (F.unix_seconds("ts") / 60).cast("bigint") - F.lit(28401120)
+    # ts is read NTZ and x is pure calendar math: the oracle's
+    # floor(epoch(naive))//60 - 28401120 equals complete-minutes-since-
+    # 2024-01-01 (the anchor is exactly 28401120 epoch minutes) for every
+    # event at/after the anchor, and NO session timezone can shift it.
+    # unix_seconds on the session-TZ-cast column diverged under non-UTC
+    # (r9 CORRECTNESS_TZ sweep) because the absolute epoch never renders
+    # back through the inverse cast.
+    from ..sources.readers import load_events_ntz
+
+    e = load_events_ntz(spark, sf_dir)
+    x = F.expr("timestampdiff(MINUTE, timestamp_ntz'2024-01-01 00:00:00', ts)")
     y = cents("value", 1000)
     m = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),

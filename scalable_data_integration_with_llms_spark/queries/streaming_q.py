@@ -236,9 +236,13 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
     enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    # wall-time (NTZ) windows — session-TZ-independent bucket alignment,
+    # same rationale as streaming/events.hourly_rollup (watermark stays on
+    # the LTZ ts; complete-mode drain allows windowing the wall column)
     rolled = (
         enriched.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .withColumn("ts_wall", F.col("ts").cast("timestamp_ntz"))
+        .groupBy(F.window("ts_wall", "1 hour").alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(F.round(F.col("value") * 10000, 0).cast("bigint")) / F.lit(10000.0)).alias("sum_value"),
@@ -247,8 +251,8 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("user_id").alias("user_set"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            F.col("w.end").cast("timestamp").alias("window_end"),
             "c_mktsegment",
             "n_events",
             "sum_value",
@@ -568,20 +572,30 @@ SELECT window_start, event_type, n_events, type_rank FROM (
 @query("q_stream_topk_types", _STREAM_TOPK_ORACLE)
 def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, sf_dir)
+    # 6-hour buckets on the WALL time, by calendar math (the oracle's
+    # floor(epoch(naive)/21600)).  F.window("6 hours") epoch-aligns the LTZ
+    # instants instead, which matches the wall bucketing only when the
+    # session-TZ offset is a multiple of 6 h — under UTC-8 every bucket
+    # boundary shifts by 2 h (r9 CORRECTNESS_TZ sweep).  A projected bucket
+    # column groups fine in complete mode; the final cast back to LTZ makes
+    # the rendered wall time session-TZ independent again.
+    wall_bucket = F.expr(
+        "cast(timestampadd(SECOND,"
+        " (timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00',"
+        "                cast(ts as timestamp_ntz)) div 21600) * 21600,"
+        " timestamp_ntz'1970-01-01 00:00:00') as timestamp)"
+    )
     counts = stream.groupBy(
-        F.window("ts", "6 hours").alias("w"), "event_type"
+        wall_bucket.alias("window_start"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
     drained = run_to_memory(spark, counts, "sdi_stream_topk")
-    win = W.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    win = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
     return (
         drained.withColumn("type_rank", F.row_number().over(win))
         .filter(F.col("type_rank") <= 3)
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "type_rank",
-        )
+        .select("window_start", "event_type", "n_events", "type_rank")
     )
 
 

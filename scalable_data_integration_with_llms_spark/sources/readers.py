@@ -60,6 +60,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as TIMESTAMP_NTZ — the parquet wall time with
+    NO session-timezone cast.
+
+    ``load_table``'s NTZ→LTZ cast round-trips for calendar-in/render-out
+    queries (the session-TZ shift applied on the way in is undone when the
+    result timestamp is rendered), so those stay session-TZ independent.
+    But a query that extracts an ABSOLUTE epoch mid-flight (``unix_*`` on
+    the cast column) bakes the shift into a number that never renders back
+    — under a non-UTC session TZ it silently diverges from the DuckDB
+    oracle's ``epoch(naive)`` (found by the r9 CORRECTNESS_TZ sweep on
+    q_user_value_trend).  Such queries must read the wall time NTZ and do
+    calendar math (``timestampdiff``), which no session TZ can shift."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # nanos layout: epoch nanos -> calendar add onto the NTZ epoch
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " timestamp_ntz'1970-01-01 00:00:00')"
+            ),
+        )
+    return df  # micros layout already reads as TIMESTAMP_NTZ
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
 

@@ -46,16 +46,6 @@ _TS_IS_NANOS: dict[str, bool] = {}
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Batch reads NTZ and casts through the session timezone, while the
-    # declared stream schema is TimestampType (epoch-UTC LTZ).  The two
-    # agree only because session.py pins the session timezone to UTC —
-    # guard that assumption here rather than silently diverging.
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise ValueError(
-            f"event stream requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}); batch and stream timestamps would diverge"
-        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if sf_dir not in _TS_IS_NANOS:
         _TS_IS_NANOS[sf_dir] = isinstance(
@@ -63,32 +53,67 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.LongType,
         )
     nanos = _TS_IS_NANOS[sf_dir]
-    raw = (
-        spark.readStream.schema(
-            _events_raw_schema(T.LongType() if nanos else T.TimestampType())
+    if nanos:
+        # Legacy nanos layout: epoch nanos -> LTZ instant directly, with no
+        # wall-time interpretation step — agrees with the batch reader's
+        # nanos path only when the session timezone is UTC, so keep the
+        # fail-loud guard here rather than silently diverging.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"nanos-layout event stream requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r}); batch and "
+                f"stream timestamps would diverge"
+            )
+        raw = (
+            spark.readStream.schema(_events_raw_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Micros layout: declare the stream schema NTZ (the parquet wall time)
+    # and apply the SAME session-timezone cast as the batch reader
+    # (sources/readers.load_table) — batch and stream then agree under ANY
+    # session timezone, because both interpret the wall time identically
+    # and the shift cancels when result timestamps render back out (r9
+    # CORRECTNESS_TZ sweep: the old TimestampType-declared schema read the
+    # micros as epoch instants, which only matched batch at UTC).
+    raw = (
+        spark.readStream.schema(_events_raw_schema(T.TimestampNTZType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if nanos:
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    # micros footer: the declared stream schema already forces LTZ; no cast
-    return raw
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour windows per event type; watermark bounds state for
-    late data."""
+    late data.
+
+    Windows run over the WALL time (``ts`` cast to TIMESTAMP_NTZ): NTZ
+    windows align to the wall-clock epoch, which is the oracle's
+    ``date_trunc``/``floor(epoch(naive))`` semantics under ANY session
+    timezone.  ``F.window`` over the LTZ column aligns to absolute-epoch
+    instants instead, which diverges whenever the session offset is not a
+    multiple of the window (r9 TZ sweep: Asia/Kolkata's +5:30 shifted every
+    1-hour bucket by 30 min).  The boundary casts round-trip, so output
+    values are unchanged at UTC.
+
+    The watermark stays on the LTZ ``ts`` (Spark requires TIMESTAMP there);
+    the rollup drains in complete mode, where windowing a non-watermark
+    column is legal — in append mode the window would have to move back to
+    the watermarked column."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .withColumn("ts_wall", F.col("ts").cast("timestamp_ntz"))
+        .groupBy(F.window("ts_wall", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(cents("value", 10000)) / F.lit(10000.0)).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            F.col("w.end").cast("timestamp").alias("window_end"),
             "event_type",
             "n_events",
             "sum_value",
