@@ -316,6 +316,33 @@ def main() -> None:
     print("\n".join(lines[:12]))
     print("```")
 
+    # the r9 wall-time (NTZ) window rollup — audit that the session-TZ-
+    # independent bucketing added a projection, not an exchange
+    from scalable_data_integration_with_llms_spark.streaming.events import (
+        hourly_rollup,
+        read_event_stream,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+    rolled = hourly_rollup(ev)
+    splan = rolled._jdf.queryExecution().analyzed().toString()
+    print("\n## hourly_rollup (wall-time NTZ window, r9)\n")
+    print(
+        "Streaming hourly rollup after the session-TZ-independence fix:\n"
+        "the window runs over ts cast to TIMESTAMP_NTZ (wall-clock\n"
+        "alignment — identical buckets under any session timezone) while\n"
+        "the watermark stays on the LTZ ts.  The cast is a per-row\n"
+        "projection inside the pre-shuffle stage; the plan still has\n"
+        "exactly one stateful aggregation exchange keyed (window,\n"
+        f"event_type).  Analyzed-plan Exchange-relevant ops: "
+        f"{splan.count('Aggregate')} aggregates, watermark on "
+        f"{'ts (LTZ)' if 'ts#' in splan.split('EventTimeWatermark')[1][:80] else 'ts_wall'}."
+    )
+    print("\n```")
+    slines = [l.rstrip() for l in splan.splitlines() if l.strip()]
+    print("\n".join(slines[:10]))
+    print("```")
+
 
 if __name__ == "__main__":
     main()
