@@ -33,6 +33,10 @@ def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None
     )
     session_tz = os.environ.get("SDI_SESSION_TZ", "UTC")
     ansi = os.environ.get("SDI_ANSI")
+    # generic adversarial-sweep hook: "key=value;key=value" pairs applied
+    # last, so a sweep can toggle any conf (codegen, AQE, ...) without a
+    # dedicated env var per knob
+    extra = os.environ.get("SDI_EXTRA_CONF", "")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -50,4 +54,7 @@ def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None
     )
     if ansi is not None:
         builder = builder.config("spark.sql.ansi.enabled", ansi)
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
