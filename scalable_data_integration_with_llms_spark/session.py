@@ -17,6 +17,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def parse_extra_conf(spec: str) -> list[tuple[str, str]]:
+    """Parse the ``SDI_EXTRA_CONF`` sweep hook: ``"k=v;k=v"`` → pairs.
+    Empty segments are skipped; whitespace around keys/values is trimmed;
+    values may contain ``=`` (only the first splits)."""
+    out = []
+    for pair in filter(None, (p.strip() for p in spec.split(";"))):
+        k, _, v = pair.partition("=")
+        out.append((k.strip(), v.strip()))
+    return out
+
+
 def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Return (or create) the engine's SparkSession.
 
@@ -54,7 +65,6 @@ def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None
     )
     if ansi is not None:
         builder = builder.config("spark.sql.ansi.enabled", ansi)
-    for pair in filter(None, (p.strip() for p in extra.split(";"))):
-        k, _, v = pair.partition("=")
-        builder = builder.config(k.strip(), v.strip())
+    for k, v in parse_extra_conf(extra):
+        builder = builder.config(k, v)
     return builder.getOrCreate()

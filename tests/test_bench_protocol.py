@@ -75,3 +75,12 @@ def test_rotate_window_parses_two_digit_rounds(tmp_path):
     (tmp_path / "CORRECTNESS_ADVERSARIAL_r14.json").write_text(json.dumps(green))
     latest = newest_green_rounds(root=str(tmp_path))
     assert latest == {"q_x": 10}
+
+
+def test_parse_extra_conf():
+    """SDI_EXTRA_CONF sweep hook: k=v;k=v with trimming, empty segments
+    skipped, values may contain '='."""
+    from scalable_data_integration_with_llms_spark.session import parse_extra_conf
+
+    assert parse_extra_conf("") == []
+    assert parse_extra_conf(" a=1 ; ;b = x=y ") == [("a", "1"), ("b", "x=y")]
