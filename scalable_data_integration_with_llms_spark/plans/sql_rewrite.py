@@ -134,7 +134,16 @@ def admit(statements: list[Statement], target_tables: set[str]) -> list[Statemen
     return statements
 
 
-_LITERAL_SPLIT = re.compile(r"('(?:[^']|'')*')")  # keep quoted literals intact
+# The ONE protected-segment splitter shared by ``_replace_table_refs`` and
+# ``referenced_tables`` (they must stay in lockstep — ADVICE r8): odd split
+# parts are passed through untouched and never matched against.  Protected:
+# single-quoted literals (with '' escapes), double-quoted identifiers,
+# ``--`` line comments, and ``/* */`` block comments — so a table name that
+# appears only inside a comment or quoted identifier neither triggers a
+# persist nor gets rewritten (ADVICE r9).
+_LITERAL_SPLIT = re.compile(
+    r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|--[^\n]*|/\*.*?\*/)", re.DOTALL
+)
 
 
 def _table_ref_pattern(names) -> re.Pattern:

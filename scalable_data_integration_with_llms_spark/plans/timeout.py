@@ -11,6 +11,7 @@ caller maps TIMEOUT to the reference's sentinel (FN = |gold|, FP = ∞,
 from __future__ import annotations
 
 import threading
+import time
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -60,6 +61,7 @@ def run_with_timeout(
 
     canceller = threading.Thread(target=cancel_loop, daemon=True)
     sc.setJobGroup(group, "sdi timed statement", interruptOnCancel=True)
+    start = time.monotonic()
     canceller.start()
     try:
         value = action()
@@ -69,15 +71,19 @@ def run_with_timeout(
         # DB-level timeout is a hard wall (DatabaseManager.py:202-238: the
         # interrupt timer fires at 30 s regardless of how close the
         # statement is to finishing), so classify late-but-complete as
-        # TIMEOUT rather than OK; this also makes the status deterministic
-        # instead of a function of the cancel-landing race.
-        if timed_out.is_set():
+        # TIMEOUT rather than OK.  Classify on MEASURED elapsed time, not
+        # the canceller's event alone: the event can be set while the main
+        # thread was merely descheduled past the deadline AFTER an
+        # in-deadline finish, which would discard a valid result (ADVICE
+        # r9).  elapsed >= timeout_s is the same hard wall the reference's
+        # timer enforces, decided by one clock instead of a thread race.
+        if time.monotonic() - start >= timeout_s:
             return ExecResult(
                 TIMEOUT, error=f"completed after {timeout_s}s deadline"
             )
         return ExecResult(OK, value=value)
     except Exception as e:  # cancelled jobs surface as exceptions
-        if timed_out.is_set():
+        if timed_out.is_set() or time.monotonic() - start >= timeout_s:
             return ExecResult(TIMEOUT, error=str(e))
         return ExecResult(ERROR, error=str(e))
     finally:

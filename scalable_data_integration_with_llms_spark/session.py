@@ -20,10 +20,17 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 def parse_extra_conf(spec: str) -> list[tuple[str, str]]:
     """Parse the ``SDI_EXTRA_CONF`` sweep hook: ``"k=v;k=v"`` → pairs.
     Empty segments are skipped; whitespace around keys/values is trimmed;
-    values may contain ``=`` (only the first splits)."""
+    values may contain ``=`` (only the first splits).  A non-empty segment
+    WITHOUT ``=`` is a malformed sweep spec — raise rather than silently
+    setting the conf to an empty string (ADVICE r9: a typo'd sweep must
+    fail loudly, not run with an unintended conf)."""
     out = []
     for pair in filter(None, (p.strip() for p in spec.split(";"))):
-        k, _, v = pair.partition("=")
+        k, sep, v = pair.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"malformed SDI_EXTRA_CONF segment {pair!r}: expected 'key=value'"
+            )
         out.append((k.strip(), v.strip()))
     return out
 
@@ -44,13 +51,20 @@ def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None
     )
     session_tz = os.environ.get("SDI_SESSION_TZ", "UTC")
     ansi = os.environ.get("SDI_ANSI")
+    # recomputation-under-retry adversary (SURVEY §4 determinism trap):
+    # local mode ignores spark.task.maxFailures — retries require the
+    # ``local[N,F]`` master form, so the sweep sets SDI_TASK_MAX_FAILURES
+    # and pairs it with SDI_FLAKY_SOURCES (sources/readers.py) to force
+    # first-attempt task failures that Spark then recomputes
+    max_failures = os.environ.get("SDI_TASK_MAX_FAILURES")
+    master = f"local[{cpus},{int(max_failures)}]" if max_failures else f"local[{cpus}]"
     # generic adversarial-sweep hook: "key=value;key=value" pairs applied
     # last, so a sweep can toggle any conf (codegen, AQE, ...) without a
     # dedicated env var per knob
     extra = os.environ.get("SDI_EXTRA_CONF", "")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

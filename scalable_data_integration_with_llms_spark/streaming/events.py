@@ -92,12 +92,18 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
     Windows run over the WALL time (``ts`` cast to TIMESTAMP_NTZ): NTZ
     windows align to the wall-clock epoch, which is the oracle's
-    ``date_trunc``/``floor(epoch(naive))`` semantics under ANY session
-    timezone.  ``F.window`` over the LTZ column aligns to absolute-epoch
-    instants instead, which diverges whenever the session offset is not a
-    multiple of the window (r9 TZ sweep: Asia/Kolkata's +5:30 shifted every
-    1-hour bucket by 30 min).  The boundary casts round-trip, so output
-    values are unchanged at UTC.
+    ``date_trunc``/``floor(epoch(naive))`` semantics under any FIXED-OFFSET
+    session timezone, and under DST zones for wall times outside a
+    spring-forward gap (ADVICE r9: a window boundary whose wall time falls
+    INSIDE a gap — e.g. 02:00 America/New_York on 2024-03-10 — does not
+    exist as a local time, so the output NTZ→LTZ boundary cast shifts it to
+    03:00 on render; tests/test_tz_independence.py pins both the DST-zone
+    agreement on gap-free data and the gap caveat itself).  ``F.window``
+    over the LTZ column aligns to absolute-epoch instants instead, which
+    diverges whenever the session offset is not a multiple of the window
+    (r9 TZ sweep: Asia/Kolkata's +5:30 shifted every 1-hour bucket by
+    30 min).  The boundary casts round-trip, so output values are unchanged
+    at UTC.
 
     The watermark stays on the LTZ ``ts`` (Spark requires TIMESTAMP there);
     the rollup drains in complete mode, where windowing a non-watermark

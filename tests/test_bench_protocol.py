@@ -84,3 +84,13 @@ def test_parse_extra_conf():
 
     assert parse_extra_conf("") == []
     assert parse_extra_conf(" a=1 ; ;b = x=y ") == [("a", "1"), ("b", "x=y")]
+    # ADVICE r9: a segment without '=' (typo'd sweep spec) fails loudly
+    # instead of silently setting the conf to ''
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed"):
+        parse_extra_conf("spark.foo")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_extra_conf("a=1;spark.bar;b=2")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_extra_conf("=v")  # empty key is malformed too

@@ -134,6 +134,52 @@ def test_sql_rewrite_builtin_structures():
     assert "FROM source_src_t" in out and "pred_tgt_t" in out
 
 
+def test_sql_rewrite_regex_comment_protection():
+    """ADVICE r9: the regex backend's shared literal split also protects
+    ``--`` / ``/* */`` comments and double-quoted identifiers, so a table
+    name appearing only there neither rewrites nor counts as referenced —
+    and the two functions stay in lockstep on every case."""
+    from scalable_data_integration_with_llms_spark.plans.sql_rewrite import (
+        _replace_table_refs,
+        referenced_tables,
+    )
+
+    m = {"src_t": "source_src_t", "tgt_t": "pred_tgt_t"}
+    names = list(m)
+    # name only in a line comment: untouched, not referenced
+    sql = "-- src_t setup\nSELECT 1"
+    assert _replace_table_refs(sql, m) == sql
+    assert referenced_tables(sql, names) == []
+    # name only in a block comment (multi-line): untouched, not referenced
+    sql = "SELECT a FROM real_t /* join tgt_t\n later */"
+    assert _replace_table_refs(sql, m) == sql
+    assert referenced_tables(sql, names) == []
+    # name only in a double-quoted identifier: protected (the regex cannot
+    # rewrite inside quotes without corrupting the identifier; fail-loud at
+    # execution beats silently reading the wrong table)
+    sql = 'SELECT "src_t" FROM real_t'
+    assert _replace_table_refs(sql, m) == sql
+    assert referenced_tables(sql, names) == []
+    # real reference next to a comment mention: only the real one acts
+    sql = "SELECT a FROM src_t -- not tgt_t\n"
+    assert _replace_table_refs(sql, m) == "SELECT a FROM source_src_t -- not tgt_t\n"
+    assert referenced_tables(sql, names) == ["src_t"]
+    # '--' inside a string literal is NOT a comment opener
+    sql = "SELECT '--x' FROM src_t"
+    assert _replace_table_refs(sql, m) == "SELECT '--x' FROM source_src_t"
+    assert referenced_tables(sql, names) == ["src_t"]
+    # lockstep property: whatever referenced_tables reports is exactly what
+    # the rewrite touches
+    for sql in [
+        "-- tgt_t\nINSERT INTO tgt_t SELECT * FROM src_t /* src_t */",
+        "SELECT 'src_t', \"tgt_t\" FROM src_t",
+    ]:
+        refs = set(referenced_tables(sql, names))
+        rewritten = _replace_table_refs(sql, m)
+        for t in names:
+            assert (m[t] in rewritten) == (t in refs), (sql, t)
+
+
 def test_sql_rewrite_ast_parity():
     """When the public sqlglot package is present, it must agree with BOTH
     in-repo backends on the admissible statement shapes."""
@@ -174,6 +220,39 @@ def test_timeout_late_complete_is_timeout(spark):
     res = run_with_timeout(spark, lambda: time.sleep(0.6) or 42, 0.2)
     assert res.status == TIMEOUT
     assert res.value is None
+
+
+def test_timeout_elapsed_based_classification(spark):
+    """ADVICE r9: classification uses measured elapsed time, one clock —
+    not the canceller thread's event alone.  An in-deadline finish is OK
+    even though the canceller was armed; an exception AFTER the deadline is
+    TIMEOUT even when no Spark job existed for the cancel to land on."""
+    import time
+
+    from scalable_data_integration_with_llms_spark.plans.timeout import (
+        ERROR,
+        OK,
+        TIMEOUT,
+        run_with_timeout,
+    )
+
+    # finishes well inside a generous deadline: OK, value preserved
+    res = run_with_timeout(spark, lambda: 7, 30.0)
+    assert res.status == OK and res.value == 7
+    # driver-only exception raised after the deadline: elapsed >= timeout
+    # classifies TIMEOUT regardless of the cancel race
+    def late_raise():
+        time.sleep(0.5)
+        raise RuntimeError("late failure")
+
+    res = run_with_timeout(spark, late_raise, 0.2)
+    assert res.status == TIMEOUT
+    # driver-only exception raised inside the deadline stays ERROR
+    def fast_raise():
+        raise RuntimeError("fast failure")
+
+    res = run_with_timeout(spark, fast_raise, 30.0)
+    assert res.status == ERROR
 
 
 def test_timeout_sentinel(spark):

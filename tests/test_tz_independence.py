@@ -60,3 +60,39 @@ def test_session_tz_does_not_change_results(spark, name):
     finally:
         spark.conf.set("spark.sql.session.timeZone", base_tz)
     assert got == want
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_dst_zone_does_not_change_results(spark, name):
+    """ADVICE r9 scope check: Kolkata is a FIXED offset; a DST zone
+    exercises the offset-changes-midyear case.  The synthetic corpus is
+    Jan 2024 — no wall time falls inside America/New_York's 2024-03-10
+    spring-forward gap — so results must still be TZ-independent."""
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    base_tz = spark.conf.get("spark.sql.session.timeZone")
+    want = _canon(QUERIES[name](spark, SF))
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = _canon(QUERIES[name](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", base_tz)
+    assert got == want
+
+
+def test_dst_gap_caveat_is_real(spark):
+    """Pin the documented limit (events.py hourly_rollup docstring): a wall
+    time INSIDE a spring-forward gap does not exist as a local time, so the
+    NTZ→LTZ render cast shifts it — 02:30 on 2024-03-10 America/New_York
+    renders as 03:30.  This is why the docs scope the window-boundary claim
+    to fixed-offset zones / non-gap wall times rather than 'any TZ'."""
+    base_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        row = spark.sql(
+            "SELECT CAST(CAST(TIMESTAMP_NTZ'2024-03-10 02:30:00' AS TIMESTAMP)"
+            " AS TIMESTAMP_NTZ) AS rendered"
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", base_tz)
+    assert str(row.rendered) == "2024-03-10 03:30:00"

@@ -264,6 +264,16 @@ SHOWCASE = [
 ]
 
 
+def _watermark_col(splan: str) -> str:
+    """Label the watermark column in an analyzed streaming plan; a plan
+    with no EventTimeWatermark node (e.g. after a rollup refactor) gets a
+    'no watermark' label instead of an IndexError (ADVICE r9)."""
+    if "EventTimeWatermark" not in splan:
+        return "NO WATERMARK NODE (plan changed — re-check hourly_rollup)"
+    tail = splan.split("EventTimeWatermark", 1)[1][:80]
+    return "ts (LTZ)" if "ts#" in tail else "ts_wall"
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     from scalable_data_integration_with_llms_spark.queries import QUERIES
@@ -336,7 +346,7 @@ def main() -> None:
         "exactly one stateful aggregation exchange keyed (window,\n"
         f"event_type).  Analyzed-plan Exchange-relevant ops: "
         f"{splan.count('Aggregate')} aggregates, watermark on "
-        f"{'ts (LTZ)' if 'ts#' in splan.split('EventTimeWatermark')[1][:80] else 'ts_wall'}."
+        f"{_watermark_col(splan)}."
     )
     print("\n```")
     slines = [l.rstrip() for l in splan.splitlines() if l.strip()]
