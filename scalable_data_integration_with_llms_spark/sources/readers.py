@@ -18,6 +18,7 @@ Both paths are provided:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,32 @@ TABLES = (
 )
 
 
+def _flaky_retry_wrap(df: DataFrame) -> DataFrame:
+    """Recomputation-under-retry adversary (SURVEY §4's determinism trap;
+    VERDICT r9 task #4), active only under ``SDI_FLAKY_SOURCES=1``: a
+    pass-through ``mapInPandas`` that FAILS the first attempt of every even
+    source partition, so Spark recomputes those tasks from the scan.  Needs
+    a retry-permitting master (``SDI_TASK_MAX_FAILURES`` → ``local[N,F]``,
+    session.py).  Every query result must be byte-identical with and
+    without the injection: the engine's randomness is all seeded md5 over
+    row keys (functions/determinism.py) and row order is never load-bearing,
+    so a recomputed partition reproduces exactly — the property that keeps
+    results stable on a real cluster where task retries and speculative
+    execution are routine, not adversarial.  The wrapper deliberately sits
+    ON the scan (costing pushdown/pruning): an ugly plan that must still be
+    correct, like the codegen-off sweep."""
+
+    def gen(it):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None and tc.attemptNumber() == 0 and tc.partitionId() % 2 == 0:
+            raise RuntimeError("SDI_FLAKY_SOURCES: injected first-attempt failure")
+        yield from it
+
+    return df.mapInPandas(gen, schema=df.schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one test table. Column pruning + predicate pushdown
     happen at this scan when the caller selects/filters downstream.
@@ -48,6 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp type so downstream window/filter exprs see one type either
     way; session tz is pinned UTC so values are identical).
     """
+    flaky = os.environ.get("SDI_FLAKY_SOURCES") == "1"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -55,9 +83,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer div — double division would lose precision above 2^53 ns
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _flaky_retry_wrap(df) if flaky else df
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _flaky_retry_wrap(df) if flaky else df
 
 
 def load_events_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,14 +110,15 @@ def load_events_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos layout: epoch nanos -> calendar add onto the NTZ epoch
-        return df.withColumn(
+        df = df.withColumn(
             "ts",
             F.expr(
                 "timestampadd(MICROSECOND, ts div 1000,"
                 " timestamp_ntz'1970-01-01 00:00:00')"
             ),
         )
-    return df  # micros layout already reads as TIMESTAMP_NTZ
+    # else: micros layout already reads as TIMESTAMP_NTZ
+    return _flaky_retry_wrap(df) if os.environ.get("SDI_FLAKY_SOURCES") == "1" else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
