@@ -14,7 +14,7 @@ input size; estimation is a broadcast join against it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -114,4 +114,86 @@ def cms_estimates(
         probes.join(F.broadcast(cells), ["j", "col"])
         .groupBy("key", "exact_cnt")
         .agg(F.min("cell").alias("est_cnt"))
+    )
+
+
+# -- KMV (k-minimum-values) distinct sketch ----------------------------------
+#
+# Unlike HLL (q_approx_distinct_users, whose estimate is engine-specific and
+# only bound-assertable), the KMV estimate is a pure function of md5 hashes:
+# bit-identical in any engine, so the ESTIMATE ITSELF is value-oracle-able.
+# Estimator (Bar-Yossef et al. 2002): with h uniform on [0, 2^60) and h_(k)
+# the k-th smallest hash of the distinct keys, n_hat = (k-1) * 2^60 / h_(k).
+# With k = 8, (k-1) * 2^60 < 2^63, so the whole estimate stays in exact
+# int64 arithmetic (DIV) — no float anywhere in the result.
+
+KMV_K = 8
+KMV_TWO_60 = 1 << 60
+KMV_SAFETY = 8  # tau-prune keeps ~SAFETY*k hashes per group
+
+
+def kmv_k_mins(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    salt: str = "kmv",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """The k smallest 60-bit hashes of the DISTINCT keys per group:
+    (group..., exact_distinct, rn, h [, carry_cols...]), rn <= min(k, n).
+
+    Scale shape: one distinct shuffle of (group, key, carry); the exact
+    count is a map-side-combinable agg reused as the estimate's comparison
+    arm; the per-group sort behind row_number runs only on the tau-pruned
+    frame (expected SAFETY*k rows per group, never n): tau =
+    SAFETY*k*2^60/n keeps every hash that can be among the k minima
+    whenever >= k hashes survive.  If fewer than k ever survived, the k-th
+    min would be NULL and the consumer (and the DuckDB oracle, which does
+    no pruning) fails loud rather than silently estimating off a truncated
+    sketch.  tau itself is engine-internal float — it never reaches
+    results.  Ties on h are broken by the key so flag-carrying consumers
+    (kmv set ops) stay deterministic even under 60-bit hash collisions.
+    """
+    carry = carry_cols or []
+    d = df.select(
+        *group_cols, F.col(key_col).alias("_kmv_key"), *carry
+    ).distinct()
+    hashed = d.select(
+        *group_cols,
+        "_kmv_key",
+        *carry,
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("_kmv_key").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    cnt = hashed.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    tau = F.lit(float(KMV_SAFETY * k * KMV_TWO_60)) / F.col("exact_distinct")
+    pruned = hashed.join(cnt, group_cols).filter(
+        (F.col("exact_distinct") <= F.lit(KMV_SAFETY * k))
+        | (F.col("h").cast("double") < tau)
+    )
+    win = W.partitionBy(*group_cols).orderBy("h", "_kmv_key")
+    return (
+        pruned.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .drop("_kmv_key")
+    )
+
+
+def kmv_estimate_col(k: int = KMV_K) -> Column:
+    """Integer-exact KMV estimate from (exact_distinct, h_k): exact when the
+    sketch holds every hash (n < k), else (k-1)*2^60 DIV h_(k)."""
+    return F.when(F.col("exact_distinct") < k, F.col("exact_distinct")).otherwise(
+        F.expr(f"CAST({(k - 1) * KMV_TWO_60} AS BIGINT) DIV h_k")
     )

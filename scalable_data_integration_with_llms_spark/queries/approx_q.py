@@ -134,3 +134,152 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_in_bound"),
         F.col("_a90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_in_bound"),
     )
+
+
+# -- KMV distinct sketch: the estimate itself is oracle-exact ----------------
+#
+# The HLL row above can only hash a bound-assertion (DuckDB's HLL differs);
+# KMV's estimate is a pure function of md5 hashes, so the estimate ITSELF
+# value-hashes across engines — the strongest oracle an approximate
+# aggregate can carry.  Integer-exact throughout: with k=8, (k-1)*2^60
+# fits int64 and the estimate is a bigint DIV.  Mergeability (union of two
+# sketches = k smallest of the combined mins) is what q_kmv_set_ops uses.
+
+_KMV_K = 8
+_KMV_TWO60 = 1 << 60
+
+_KMV_DISTINCT_ORACLE = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+  FROM d
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       MAX(n) AS exact_users,
+       CASE WHEN MAX(n) < {_KMV_K} THEN MAX(n)
+            ELSE {(_KMV_K - 1) * _KMV_TWO60} // MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+       END AS kmv_users
+FROM r GROUP BY event_type
+"""
+
+
+@query("q_kmv_distinct", _KMV_DISTINCT_ORACLE)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV sketch next to the exact
+    count.  Unlike q_approx_distinct_users the sketch estimate is hash-exact
+    in any engine, so the oracle checks the ESTIMATE, not just a bound.
+    Scale shape (operators/sketch.py:kmv_k_mins): distinct shuffle + counted
+    agg + tau-pruned per-group top-k — the row_number sort only ever sees
+    ~64 hashes per group regardless of corpus size."""
+    from ..operators.sketch import kmv_estimate_col, kmv_k_mins
+
+    e = load_table(spark, sf_dir, "events")
+    mins = kmv_k_mins(e, "user_id", ["event_type"], k=_KMV_K)
+    return (
+        mins.groupBy("event_type", "exact_distinct")
+        .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"))
+        .select(
+            "event_type",
+            F.col("exact_distinct").alias("exact_users"),
+            kmv_estimate_col(_KMV_K).alias("kmv_users"),
+        )
+    )
+
+
+# Theta-sketch-style set operations from ONE merged KMV sketch: take the k
+# smallest hashes of A ∪ B with per-key membership flags carried along;
+# |A∪B| ≈ KMV estimate, Jaccard ≈ (both-flagged among the k mins)/k, and
+# |A∩B| ≈ Jaccard · |A∪B| — all integer arithmetic on identical hashes, so
+# the full row (exact twins AND all three sketch estimates) value-hashes.
+
+_KMV_SETOPS_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END) AS in_b
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT user_id, in_a, in_b,
+         ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+  FROM u WHERE in_a = 1 OR in_b = 1
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY h, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM f
+),
+s AS (
+  SELECT MAX(n) AS exact_union,
+         (SELECT CAST(SUM(in_a * in_b) AS BIGINT) FROM f) AS exact_intersection,
+         CASE WHEN MAX(n) < {_KMV_K} THEN MAX(n)
+              ELSE {(_KMV_K - 1) * _KMV_TWO60} // MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+         END AS kmv_union,
+         CAST(SUM(CASE WHEN rn <= {_KMV_K} THEN in_a * in_b ELSE 0 END) AS BIGINT) AS k_both,
+         LEAST({_KMV_K}, MAX(n)) AS k_eff
+  FROM r
+)
+SELECT exact_union, exact_intersection, kmv_union,
+       CAST((k_both * kmv_union) // k_eff AS BIGINT) AS kmv_intersection
+FROM s
+"""
+
+
+@query("q_kmv_set_ops", _KMV_SETOPS_ORACLE)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A∪B| and |A∩B| for A = click users, B = big-ticket (value ≥ 100)
+    purchase users, exact vs a
+    single merged KMV sketch (the theta-sketch pattern: one pass builds the
+    union sketch with membership flags; intersection falls out of the
+    flagged fraction of the k minima).  At 100 TB this replaces a
+    COUNT(DISTINCT) over the union AND a join for the intersection with one
+    distinct shuffle + a ~64-row sketch.  Ties on h are key-broken so the
+    flag composition of the k minima is deterministic even under hash
+    collisions."""
+    from ..operators.sketch import kmv_estimate_col, kmv_k_mins
+
+    e = load_table(spark, sf_dir, "events")
+    flags = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") >= 100), 1)
+                .otherwise(0)
+            ).alias("in_b"),
+        )
+        .filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersection"),
+    )
+    mins = kmv_k_mins(
+        flags.withColumn("_g", F.lit(1)),
+        "user_id",
+        ["_g"],
+        k=_KMV_K,
+        carry_cols=["in_a", "in_b"],
+    )
+    sk = mins.groupBy("_g", "exact_distinct").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_both"),
+    )
+    sk = sk.select(
+        kmv_estimate_col(_KMV_K).alias("kmv_union"),
+        "k_both",
+        F.least(F.lit(_KMV_K), F.col("exact_distinct")).alias("k_eff"),
+    )
+    return exact.crossJoin(sk).select(
+        "exact_union",
+        "exact_intersection",
+        "kmv_union",
+        F.expr("(k_both * kmv_union) DIV k_eff").alias("kmv_intersection"),
+    )
