@@ -109,6 +109,21 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="regex over query names")
     ap.add_argument("--first", type=int, default=None, help="check first N (driver window)")
     ap.add_argument("--out", default=None, help="write JSON report here")
+    ap.add_argument(
+        "--skip-oracle",
+        default=None,
+        help="regex over query names whose DuckDB oracle is skipped (the "
+        "Spark side still runs and records rows) — for sweeps at scales "
+        "where a brute-force O(N^2) oracle is infeasible by construction",
+    )
+    ap.add_argument(
+        "--oracle-budget",
+        type=float,
+        default=None,
+        help="seconds of DuckDB wall per oracle before con.interrupt() — "
+        "a slow oracle degrades to 'oracle-budget-exceeded' instead of "
+        "stalling the sweep",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -136,6 +151,30 @@ def main() -> int:
         rx = re.compile(args.only)
         names = [n for n in names if rx.search(n)]
 
+    skip_rx = re.compile(args.skip_oracle) if args.skip_oracle else None
+
+    def run_oracle(sql: str):
+        """Oracle under the optional wall budget: a watchdog thread calls
+        con.interrupt() at the deadline, turning a runaway oracle into an
+        exception this loop can record instead of a multi-hour stall."""
+        if not args.oracle_budget:
+            return con.execute(sql).df()
+        import threading
+
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(args.oracle_budget):
+                con.interrupt()
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        try:
+            return con.execute(sql).df()
+        finally:
+            done.set()
+            t.join()
+
     report: dict[str, dict] = {}
     n_green = n_dtype = n_red = n_rowsonly = n_err = 0
     for name in names:
@@ -148,8 +187,11 @@ def main() -> int:
             if name not in ORACLES:
                 entry["status"] = "rows-only"
                 n_rowsonly += 1
+            elif skip_rx and skip_rx.search(name):
+                entry["status"] = "oracle-skipped"
+                n_rowsonly += 1
             else:
-                odf = con.execute(ORACLES[name]).df()
+                odf = run_oracle(ORACLES[name])
                 entry["oracle_rows"] = len(odf)
                 rows_match = len(spdf) == len(odf)
                 schema_match = sorted(spdf.columns) == sorted(odf.columns)
@@ -194,8 +236,12 @@ def main() -> int:
                         ][:2]
                         entry["first_diffs"] = repr(diff)[:600]
         except Exception as e:  # noqa: BLE001
-            entry["status"] = "ERROR"
-            entry["err"] = f"{type(e).__name__}: {e}"[:400]
+            if type(e).__name__ == "InterruptException":
+                entry["status"] = "oracle-budget-exceeded"
+                entry["err"] = f"oracle exceeded --oracle-budget={args.oracle_budget}s"
+            else:
+                entry["status"] = "ERROR"
+                entry["err"] = f"{type(e).__name__}: {e}"[:400]
             n_err += 1
         entry["sec"] = round(time.time() - t0, 2)
         # query-scoped persists are released here, after the consuming
