@@ -666,6 +666,100 @@ def q_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- streaming KMV distinct gate (applyInPandasWithState per hash shard) ------
+# The stateful-streaming member of the KMV family (operators/sketch.py,
+# q_kmv_distinct): distinct users per event type off the stream with O(k)
+# state per (group, hash-shard) and a bit-exact DuckDB oracle — k-mins
+# merge associatively, so the drained sketch equals the batch twin under
+# ANY micro-batch arrival order.  See streaming/kmv_gate.py.
+
+_STREAM_KMV_K = 8
+_STREAM_KMV_TWO60 = 1 << 60
+
+_STREAM_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CASE WHEN MAX(n) < {_STREAM_KMV_K} THEN MAX(n)
+            ELSE {(_STREAM_KMV_K - 1) * _STREAM_KMV_TWO60}
+                 // MAX(CASE WHEN rn = {_STREAM_KMV_K} THEN h END)
+       END AS kmv_users
+FROM r GROUP BY event_type
+"""
+
+
+@query("q_stream_kmv_distinct", _STREAM_KMV_ORACLE)
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-users-per-type via the KMV sketch: map-only md5
+    hashing, a stateful k-mins fold per (event_type, h mod 32) shard, and a
+    tiny merge-after-drain that reconstructs the global sketch from the
+    per-shard k-mins (their union is a superset of the global k-mins; the
+    DISTINCT absorbs stale update-mode rows, so the merge is micro-batch-
+    count independent).  The batch COUNT(DISTINCT) twin is the oracle —
+    and unlike a streaming HLL, the estimate value-hashes against it.
+
+    This dedups per group by hash (a 60-bit collision would collapse two
+    users); the batch q_kmv_distinct keys by user instead — both sides of
+    each oracle pair use one convention consistently."""
+    from ..streaming.events import read_event_stream, run_to_memory
+    from ..streaming.kmv_gate import (
+        N_KMV_SHARDS,
+        kmv_distinct_gate,
+        kmv_stream_hash,
+    )
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "event_type", kmv_stream_hash("user_id").alias("h")
+    )
+    hashed = stream.withColumn(
+        "shard", (F.col("h") % N_KMV_SHARDS).cast("int")
+    )
+    drained = run_to_memory(
+        spark,
+        kmv_distinct_gate(hashed),
+        "sdi_stream_kmv",
+        mode="update",
+        partitions=8,
+    )
+    merged = (
+        drained.select("event_type", F.explode("mins").alias("h"))
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("event_type").orderBy("h")),
+        )
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(
+                F.when(F.col("rn") == _STREAM_KMV_K, F.col("h"))
+            ).alias("h_k"),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("n_kept") < _STREAM_KMV_K, F.col("n_kept"))
+            .otherwise(
+                F.expr(
+                    f"CAST({(_STREAM_KMV_K - 1) * _STREAM_KMV_TWO60} AS BIGINT)"
+                    " DIV h_k"
+                )
+            )
+            .alias("kmv_users"),
+        )
+    )
+
+
 # Registered last: _register_tws references _NEAR_DUP_GATE_ORACLE and
 # _CLOSED_SESSIONS_ORACLE, which must both be bound before the call.
 if _has_tws_runtime():  # pragma: no cover - environment-dependent

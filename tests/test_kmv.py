@@ -114,3 +114,74 @@ def test_kmv_partitioning_invariance(spark):
         [("g", f"key{i}") for i in range(300)], "g string, key string"
     )
     assert _estimates(df.repartition(1)) == _estimates(df.repartition(13))
+
+
+# -- streaming KMV gate (streaming/kmv_gate.py) -------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self.get = None
+
+    def update(self, t):
+        self.exists = True
+        self.get = t
+
+
+def _fold_all(chunks_per_batch):
+    """Run _kmv_fold over successive micro-batches (each an iterator of
+    pandas chunks) against one fake state; return the final state mins."""
+    import pandas as pd
+
+    from scalable_data_integration_with_llms_spark.streaming.kmv_gate import _kmv_fold
+
+    st = _FakeState()
+    for chunks in chunks_per_batch:
+        list(_kmv_fold(("click", 3), (pd.DataFrame({"h": c}) for c in chunks), st))
+    return list(st.get[0])
+
+
+def test_kmv_gate_chunk_incremental_equals_concat():
+    """Feeding the fold 3 Arrow chunks equals feeding one concatenated
+    chunk (the O(chunk + k) incremental path loses nothing)."""
+    data = [982, 14, 7, 500, 14, 3, 999, 42, 8, 77, 123, 6, 2, 55]
+    one = _fold_all([[data]])
+    three = _fold_all([[data[:5], data[5:9], data[9:]]])
+    assert one == three == sorted(set(data))[:8]
+
+
+def test_kmv_gate_merge_is_arrival_order_independent():
+    """k-mins merge associativity: any micro-batch split and order yields
+    the same final state — the determinism a task retry or a re-batched
+    feed must not break."""
+    data = list(range(100, 0, -7)) + [3, 9, 1, 88]
+    splits = [
+        [[data]],
+        [[data[:4]], [data[4:]]],
+        [[data[10:]], [data[:10]]],
+        [[data[i::3]] for i in range(3)],
+    ]
+    results = {tuple(_fold_all(s)) for s in splits}
+    assert len(results) == 1
+    assert list(results.pop()) == sorted(set(data))[:8]
+
+
+def test_kmv_stream_matches_batch_sketch(spark):
+    """Stream-vs-batch parity: the drained streaming sketch equals the
+    batch KMV estimate on the same events (hash-dedup vs key-dedup
+    conventions coincide absent 60-bit collisions)."""
+    stream_rows = {
+        (r.event_type, r.kmv_users)
+        for r in QUERIES["q_stream_kmv_distinct"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    batch_rows = {
+        (r.event_type, r.kmv_users)
+        for r in QUERIES["q_kmv_distinct"](spark, "/root/testdata/sf0.001")
+        .select("event_type", "kmv_users")
+        .collect()
+    }
+    assert stream_rows == batch_rows
