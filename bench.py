@@ -156,6 +156,10 @@ HEADLINE += [
     "q_mapping_pass_rate",
     "q_sink_roundtrip",
     "q_dataset_loaders",
+    # round-10 additions: the KMV sketch family (hash-exact approximate
+    # distinct) — the batch set-ops row and the stateful streaming gate
+    "q_kmv_set_ops",
+    "q_stream_kmv_distinct",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N
