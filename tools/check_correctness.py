@@ -117,6 +117,13 @@ def main() -> int:
         "where a brute-force O(N^2) oracle is infeasible by construction",
     )
     ap.add_argument(
+        "--skip-query",
+        default=None,
+        help="regex over query names skipped ENTIRELY (recorded as "
+        "'skipped-by-design') — for exact-recall harnesses whose Spark arm "
+        "is O(N^2) by construction and infeasible at the sweep's scale",
+    )
+    ap.add_argument(
         "--oracle-budget",
         type=float,
         default=None,
@@ -152,6 +159,7 @@ def main() -> int:
         names = [n for n in names if rx.search(n)]
 
     skip_rx = re.compile(args.skip_oracle) if args.skip_oracle else None
+    skipq_rx = re.compile(args.skip_query) if args.skip_query else None
 
     def run_oracle(sql: str):
         """Oracle under the optional wall budget: a watchdog thread calls
@@ -180,6 +188,14 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         entry: dict = {}
+        if skipq_rx and skipq_rx.search(name):
+            entry["status"] = "skipped-by-design"
+            entry["sec"] = 0.0
+            entry["n_scoped_released"] = 0
+            n_rowsonly += 1
+            report[name] = entry
+            print(f"{entry['status']:>15}  {name}  (0s)", flush=True)
+            continue
         try:
             sdf = QUERIES[name](spark, args.sf_dir)
             spdf = sdf.toPandas()
