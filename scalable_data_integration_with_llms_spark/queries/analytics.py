@@ -896,10 +896,15 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # float accumulation order differs between engines (and between Spark's
 # partial aggregates and any single-node engine), so those built-ins can't
 # carry a hard oracle.  Instead all five moments (Σx, Σy, Σxy, Σx², Σy²)
-# accumulate as exact BIGINTs on per-row quantized values — order-free —
-# and the closing formula is one double expression over identical integers
-# in both engines, hence bit-identical.  Scale shape: one map-side-combined
-# hash aggregation; the moment tuple is constant-size per group.
+# accumulate exactly on per-row quantized values — order-free — and the
+# closing formula is one double expression over identical integers in both
+# engines, hence bit-identical.  The per-row products stay in cheap long
+# arithmetic (≤ ~1e14), but the SUMs accumulate decimal(38,0): Σy² passes
+# int64 (~9.2e18) already at ~2M rows per group — the 10x scale sweep
+# caught exactly that overflow — while DuckDB's SUM(BIGINT) silently
+# widens to HUGEINT.  decimal(38,0) is exact, map-side-combinable, and
+# holds to ~1e38 (≈1e16 fact rows at these magnitudes).  Scale shape: one
+# map-side-combined hash aggregation; constant-size moment tuple per group.
 
 _CORR_ORACLE = """
 WITH m AS (
@@ -931,17 +936,17 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("bigint")
     y = cents("l_extendedprice")
+    acc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
+        F.sum(acc(x)).alias("sx"),
+        F.sum(acc(y)).alias("sy"),
+        F.sum(acc(x * y)).alias("sxy"),
+        F.sum(acc(x * x)).alias("sxx"),
+        F.sum(acc(y * y)).alias("syy"),
     )
-    # moment products exceed int64 (Σy² is ~1e18 at sf0.1 alone), so the
-    # closing arithmetic runs in decimal(38,0) — exact integers, mirrored by
-    # HUGEINT in the oracle — and converts to double only once at the end
+    # the closing arithmetic also runs in decimal(38,0) — exact integers,
+    # mirrored by HUGEINT in the oracle — converting to double only once
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
@@ -1164,12 +1169,18 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events_ntz(spark, sf_dir)
     x = F.expr("timestampdiff(MINUTE, timestamp_ntz'2024-01-01 00:00:00', ts)")
     y = cents("value", 1000)
+    # same decimal(38,0) moment accumulation as q_corr_qty_price: per-row
+    # products stay long (≤ ~1e11 here), the sums widen exactly like the
+    # oracle's HUGEINT — per-user groups are small today, but a longer time
+    # span (larger x) times a heavier per-user history would push Σxy past
+    # int64 long before 100 TB
+    acc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
+        F.sum(acc(x)).alias("sx"),
+        F.sum(acc(y)).alias("sy"),
+        F.sum(acc(x * y)).alias("sxy"),
+        F.sum(acc(x * x)).alias("sxx"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")

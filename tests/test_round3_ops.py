@@ -173,6 +173,28 @@ def test_corr_bounds(spark):
         assert r.n > 1
 
 
+def test_corr_moment_sums_survive_int64_overflow(spark, tmp_path):
+    """Regression pin for the sf1-sweep find (r10): Σy² on cents passes
+    int64 at ~2M real rows per group, so the moment SUMs must accumulate
+    decimal(38,0).  y = 1e9¢·qty for qty 1,2,3 keeps every PER-ROW product
+    inside int64 (max y² = 9e18 < 2^63-1, like real data) while the sum
+    Σy² = 1.4e19 crosses it — an int64 wraparound there turns var_y
+    negative and pearson_r into NaN/null; the decimal accumulator must
+    instead close the perfect line to r ≈ 1."""
+    import math
+
+    rows = [(i + 1, 1e7 * (i + 1)) for i in range(3)]  # price in $ → y = 1e9¢·qty
+    df = spark.createDataFrame(rows, "l_quantity bigint, l_extendedprice double")
+    df = df.withColumn("l_returnflag", F.lit("A"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+
+    [r] = QUERIES["q_corr_qty_price"](spark, str(tmp_path)).collect()
+    assert r.n == 3
+    assert r.pearson_r is not None and not math.isnan(r.pearson_r)
+    assert abs(r.pearson_r - 1.0) < 1e-9
+
+
 def test_bloom_runtime_filter_prunes_and_preserves(spark, duck):
     """The Bloom predicate must (a) never drop a matching row, (b) prune a
     large share of the fact scan, and (c) sit in the scan stage below the
