@@ -67,6 +67,13 @@ HEAVY = [
     # STAYS parallel at 10x data (a serialized matrix would show ~4x the
     # per-cell scaling, well past the gate).
     "q_mapping_pass_rate",
+    # round 10: the KMV sketch family.  The batch set-ops row carries BOTH
+    # an exact COUNT(DISTINCT) arm and the one-distinct-shuffle sketch arm,
+    # so its ratio tracks the crossover the sketch exists for; the
+    # streaming row scales the applyInPandasWithState fold (O(k) state per
+    # (group, hash-shard)) over 10x the event feed.
+    "q_kmv_set_ops",
+    "q_stream_kmv_distinct",
 ]
 
 
