@@ -46,9 +46,18 @@ SHOWCASE = [
     ),
     (
         "q_corr_qty_price",
-        "One-pass moments: five bigint sums in a single partial→final "
-        "agg; the decimal close-out is per-group scalar math above the "
-        "combine.",
+        "One-pass moments: five decimal(38,0) sums in a single "
+        "partial→final agg (per-row products stay long arithmetic; the "
+        "exact decimal accumulator is what survives Σy² past int64 — the "
+        "r10 sf1-sweep find); the close-out is per-group scalar math "
+        "above the combine.",
+    ),
+    (
+        "q_kmv_set_ops",
+        "KMV theta set-ops (round 10): |A∪B| and |A∩B| from ONE merged "
+        "flagged sketch — a single distinct shuffle plus a ~64-row "
+        "tau-pruned top-k replaces a COUNT(DISTINCT) over the union AND "
+        "an intersection join; the exact arms ride the same scan.",
     ),
     (
         "q6_forecast_revenue",
