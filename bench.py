@@ -157,9 +157,11 @@ HEADLINE += [
     "q_sink_roundtrip",
     "q_dataset_loaders",
     # round-10 additions: the KMV sketch family (hash-exact approximate
-    # distinct) — the batch set-ops row and the stateful streaming gate
+    # distinct) — the batch set-ops row and the stateful streaming gate —
+    # and reciprocal-rank fusion over the BM25 + term-frequency arms
     "q_kmv_set_ops",
     "q_stream_kmv_distinct",
+    "q_rrf_fusion",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

@@ -504,3 +504,40 @@ def cosine_topk_self(
         scored.withColumn("sim_rank", F.row_number().over(win))
         .filter(F.col("sim_rank") <= k)
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str, k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack/Clarke/Buettcher,
+    SIGIR 2009 — the standard hybrid-retrieval combiner; beyond-reference:
+    the reference has no rank-fusion operator).
+
+    Each input frame carries ``id_col`` plus a 1-based ``rank`` column
+    unique within that frame.  Returns one row per id seen in ANY ranking
+    with the per-source ranks (``rank_0`` .. ``rank_{n-1}``, null where the
+    source missed the id) and ``rrf_score`` = Σ 1/(k + rank_i) over the
+    PRESENT sources.  The score is built as a fixed expression tree over
+    the N sources — per-row scalar math, not a float aggregation — so for
+    a fixed N it is bit-identical in any engine, under any partitioning,
+    and across task retries.
+
+    Scale shape: producers depth-cap their rankings (TakeOrdered), so the
+    fold full-outer-joins depth-sized frames; at production depths
+    (10^2-10^3 rows x a handful of scorers) every join is a broadcast and
+    the fused frame never exceeds N x depth rows.
+    """
+    assert rankings, "rrf_fuse needs at least one ranking"
+    fused = rankings[0].select(id_col, F.col("rank").alias("rank_0"))
+    for i, r in enumerate(rankings[1:], start=1):
+        fused = fused.join(
+            r.select(id_col, F.col("rank").alias(f"rank_{i}")),
+            id_col,
+            "full_outer",
+        )
+    score = None
+    for i in range(len(rankings)):
+        c = F.col(f"rank_{i}")
+        term = F.when(c.isNotNull(), F.lit(1.0) / (F.lit(k) + c)).otherwise(
+            F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return fused.withColumn("rrf_score", score)

@@ -154,17 +154,15 @@ LIMIT {_BM25_K}
 """
 
 
-@query("q_bm25_topk", _BM25_ORACLE)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k document retrieval for a literal term query.
+def _bm25_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bm25 doc scores, per-(doc, term) tf) for the fixed query literals —
+    shared by q_bm25_topk and the RRF fusion query.
 
     Plan: one token scan feeds both the doc-length aggregate and the
     term-filtered tf aggregate (the filter `token IN (...)` is pushed to the
     scan side of the tf branch, so the expensive groupBy only sees matching
     rows).  df and the (N, L) corpus stats are tiny aggregates — broadcast
-    to the scoring join.  The final top-k is orderBy().limit() =
-    TakeOrderedAndProject: per-partition heap, no global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    to the scoring join."""
     toks = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -190,14 +188,149 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_score"),
         )
     )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score_q"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    return doc_scores, tf
+
+
+@query("q_bm25_topk", _BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a literal term query.
+
+    The final top-k is orderBy().limit() = TakeOrderedAndProject:
+    per-partition heap, no global sort (plan notes in _bm25_frames)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_scores, _ = _bm25_frames(d)
+    return doc_scores.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(_BM25_K)
+
+
+# -- reciprocal-rank fusion (hybrid retrieval) --------------------------------
+# The standard combiner for heterogeneous retrieval stacks (RRF, SIGIR'09;
+# every hybrid lexical+vector RAG pipeline ships it): fuse the BM25 ranking
+# with a second, independent scorer of the same corpus — here the raw
+# query-term-frequency ranking — via score(d) = Σ_sources 1/(60 + rank_s(d)).
+# Exactness: both source scores are integer-exact, so the depth-capped ranks
+# are engine-stable; the fused score is a 2-term scalar expression (see
+# operators/similarity.rrf_fuse), bit-identical in DuckDB.  Scale shape:
+# each arm ends in TakeOrdered(depth); the fusion joins two depth-row
+# frames and the final window ranks <= 2·depth rows in one tiny task.
+
+_RRF_DEPTH = 30
+_RRF_K = 60
+_RRF_TOP = 15
+
+_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+qterms(token) AS (VALUES {_BM25_TERMS_SQL}),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN (SELECT token FROM qterms)
+  GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id,
+         ((2 * (s.n_docs - dfreq.df) + 1) * 1000000 // (2 * dfreq.df + 1))
+         * ((22 * tf.tf * s.total_len * 1000)
+            // (10 * tf.tf * s.total_len + 3 * s.total_len
+                + 9 * dl.dl * s.n_docs)) AS term_score
+  FROM tf
+  JOIN dfreq USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+bm_top AS (
+  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_q
+  FROM scored GROUP BY doc_id
+  ORDER BY score_q DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+bm_rank AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS INT)
+           AS rank_0
+  FROM bm_top
+),
+tf_top AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY doc_id
+  ORDER BY tf_total DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+tf_rank AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id ASC) AS INT)
+           AS rank_1
+  FROM tf_top
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id, b.rank_0, t.rank_1,
+         COALESCE(1.0::DOUBLE / ({_RRF_K} + b.rank_0), 0.0::DOUBLE)
+           + COALESCE(1.0::DOUBLE / ({_RRF_K} + t.rank_1), 0.0::DOUBLE)
+           AS rrf_score
+  FROM bm_rank b FULL OUTER JOIN tf_rank t ON b.doc_id = t.doc_id
+)
+SELECT doc_id, rank_0 AS bm25_rank, rank_1 AS tf_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT)
+         AS fused_rank
+FROM fused
+ORDER BY fused_rank LIMIT {_RRF_TOP}
+"""
+
+
+@query("q_rrf_fusion", _RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_scores, tf = _bm25_frames(d)
+    # each arm: TakeOrdered(depth) first, THEN row_number on the <= depth
+    # survivors — the single-partition window only ever sees depth rows
+    bm_top = doc_scores.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(
+        _RRF_DEPTH
+    )
+    bm_win = W.partitionBy(F.lit(0)).orderBy(F.desc("score_q"), F.asc("doc_id"))
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(bm_win).alias("rank")
+    )
+    tf_total = tf.groupBy("doc_id").agg(F.sum("tf").alias("tf_total"))
+    tf_top = tf_total.orderBy(F.desc("tf_total"), F.asc("doc_id")).limit(
+        _RRF_DEPTH
+    )
+    tf_win = W.partitionBy(F.lit(0)).orderBy(
+        F.desc("tf_total"), F.asc("doc_id")
+    )
+    tf_rank = tf_top.select(
+        "doc_id", F.row_number().over(tf_win).alias("rank")
+    )
+    fused = rrf_fuse([bm_rank, tf_rank], "doc_id", k=_RRF_K)
+    out_win = W.partitionBy(F.lit(0)).orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("term_score").alias("score_q"),
-            F.count(F.lit(1)).alias("n_terms"),
+        fused.select(
+            "doc_id",
+            F.col("rank_0").alias("bm25_rank"),
+            F.col("rank_1").alias("tf_rank"),
+            "rrf_score",
+            F.row_number().over(out_win).alias("fused_rank"),
         )
-        .orderBy(F.desc("score_q"), F.asc("doc_id"))
-        .limit(_BM25_K)
+        .orderBy("fused_rank")
+        .limit(_RRF_TOP)
     )
 
 

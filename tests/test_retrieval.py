@@ -220,3 +220,27 @@ def test_duplicate_spans_matches_brute_force(spark, docs):
         for r in duplicate_spans(df, "doc_id", "text", w=w).collect()
     }
     assert got == _brute_spans(docs, w)
+
+
+def test_rrf_fusion_oracle(spark, duck):
+    assert_oracle_match(spark, duck, "q_rrf_fusion")
+
+
+def test_rrf_fuse_operator_semantics(spark):
+    """rrf_fuse over three rankings: ids missing from a source contribute
+    nothing for it (null rank, no 1/(k+r) term), present ranks contribute
+    exactly 1/(k+r), and the fold keeps every id seen anywhere."""
+    from scalable_data_integration_with_llms_spark.operators.similarity import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, rank int")  # noqa: E731
+    a = mk([(1, 1), (2, 2)])
+    b = mk([(2, 1), (3, 2)])
+    c = mk([(3, 1)])
+    rows = {r["id"]: r for r in rrf_fuse([a, b, c], "id", k=10).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["rank_0"] == 1 and rows[1]["rank_1"] is None
+    assert rows[1]["rrf_score"] == 1.0 / 11
+    assert rows[2]["rrf_score"] == 1.0 / 12 + 1.0 / 11
+    assert rows[3]["rrf_score"] == 1.0 / 12 + 1.0 / 11
+    # symmetric-rank ties are a property, not an accident: 2 and 3 fuse equal
+    assert rows[2]["rrf_score"] == rows[3]["rrf_score"]
