@@ -165,6 +165,42 @@ HEADLINE += [
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N
+
+# sf1 battery (VERDICT r10 task #6): a ~40-row cross-subsystem subset that
+# gets per-query gates at the scale where the overflow class of bug lives
+# (10x the driver's sf0.1).  Selection: the heaviest/most scale-revealing
+# row per subsystem; excludes the O(N^2)-by-construction recall harnesses
+# (q_ann_recall et al. are not on HEADLINE anyway) and the fixture-driven
+# prompt renders whose cost is scale-independent.  Activated with
+# SPARK_GRAFT_BENCH_SET=sf1 (plus SPARK_GRAFT_SF_DIR=.scale_sf1).
+SF1_BATTERY = [
+    # relational core + joins
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q8_market_share", "q13_order_distribution", "q18_large_orders",
+    "q21_sole_failing_supplier", "q_salted_join_revenue",
+    "q_hot_cold_join_revenue", "q_bloom_join_pushdown",
+    "q_asof_latest_order", "q_scd2_intervals",
+    # windows / events / sessions
+    "q_events_hourly", "q_sessionization", "q_sliding_windows",
+    "q_session_paths", "q_event_transitions", "q_cohort_retention",
+    "q_user_value_trend", "q_corr_qty_price", "q_rfm_segments",
+    # matching pipeline (mapInPandas boundary + applyInPandas matcher)
+    "q_mock_match_scores", "q_bidirectional_scores", "q_stable_matching",
+    "q_alignment_prf1", "q_pipeline_e2e",
+    # dedup family
+    "q_dedup_exact", "q_dedup_clusters", "q_minhash_signatures",
+    "q_lsh_verified_pairs", "q_simhash_near_dup", "q_duplicate_spans",
+    # similarity / retrieval
+    "q_cosine_topk", "q_ann_ivf", "q_bm25_topk", "q_rrf_fusion",
+    "q_semdedup", "q_knn_classify",
+    # text analysis
+    "q_bpe_token_stats", "q_tfidf_top_terms", "q_langid",
+    "q_pmi_collocations", "q_contamination", "q_pack_sequences",
+    # sketches + streaming drains
+    "q_kmv_set_ops", "q_stream_hourly", "q_stream_cdc_apply",
+    "q_stream_kmv_distinct",
+]
+assert not set(SF1_BATTERY) - set(HEADLINE), "sf1 battery must be a HEADLINE subset"
 def _infer_round() -> int:
     """SPARK_GRAFT_ROUND if set, else one past the newest committed
     BENCH_r{N}.json — the driver writes that file at each round's end, so
@@ -215,6 +251,32 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "x int"
     ).collect()
 
+    battery = HEADLINE
+    bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET", "")
+    if bench_set == "sf1":
+        battery = SF1_BATTERY
+
+    # Drift anchor (VERDICT r10 task #7): a fixed, data- and code-churn-
+    # independent JVM spin — 150M modular mults on ONE core through
+    # whole-stage codegen, no shuffle, no I/O, no Python — timed like a
+    # query (median of 3 after one warm run).  Its round-over-round ratio
+    # measures the HOST, so bench_compare can report drift-normalized
+    # ratios instead of re-running a quiet-machine battery by hand every
+    # time the shared VM slows uniformly (r9 watch-list postmortem).
+    def _calibrate() -> dict:
+        def spin() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 450_000_000, 1, 1).selectExpr(
+                "sum(id * 2654435761 % 1000003) AS s"
+            ).collect()
+            return time.perf_counter() - t0
+
+        spin()  # warm (JIT on this exact plan)
+        runs = sorted(round(spin(), 4) for _ in range(3))
+        return {"sec": runs[1], "runs": runs, "work": "range(450e6,slices=1) sum(id*2654435761%1000003)"}
+
+    calibration = _calibrate()
+
     # Two timed runs per query; BOTH columns are reported so round-over-
     # round comparisons stay apples-to-apples:
     #   queries      — best-of-2, same semantics as BENCH_r02 (the min damps
@@ -233,7 +295,7 @@ def main() -> None:
     def sweep() -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
         timings_cold: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in battery:
             fn = QUERIES[name]
             runs = []
             for _ in range(2):
@@ -281,7 +343,9 @@ def main() -> None:
         "value_cold": round(sum(timings_cold.values()), 4),
         "queries_cold": timings_cold,
         "sf": sf,
-        "n_queries": len(HEADLINE),
+        "n_queries": len(battery),
+        "bench_set": bench_set or "headline",
+        "calibration": calibration,
         "runs": {
             "n": n_batteries,
             "totals": totals,
@@ -292,7 +356,7 @@ def main() -> None:
     }
     if n_batteries > 1:
         full["queries_runs"] = {
-            name: [b[0][name] for b in batteries] for name in HEADLINE
+            name: [b[0][name] for b in batteries] for name in battery
         }
     # Default output is an UNCOMMITTED path so a driver/judge re-run can't
     # overwrite the committed quiet-machine battery (BENCH_FULL.json is

@@ -521,9 +521,13 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str, k: int = 60) -> DataFrame:
     and across task retries.
 
     Scale shape: producers depth-cap their rankings (TakeOrdered), so the
-    fold full-outer-joins depth-sized frames; at production depths
-    (10^2-10^3 rows x a handful of scorers) every join is a broadcast and
-    the fused frame never exceeds N x depth rows.
+    fold full-outer-joins depth-sized frames.  Spark cannot broadcast a
+    full-outer join (both sides must stream), so these plan as sort-merge
+    joins — over <= depth-row inputs the shuffles are trivially small, and
+    the fused frame never exceeds N x depth rows.  If a single-shuffle
+    shape ever mattered (it does not at production depths of 10^2-10^3),
+    the same semantics are expressible as union + groupBy(id) + one
+    min(rank) per source tag.
     """
     assert rankings, "rrf_fuse needs at least one ranking"
     fused = rankings[0].select(id_col, F.col("rank").alias("rank_0"))

@@ -899,12 +899,14 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulate exactly on per-row quantized values — order-free — and the
 # closing formula is one double expression over identical integers in both
 # engines, hence bit-identical.  The per-row products stay in cheap long
-# arithmetic (≤ ~1e14), but the SUMs accumulate decimal(38,0): Σy² passes
+# arithmetic (≤ ~1e14), and the SUMs split by proven headroom: Σy² passes
 # int64 (~9.2e18) already at ~2M rows per group — the 10x scale sweep
 # caught exactly that overflow — while DuckDB's SUM(BIGINT) silently
-# widens to HUGEINT.  decimal(38,0) is exact, map-side-combinable, and
-# holds to ~1e38 (≈1e16 fact rows at these magnitudes).  Scale shape: one
-# map-side-combined hash aggregation; constant-size moment tuple per group.
+# widens to HUGEINT, so Σy² (and Σxy, which crosses at ~1.7e10 rows/group)
+# accumulate decimal(38,0) — exact, map-side-combinable, good to ~1e38 —
+# and the linear/small-product sums (Σx, Σy, Σx²) stay bigint, each with
+# ≥12x headroom at 100 TB group sizes (bounds inline below).  Scale shape:
+# one map-side-combined hash aggregation; constant-size moment tuple.
 
 _CORR_ORACLE = """
 WITH m AS (
@@ -936,13 +938,22 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("bigint")
     y = cents("l_extendedprice")
+    # Only the sums whose PER-ROW terms are large enough to cross int64 at
+    # plausible group sizes pay the decimal(38,0) accumulator (r10 found the
+    # Σy² overflow; r11 claws back the rest — VERDICT r10 task #5):
+    #   Σx   (x ≤ 50)        bigint-safe to ~1.8e17 rows/group
+    #   Σx²  (x² ≤ 2500)     bigint-safe to ~3.7e15 rows/group
+    #   Σy   (y ≤ ~1.1e7)    bigint-safe to ~8e11 rows/group — 100 TB TPC-H
+    #                        is ~2e11 rows per returnflag, ~12x headroom
+    #   Σxy  (xy ≤ ~5.5e8)   crosses int64 at ~1.7e10 rows/group → decimal
+    #   Σy²  (y² ≤ ~1.2e14)  crosses int64 at ~7.6e4 rows/group → decimal
     acc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(acc(x)).alias("sx"),
-        F.sum(acc(y)).alias("sy"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
         F.sum(acc(x * y)).alias("sxy"),
-        F.sum(acc(x * x)).alias("sxx"),
+        F.sum(x * x).alias("sxx"),
         F.sum(acc(y * y)).alias("syy"),
     )
     # the closing arithmetic also runs in decimal(38,0) — exact integers,
@@ -1169,16 +1180,17 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events_ntz(spark, sf_dir)
     x = F.expr("timestampdiff(MINUTE, timestamp_ntz'2024-01-01 00:00:00', ts)")
     y = cents("value", 1000)
-    # same decimal(38,0) moment accumulation as q_corr_qty_price: per-row
-    # products stay long (≤ ~1e11 here), the sums widen exactly like the
-    # oracle's HUGEINT — per-user groups are small today, but a longer time
-    # span (larger x) times a heavier per-user history would push Σxy past
-    # int64 long before 100 TB
+    # decimal(38,0) moment accumulation as in q_corr_qty_price, clawed back
+    # to the sums that can actually cross int64 (VERDICT r10 task #5): the
+    # PRODUCT sums Σxy/Σx² (x is minutes-since-epoch-anchor, ~1e7 at decade
+    # horizons, so x² ~1e14/row and a heavy per-user history overflows long
+    # before 100 TB) stay decimal; the LINEAR sums Σx/Σy (per-row ≤ ~1e8)
+    # are bigint-safe to ≥1e10 events per user
     acc = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(acc(x)).alias("sx"),
-        F.sum(acc(y)).alias("sy"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
         F.sum(acc(x * y)).alias("sxy"),
         F.sum(acc(x * x)).alias("sxx"),
     )

@@ -485,7 +485,7 @@ sz AS (SELECT doc, COUNT(*) AS sz FROM s2 GROUP BY doc),
 i AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
       FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b, inter * 1.0 / (x.sz + y.sz - inter) AS true_jaccard
   FROM i JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
   WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
@@ -493,7 +493,7 @@ pairs AS (
 perms AS (SELECT unnest(range(0, 12)) AS p),
 hashed AS (SELECT doc, p, ('0x' || substr(md5(p || ':' || shingle), 1, 15))::BIGINT AS h
            FROM s CROSS JOIN perms),
-minh AS (SELECT doc, p, MIN(h) AS minh FROM hashed GROUP BY doc, p)
+minh AS MATERIALIZED (SELECT doc, p, MIN(h) AS minh FROM hashed GROUP BY doc, p)
 SELECT pr.doc_a, pr.doc_b, pr.true_jaccard,
        CAST(SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS BIGINT) AS matching_perms,
        SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) / 12.0 AS est_jaccard

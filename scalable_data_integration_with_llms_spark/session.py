@@ -58,6 +58,12 @@ def get_spark(app_name: str = "sdi-spark", shuffle_partitions: int | None = None
     # first-attempt task failures that Spark then recomputes
     max_failures = os.environ.get("SDI_TASK_MAX_FAILURES")
     master = f"local[{cpus},{int(max_failures)}]" if max_failures else f"local[{cpus}]"
+    # multi-JVM execution axis (VERDICT r10 task #1): SDI_MASTER overrides
+    # the master string entirely — e.g. ``local-cluster[2,4,4096]`` spawns
+    # two SEPARATE executor JVMs, exercising real closure serialization,
+    # broadcast over RPC, and shuffle through the block manager, none of
+    # which the single-JVM local[N] master can prove
+    master = os.environ.get("SDI_MASTER", master)
     # generic adversarial-sweep hook: "key=value;key=value" pairs applied
     # last, so a sweep can toggle any conf (codegen, AQE, ...) without a
     # dedicated env var per knob

@@ -100,25 +100,43 @@ def main() -> int:
               + (" (invoked with --no-run, so nothing was benched)" if args.no_run else ""))
         return 1
     with open(out_path) as f:
-        now = json.load(f)["queries"]
+        now_doc = json.load(f)
+    now = now_doc["queries"]
+
+    # Drift anchor (VERDICT r10 task #7): when BOTH batteries carry the
+    # fixed-work JVM calibration row bench.py measures, their ratio is the
+    # host's own speed change — divide it out of every per-query ratio so
+    # a uniform shared-VM slowdown (the r9 watch-list postmortem) never
+    # reads as regression, and a real regression still shows through on a
+    # drifted host.  Flagging uses the NORMALIZED ratio when the anchor
+    # exists, the raw ratio otherwise.
+    base_cal = ((doc.get("calibration") or {}).get("sec")) or None
+    now_cal = ((now_doc.get("calibration") or {}).get("sec")) or None
+    drift = (now_cal / base_cal) if (base_cal and now_cal) else None
 
     regressed = []
-    print(f"{'query':<28}{'base':>8}{'now':>8}{'ratio':>8}{'gate':>7}")
+    hdr_norm = f"{'norm':>8}" if drift else ""
+    print(f"{'query':<28}{'base':>8}{'now':>8}{'ratio':>8}{hdr_norm}{'gate':>7}")
     for name, t in now.items():
         b = base.get(name)
         ratio = (t / b) if b else float("nan")
+        norm = (ratio / drift) if (b and drift) else ratio
         gate = (
             effective_threshold(name, args.threshold, base_runs, host_spread)
             if b
             else float("nan")
         )
         flag = ""
-        if b and ratio > gate:
+        if b and norm > gate:
             regressed.append((name, b, t, gate))
             flag = "  << REGRESSED"
         if b is None:
             flag = "  (new)"
-        print(f"{name:<28}{b if b else 0:>8.2f}{t:>8.2f}{ratio:>8.2f}{gate:>7.2f}{flag}")
+        norm_col = f"{norm:>8.2f}" if drift else ""
+        print(f"{name:<28}{b if b else 0:>8.2f}{t:>8.2f}{ratio:>8.2f}{norm_col}{gate:>7.2f}{flag}")
+    if drift:
+        print(f"\nhost drift anchor: calibration {base_cal:.2f}s -> {now_cal:.2f}s "
+              f"= {drift:.3f}x (per-query 'norm' = ratio / drift; gates apply to norm)")
     # both totals over the SHARED key set — summing all current queries
     # would inflate the ratio whenever new queries exist
     total_b = sum(v for k, v in base.items() if k in now)
