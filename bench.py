@@ -162,6 +162,9 @@ HEADLINE += [
     "q_kmv_set_ops",
     "q_stream_kmv_distinct",
     "q_rrf_fusion",
+    # round-11 addition: sorted-neighborhood blocking (two-level prefix-sum
+    # global rank + width-w rank-cell equi-join)
+    "q_er_sorted_neighborhood",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

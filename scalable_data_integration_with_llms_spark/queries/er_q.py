@@ -347,3 +347,115 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_parts").cast("bigint").alias("n_parts"),
         (F.sum("price_cents") / F.lit(100.0)).alias("total_price"),
     )
+
+
+# -- sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995) -----------
+# The third classic blocking family next to the engine's equi-key blocking
+# (q_fuzzy_er_names, q_er_entities) and LSH banding (dedup family): sort all
+# records by a blocking key and compare only records whose positions in that
+# order differ by less than a window w.  Beyond-reference, additive — the
+# reference resolves schemas, not records; SNM is the standard record-level
+# companion a data-integration engine needs.
+#
+# Scale shape (the part worth getting right): the global position over an
+# arbitrary sort key CANNOT be a plain row_number window (single-partition
+# sort).  Instead the same two-level parallel prefix sum as
+# q_concat_chunk_bins, but bucketed by a coarse PREFIX OF THE SORT KEY
+# itself — a pure function of the data, so ranks are exact under any
+# partitioning, task retries, and speculative re-execution (a sampled
+# range-partitioner would not be) — and since the bucket is a prefix,
+# bucket order + in-bucket key order == total key order.  Candidate pairs
+# then come from an equi-join on rank cells of width w (each left row also
+# probes the next cell), never from a rank-distance theta-join: every
+# (gap < w) pair lands in the same or adjacent cell, each exactly once.
+# Per-record work is O(w); the whole operator is two small aggs, one
+# broadcast, and one equi-join — no all-pairs set at any scale.
+
+_SN_W = 4  # window width: compare records < 4 positions apart
+_SN_PREFIX = 24  # blocking key: first 24 chars, lowercased
+_SN_BUCKET_CHARS = 3  # coarse prefix-sum bucket (pure function of the key)
+_SN_EDIT_MAX = 8  # emit only candidate pairs this close in edit distance
+
+_SN_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, lower(substr(text, 1, {_SN_PREFIX})) AS sk FROM documents
+),
+r AS (
+  SELECT doc_id, sk, ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rn FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+       CAST(levenshtein(a.sk, b.sk) AS INTEGER) AS edit_dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {_SN_W}
+WHERE levenshtein(a.sk, b.sk) <= {_SN_EDIT_MAX}
+"""
+
+
+def sorted_neighborhood_pairs(
+    d: DataFrame,
+    id_col: str,
+    key: Column,
+    w: int = _SN_W,
+    bucket_chars: int = _SN_BUCKET_CHARS,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, rank_gap) whose positions in the
+    (key, id) total order differ by 0 < gap < w.  Exact global ranks via
+    the key-prefix two-level prefix sum; pairs via the width-w rank-cell
+    equi-join described above.  Returns sk columns for downstream match
+    scoring."""
+    k = d.select(
+        F.col(id_col).alias("id"),
+        key.alias("sk"),
+    ).withColumn("bkt", F.substring("sk", 1, bucket_chars))
+
+    # level 1: per-bucket counts -> exclusive offsets (tiny frame, one
+    # window over the bucket list), broadcast back
+    sub = k.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    w_bkt = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sub.select(
+        "bkt", F.coalesce(F.sum("n").over(w_bkt), F.lit(0)).alias("off")
+    )
+
+    # level 2: row_number only WITHIN a bucket; bucket order + in-bucket
+    # (sk, id) order == total (sk, id) order because bkt is a prefix of sk
+    w_in = W.partitionBy("bkt").orderBy("sk", "id")
+    ranked = (
+        k.join(F.broadcast(offsets), "bkt")
+        .select("id", "sk", (F.col("off") + F.row_number().over(w_in)).alias("rn"))
+        .withColumn("cell", F.floor(F.col("rn") / F.lit(w)))
+    )
+
+    left = ranked.select(
+        F.col("id").alias("id_a"), F.col("sk").alias("sk_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(F.col("cell"), F.col("cell") + 1)).alias("jc"),
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"), F.col("sk").alias("sk_b"),
+        F.col("rn").alias("rn_b"), F.col("cell").alias("jc"),
+    )
+    return (
+        left.join(right, "jc")
+        .filter((F.col("rn_b") > F.col("rn_a")) & (F.col("rn_b") - F.col("rn_a") < w))
+        .select("id_a", "id_b", "sk_a", "sk_b", (F.col("rn_b") - F.col("rn_a")).alias("rank_gap"))
+    )
+
+
+@query("q_er_sorted_neighborhood", _SN_ORACLE)
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM candidate pairs over documents (blocking key = lowercased 24-char
+    text prefix, w = 4) filtered to near matches (edit distance <= 8) — the
+    blocking+matching shape of a record-linkage pass.  levenshtein stays
+    JVM-side and agrees exactly with DuckDB's."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.lower(F.substring("text", 1, _SN_PREFIX))
+    pairs = sorted_neighborhood_pairs(d, "doc_id", key, w=_SN_W)
+    return (
+        pairs.filter(F.levenshtein("sk_a", "sk_b") <= _SN_EDIT_MAX)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("rank_gap").cast("bigint").alias("rank_gap"),
+            F.levenshtein("sk_a", "sk_b").alias("edit_dist"),
+        )
+    )

@@ -85,3 +85,37 @@ def test_zorder_write_tightens_file_ranges(spark, tmp_path):
     mean_area = sum(areas) / len(areas)
     # 16 curve segments ≈ 1/16 of the plane each; allow 2x slop
     assert mean_area < full_area / 8, (mean_area, full_area, len(areas))
+
+
+def test_sorted_neighborhood_exact_pairs(spark):
+    """SNM candidate pairs must be EXACTLY the 0 < gap < w pairs of the
+    (key, id) total order — including pairs that straddle a prefix-bucket
+    boundary and pairs that straddle a rank-cell boundary (the two seams
+    of the two-level construction)."""
+    from itertools import combinations
+
+    from scalable_data_integration_with_llms_spark.queries.er_q import (
+        sorted_neighborhood_pairs,
+    )
+
+    # keys chosen so buckets (first 3 chars) split mid-order: aaX < abX,
+    # ids break the tie inside "aaq"
+    rows = [
+        (1, "aaq one"), (2, "aaq two"), (3, "aar"), (4, "abb"),
+        (5, "abc"), (6, "abd"), (7, "zzz"), (8, "aaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    w = 3
+    got = {
+        (r.id_a, r.id_b, r.rank_gap)
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", F.substring("text", 1, 7), w=w
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1][:7], r[0]))
+    expect = {
+        (order[i][0], order[j][0], j - i)
+        for i, j in combinations(range(len(order)), 2)
+        if j - i < w
+    }
+    assert got == expect, got ^ expect
