@@ -202,6 +202,8 @@ SF1_BATTERY = [
     # sketches + streaming drains
     "q_kmv_set_ops", "q_stream_hourly", "q_stream_cdc_apply",
     "q_stream_kmv_distinct",
+    # round-11 addition rides the sf1 battery from birth
+    "q_er_sorted_neighborhood",
 ]
 assert not set(SF1_BATTERY) - set(HEADLINE), "sf1 battery must be a HEADLINE subset"
 def _infer_round() -> int:

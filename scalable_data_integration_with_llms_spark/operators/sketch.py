@@ -151,8 +151,11 @@ def kmv_k_mins(
     whenever >= k hashes survive.  If fewer than k ever survived, the k-th
     min would be NULL and the consumer (and the DuckDB oracle, which does
     no pruning) fails loud rather than silently estimating off a truncated
-    sketch.  tau itself is engine-internal float — it never reaches
-    results.  Ties on h are broken by the key so flag-carrying consumers
+    sketch.  The tau comparison is EXACT integer arithmetic (r11, closing
+    the r10 verdict observation): ``h < SAFETY*k*2^60 / n`` is evaluated
+    as ``h * n < SAFETY*k*2^60`` in decimal(38,0) — h*n <= 2^60 * 1e16
+    fits with room — so not even the engine-internal prune carries a
+    float.  Ties on h are broken by the key so flag-carrying consumers
     (kmv set ops) stay deterministic even under 60-bit hash collisions.
     """
     carry = carry_cols or []
@@ -178,10 +181,11 @@ def kmv_k_mins(
     cnt = hashed.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("exact_distinct")
     )
-    tau = F.lit(float(KMV_SAFETY * k * KMV_TWO_60)) / F.col("exact_distinct")
+    # the numerator exceeds int64, so it rides in as a decimal literal
+    tau_num = F.expr(f"CAST('{KMV_SAFETY * k * KMV_TWO_60}' AS DECIMAL(38,0))")
     pruned = hashed.join(cnt, group_cols).filter(
         (F.col("exact_distinct") <= F.lit(KMV_SAFETY * k))
-        | (F.col("h").cast("double") < tau)
+        | (F.col("h").cast("decimal(38,0)") * F.col("exact_distinct") < tau_num)
     )
     win = W.partitionBy(*group_cols).orderBy("h", "_kmv_key")
     return (

@@ -100,6 +100,7 @@ def ensure_mock_service() -> tuple[int, dict]:
             threading.Thread(target=srv.serve_forever, daemon=True).start()
             _STATE["port"] = srv.server_address[1]
             _STATE["stats"] = srv.stats
+            _STATE["state_lock"] = srv.state_lock
         return _STATE["port"], _STATE["stats"]  # type: ignore[return-value]
 
 
@@ -142,8 +143,17 @@ WHERE doc_id < {_N_DOCS}
 def q_llm_boundary_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 end-to-end: documents slice → repartition(4) (4 request batches)
     → ``llm_map`` POSTs to the localhost mock → first two requests 503 →
-    bounded-backoff retry → deterministic scores, full DuckDB oracle."""
-    port, _ = ensure_mock_service()
+    bounded-backoff retry → deterministic scores, full DuckDB oracle.
+
+    The fail budget RE-ARMS on every invocation (r10 verdict observation:
+    a per-process budget meant only the first invocation in a sweep
+    exercised the 503-retry path; now every repetition does — later
+    ``collect()``s of the SAME returned frame still take the healthy path,
+    which is fine: the retry leg is per-invocation evidence, not
+    per-action)."""
+    port, stats = ensure_mock_service()
+    with _STATE["state_lock"]:  # the handler's own lock, not the module's
+        stats["fail_budget"] = _FAIL_FIRST
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _N_DOCS)

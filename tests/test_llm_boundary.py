@@ -68,10 +68,12 @@ def test_llm_boundary_http_integration(spark):
     reqs = after["requests"] - before["requests"]
     served = after["served"] - before["served"]
     assert served == 4  # one successful POST per partition batch
-    # the injected 503s were consumed (here or by an earlier call this
-    # process) and every failure was retried to success
+    # the query re-arms the fail budget on EVERY invocation (r11), so this
+    # call always consumed exactly _FAIL_FIRST injected 503s and retried
+    # each to success — regardless of earlier calls in the process
     assert after["fail_budget"] == 0
-    assert reqs == served + (before["fail_budget"] - after["fail_budget"])
+    assert reqs == served + _FAIL_FIRST
+    del before  # rearm makes the pre-call snapshot uninformative
 
 
 def test_generation_to_validation_glue(spark):

@@ -469,3 +469,15 @@ def test_table_overlap_is_one_job_shape(spark):
     assert "FullOuter" in plan
     c = table_overlap(g, p, ["a", "b"], "t")
     assert (c.tp, c.fp, c.fn) == (80, 0.0, 20)
+
+
+def test_sorted_neighborhood_no_theta_join(spark):
+    """SNM (r11): the pair stage must be an EQUI-join on the rank cell —
+    never a rank-distance theta join (BroadcastNestedLoop/CartesianProduct)
+    — and the prefix-sum offsets frame must broadcast back, so no stage
+    sorts the whole corpus in one partition."""
+    plan = _plan(spark, "q_er_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # offsets join + (at test scale) the cell join both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")

@@ -46,11 +46,19 @@ SHOWCASE = [
     ),
     (
         "q_corr_qty_price",
-        "One-pass moments: five decimal(38,0) sums in a single "
-        "partial→final agg (per-row products stay long arithmetic; the "
-        "exact decimal accumulator is what survives Σy² past int64 — the "
-        "r10 sf1-sweep find); the close-out is per-group scalar math "
-        "above the combine.",
+        "One-pass moments in a single partial→final agg (per-row products "
+        "stay long arithmetic); only Σxy/Σy² — the sums that can cross "
+        "int64 at plausible group sizes (the r10 sf1-sweep find) — pay the "
+        "decimal(38,0) accumulator, Σx/Σy/Σx² stay bigint (r11 clawback); "
+        "the close-out is per-group scalar math above the combine.",
+    ),
+    (
+        "q_er_sorted_neighborhood",
+        "Sorted-neighborhood blocking (round 11): exact global ranks from "
+        "a two-level prefix sum bucketed by a prefix of the sort key (the "
+        "offsets frame broadcasts back; no single-partition sort), then "
+        "candidate pairs from a width-w rank-cell equi-join — per-record "
+        "work O(w), no rank-distance theta join anywhere.",
     ),
     (
         "q_kmv_set_ops",

@@ -1,0 +1,55 @@
+#!/bin/bash
+# Full-registry correctness sweeps, one per adversarial/evidence axis
+# (mechanizes the env-var recipes used ad hoc since r8 so any round — or
+# the judge — can reproduce an axis with one command).
+#
+#   tools/run_axes.sh <round> <axis> [axis ...]
+#   tools/run_axes.sh 11 TZ ANSI CODEGEN
+#
+# Writes CORRECTNESS_<AXIS>_r<round>.json at the repo root (FULL/SF01/
+# SF0001 keep their historical names).  Each axis is one fresh python
+# process so session confs cannot leak between axes.
+set -u
+ROUND=$(printf '%02d' "$1"); shift
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$ROOT"
+
+run() { # name, then env pairs, then optional extra check_correctness args after --
+  local name="$1"; shift
+  local out="CORRECTNESS_${name}_r${ROUND}.json"
+  local envs=()
+  while [ $# -gt 0 ] && [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  [ $# -gt 0 ] && shift # drop --
+  echo "=== axis $name -> $out (env: ${envs[*]:-none}; args: $*)"
+  env "${envs[@]}" python tools/check_correctness.py --out "$out" "$@"
+}
+
+for axis in "$@"; do
+  case "$axis" in
+    FULL)   run FULL ;;
+    SF01)   run SF01 -- --sf-dir /root/testdata/sf0.1 ;;
+    SF0001) run SF0001 -- --sf-dir /root/testdata/sf0.001 ;;
+    SF1)    run SF1 -- --sf-dir "$ROOT/.scale_sf1" --oracle-budget 900 \
+                 --skip-query 'q_ann_recall|q_ivf_recall|q_ann_plane_sweep|q_ivf_nprobe_sweep' ;;
+    TZ)     run TZ SDI_SESSION_TZ=Asia/Kolkata ;;
+    TZDST)  run TZDST SDI_SESSION_TZ=America/New_York ;;
+    ANSI)   run ANSI SDI_ANSI=false ;;
+    CODEGEN) run CODEGEN SDI_EXTRA_CONF='spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN' ;;
+    NOAQE)  run NOAQE SDI_EXTRA_CONF='spark.sql.adaptive.enabled=false' ;;
+    ADVERSARIAL) run ADVERSARIAL SPARK_GRAFT_CPUS=3 SDI_SHUFFLE_PARTITIONS=7 ;;
+    COMBINED) run COMBINED SPARK_GRAFT_CPUS=3 SDI_SHUFFLE_PARTITIONS=7 \
+                  SDI_SESSION_TZ=Asia/Kolkata \
+                  SDI_EXTRA_CONF='spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN;spark.sql.adaptive.enabled=false' ;;
+    RETRY)  run RETRY SDI_FLAKY_SOURCES=1 SDI_TASK_MAX_FAILURES=4 ;;
+    # speculation is a NO-OP under any local[N] master (the task scheduler
+    # disables it when isLocal), so the speculative-duplicate adversary
+    # needs the multi-JVM master; flaky sources ride along so retries AND
+    # speculative copies interleave in one sweep
+    SPECULATION) run SPECULATION SDI_FLAKY_SOURCES=1 SDI_MASTER='local-cluster[2,4,4096]' \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4' ;;
+    ARROW)  run ARROW SDI_EXTRA_CONF='spark.sql.execution.arrow.maxRecordsPerBatch=7' ;;
+    CLUSTER) run CLUSTER SDI_MASTER='local-cluster[2,4,4096]' \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT" ;;
+    *) echo "unknown axis $axis" >&2; exit 2 ;;
+  esac
+done
