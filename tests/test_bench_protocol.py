@@ -94,3 +94,29 @@ def test_parse_extra_conf():
         parse_extra_conf("a=1;spark.bar;b=2")
     with pytest.raises(ValueError, match="malformed"):
         parse_extra_conf("=v")  # empty key is malformed too
+
+
+def test_drift_ratio_both_anchors():
+    from bench_compare import drift_ratio
+
+    base = {"calibration": {"sec": 1.0}}
+    now = {"calibration": {"sec": 1.25}}
+    assert drift_ratio(base, now) == 1.25
+
+
+def test_drift_ratio_missing_or_zero_anchor_is_none():
+    from bench_compare import drift_ratio
+
+    assert drift_ratio({}, {"calibration": {"sec": 1.2}}) is None
+    assert drift_ratio({"calibration": {"sec": 1.2}}, {}) is None
+    # zero sec (degenerate timing) must read as missing, not divide
+    assert drift_ratio({"calibration": {"sec": 0.0}},
+                       {"calibration": {"sec": 1.2}}) is None
+
+
+def test_committed_battery_carries_calibration_anchor():
+    """The committed BENCH_FULL.json must carry the r11+ drift anchor so
+    the NEXT round's compare can normalize host drift."""
+    doc = load_baseline(os.path.join(ROOT, "BENCH_FULL.json"))
+    cal = doc.get("calibration") or {}
+    assert cal.get("sec", 0) > 0 and len(cal.get("runs", [])) == 3

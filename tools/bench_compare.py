@@ -42,6 +42,16 @@ def load_baseline(path: str) -> dict:
     return doc
 
 
+def drift_ratio(base_doc: dict, now_doc: dict) -> float | None:
+    """Host-drift ratio from the two batteries' fixed-work calibration rows
+    (bench.py `calibration.sec`), or None when either side lacks one —
+    callers then fall back to raw ratios.  A zero/absent sec is treated as
+    missing, never as a divide-by-zero."""
+    base_cal = ((base_doc.get("calibration") or {}).get("sec")) or None
+    now_cal = ((now_doc.get("calibration") or {}).get("sec")) or None
+    return (now_cal / base_cal) if (base_cal and now_cal) else None
+
+
 def effective_threshold(
     name: str,
     floor: float,
@@ -110,9 +120,9 @@ def main() -> int:
     # reads as regression, and a real regression still shows through on a
     # drifted host.  Flagging uses the NORMALIZED ratio when the anchor
     # exists, the raw ratio otherwise.
+    drift = drift_ratio(doc, now_doc)
     base_cal = ((doc.get("calibration") or {}).get("sec")) or None
     now_cal = ((now_doc.get("calibration") or {}).get("sec")) or None
-    drift = (now_cal / base_cal) if (base_cal and now_cal) else None
 
     regressed = []
     hdr_norm = f"{'norm':>8}" if drift else ""
