@@ -262,9 +262,13 @@ def main() -> None:
         battery = SF1_BATTERY
 
     # Drift anchor (VERDICT r10 task #7): a fixed, data- and code-churn-
-    # independent JVM spin — 150M modular mults on ONE core through
+    # independent JVM spin — 450M modular mults on ONE core through
     # whole-stage codegen, no shuffle, no I/O, no Python — timed like a
-    # query (median of 3 after one warm run).  Its round-over-round ratio
+    # query (median of 3 after one warm run).  The 450_000_000 constant is
+    # LOAD-BEARING: every committed battery's calibration assumes this
+    # exact work, so changing it invalidates every cross-round drift
+    # ratio — never touch it without re-baselining BENCH_FULL.json.
+    # Its round-over-round ratio
     # measures the HOST, so bench_compare can report drift-normalized
     # ratios instead of re-running a quiet-machine battery by hand every
     # time the shared VM slows uniformly (r9 watch-list postmortem).

@@ -402,11 +402,20 @@ def sorted_neighborhood_pairs(
     (key, id) total order differ by 0 < gap < w.  Exact global ranks via
     the key-prefix two-level prefix sum; pairs via the width-w rank-cell
     equi-join described above.  Returns sk columns for downstream match
-    scoring."""
+    scoring.
+
+    CONTRACT: rows whose blocking key is NULL are EXCLUDED up front (a
+    NULL key has no position in the sort order; previously the null-unsafe
+    bkt equi-join dropped them silently — ADVICE r11 asked for this to be
+    explicit so callers without a downstream key predicate aren't
+    surprised).  Callers needing NULL-key records must route them through
+    a separate block."""
     k = d.select(
         F.col(id_col).alias("id"),
         key.alias("sk"),
-    ).withColumn("bkt", F.substring("sk", 1, bucket_chars))
+    ).filter(F.col("sk").isNotNull()).withColumn(
+        "bkt", F.substring("sk", 1, bucket_chars)
+    )
 
     # level 1: per-bucket counts -> exclusive offsets (tiny frame, one
     # window over the bucket list), broadcast back

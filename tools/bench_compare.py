@@ -151,8 +151,12 @@ def main() -> int:
     # would inflate the ratio whenever new queries exist
     total_b = sum(v for k, v in base.items() if k in now)
     total_n = sum(v for k, v in now.items() if k in base)
+    # on a drifted host, print the normalized total next to the raw one so
+    # the headline agrees with the per-query verdicts (ADVICE r11)
+    norm_total = (f"  normalized {total_n / total_b / drift:.2f}x (raw/drift)"
+                  if drift else "")
     print(f"\ntotal (shared queries): base {total_b:.1f}s -> now {total_n:.1f}s "
-          f"({total_n / total_b:.2f}x)  baseline={os.path.basename(baseline_path)}"
+          f"({total_n / total_b:.2f}x){norm_total}  baseline={os.path.basename(baseline_path)}"
           + (f"  baseline battery spread {host_spread}x over "
              f"{(doc.get('runs') or {}).get('n')} runs" if host_spread else
              "  (baseline has no run metadata; flat threshold)"))

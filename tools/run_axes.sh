@@ -14,6 +14,10 @@ ROUND=$(printf '%02d' "$1"); shift
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$ROOT"
 
+# Overall exit status must reflect EVERY axis, not just the last one run
+# (ADVICE r11): each run()'s exit code is accumulated into RC and echoed,
+# and the script exits non-zero if any axis failed.
+RC=0
 run() { # name, then env pairs, then optional extra check_correctness args after --
   local name="$1"; shift
   local out="CORRECTNESS_${name}_r${ROUND}.json"
@@ -22,6 +26,9 @@ run() { # name, then env pairs, then optional extra check_correctness args after
   [ $# -gt 0 ] && shift # drop --
   echo "=== axis $name -> $out (env: ${envs[*]:-none}; args: $*)"
   env "${envs[@]}" python tools/check_correctness.py --out "$out" "$@"
+  local rc=$?
+  echo "=== axis $name exit=$rc"
+  [ "$rc" -ne 0 ] && RC=1
 }
 
 for axis in "$@"; do
@@ -29,8 +36,10 @@ for axis in "$@"; do
     FULL)   run FULL ;;
     SF01)   run SF01 -- --sf-dir /root/testdata/sf0.1 ;;
     SF0001) run SF0001 -- --sf-dir /root/testdata/sf0.001 ;;
-    SF1)    run SF1 -- --sf-dir "$ROOT/.scale_sf1" --oracle-budget 900 \
-                 --skip-query 'q_ann_recall|q_ivf_recall|q_ann_plane_sweep|q_ivf_nprobe_sweep' ;;
+    # r12: the four recall harnesses moved to fixed-anchor ground truth
+    # (O(anchors x N)), so the last skip-by-design rows are gone — the SF1
+    # axis now runs the FULL registry
+    SF1)    run SF1 -- --sf-dir "$ROOT/.scale_sf1" --oracle-budget 900 ;;
     TZ)     run TZ SDI_SESSION_TZ=Asia/Kolkata ;;
     TZDST)  run TZDST SDI_SESSION_TZ=America/New_York ;;
     ANSI)   run ANSI SDI_ANSI=false ;;
@@ -53,3 +62,4 @@ for axis in "$@"; do
     *) echo "unknown axis $axis" >&2; exit 2 ;;
   esac
 done
+exit "$RC"
