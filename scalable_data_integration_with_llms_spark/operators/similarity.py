@@ -226,11 +226,19 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    query_pred: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k via hyperplane-LSH bucketing: candidates limited to
     the query's bucket (equi-join on the bucket id), then exact cosine +
     window top-k — the cosine twin of ``ivf_topk`` with a computed, rather
-    than learned, coarse partition."""
+    than learned, coarse partition.
+
+    ``query_pred`` (a predicate over ``df``'s columns) restricts the QUERY
+    side to an anchor panel while the corpus/bucket structure stays whole —
+    the asymmetric path broadcasts the (small) anchor frame against the
+    bucketed corpus, O(anchors × bucket size) instead of the symmetric
+    all-pairs-within-bucket N²/buckets.  This is what makes the recall
+    harnesses linear at any scale (VERDICT r11 task #4)."""
     from pyspark.sql import Window as W
 
     # persist: the bucket self-join references the signature frame twice and
@@ -239,7 +247,8 @@ def lsh_topk(
         hyperplane_signature(df, n_planes, id_col, vec_col, dim=dim)
         .withColumn("v_norm", norm(F.col(vec_col)))
     )
-    q = sigs.select(
+    q_src = sigs.filter(query_pred) if query_pred is not None else sigs
+    q = q_src.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("v_norm").alias("q_norm"),
@@ -251,6 +260,22 @@ def lsh_topk(
         F.col("v_norm").alias("c_norm"),
         "bucket",
     )
+    if query_pred is not None:
+        win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            F.broadcast(q)
+            .join(c, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ).alias("cos_sim"),
+            )
+            .withColumn("sim_rank", F.row_number().over(win))
+            .filter(F.col("sim_rank") <= k)
+        )
     # Each unordered pair is scored ONCE (query_id < neighbor_id) and then
     # mirrored: x*y and the fold order are symmetric, so the mirrored score
     # is bit-identical while the dominant cosine fold costs half.  Every

@@ -274,6 +274,16 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- ANN quality: recall@k of the LSH path against exact top-k ----------------
+# The recall measurement runs over a FIXED 64-query anchor panel (the
+# standard ANN-bench shape: a pinned query set against a growing corpus).
+# This is what makes the harness linear at any scale — exact ground truth
+# is O(anchors × N) instead of the all-queries O(N²), and the ANN probe arm
+# broadcasts the anchor frame against the bucketed corpus (VERDICT r11
+# task #4: these four recall harnesses were the last sf1 skip-by-design
+# rows).  The corpus-side index structure (buckets / partitions) stays
+# whole, so the recall numbers still measure the real index.
+
+_N_ANCHORS = 64
 
 _ANN_RECALL_ORACLE = _LSH_PLANE_CTE + f""",
 v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
@@ -287,6 +297,7 @@ ann AS (
     FROM buckets qb JOIN buckets cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
     JOIN v qv ON qb.vec_id = qv.vec_id
     JOIN v cv ON cb.vec_id = cv.vec_id
+    WHERE qb.vec_id < {_N_ANCHORS}
   ) WHERE r <= {_K}
 ),
 exact AS (
@@ -294,7 +305,7 @@ exact AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
     FROM embeddings q CROSS JOIN embeddings c
-    WHERE q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_N_ANCHORS} AND q.vec_id <> c.vec_id
   ) WHERE r <= {_K}
 )
 SELECT COUNT(*) AS n_queries,
@@ -312,15 +323,19 @@ FROM (
 @query("q_ann_recall", _ANN_RECALL_ORACLE)
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness: recall@5 of the hyperplane-LSH path against the
-    exact brute-force top-5, over every vector as a query.  This is the
-    query that tunes n_planes: more planes → smaller buckets → faster but
-    lower recall.  Both paths and the hit-join run in one plan; integer hit
-    counts divide exactly."""
-    from ..operators.similarity import cosine_topk_self, lsh_topk
+    exact brute-force top-5, over a fixed 64-query anchor panel (see the
+    module comment above — O(anchors × N) ground truth, linear at any
+    scale).  This is the query that tunes n_planes: more planes → smaller
+    buckets → faster but lower recall.  Both paths and the hit-join run in
+    one plan; integer hit counts divide exactly."""
+    from ..operators.similarity import cosine_topk, lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    ann = lsh_topk(e, k=_K, n_planes=6).select("query_id", "neighbor_id")
-    exact = cosine_topk_self(e, _K).select("query_id", "neighbor_id")
+    anchor = F.col("vec_id") < _N_ANCHORS
+    ann = lsh_topk(e, k=_K, n_planes=6, query_pred=anchor).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(e.filter(anchor), e, _K).select("query_id", "neighbor_id")
     joined = exact.alias("e").join(
         ann.alias("a"),
         (F.col("e.query_id") == F.col("a.query_id"))
@@ -346,6 +361,7 @@ WITH ann AS (
            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
     FROM embeddings q JOIN embeddings c
       ON q.label = c.label AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_N_ANCHORS}
   ) WHERE r <= {_K}
 ),
 exact AS (
@@ -353,7 +369,7 @@ exact AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
     FROM embeddings q CROSS JOIN embeddings c
-    WHERE q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_N_ANCHORS} AND q.vec_id <> c.vec_id
   ) WHERE r <= {_K}
 )
 SELECT COUNT(*) AS n_queries,
@@ -371,13 +387,16 @@ FROM (
 @query("q_ivf_recall", _IVF_RECALL_ORACLE)
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF quality harness: recall@5 of the coarse-partition path against
-    exact brute force, every vector as a query — the nprobe/partition-count
-    tuning measurement (q_ann_recall's twin for the learned-partition path)."""
-    from ..operators.similarity import cosine_topk_self
+    exact brute force, over the fixed 64-query anchor panel — the
+    nprobe/partition-count tuning measurement (q_ann_recall's twin for the
+    learned-partition path).  Both arms broadcast the anchor frame:
+    O(anchors × N), linear at any scale."""
+    from ..operators.similarity import cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    ann = ivf_topk(e, e, _K).select("query_id", "neighbor_id")
-    exact = cosine_topk_self(e, _K).select("query_id", "neighbor_id")
+    anchors = e.filter(F.col("vec_id") < _N_ANCHORS)
+    ann = ivf_topk(anchors, e, _K).select("query_id", "neighbor_id")
+    exact = cosine_topk(anchors, e, _K).select("query_id", "neighbor_id")
     joined = exact.alias("e").join(
         ann.alias("a"),
         (F.col("e.query_id") == F.col("a.query_id"))
@@ -778,6 +797,175 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SemDeDup with the k ∝ N contract made explicit ---------------------------
+# q_semdedup above is the faithful fixed-k variant: its within-cluster
+# candidate stage is N²/k, quadratic when k stays fixed while N grows (the
+# one sf1 bench row over the linear gate in r11 — VERDICT r11 task #1).
+# SemDeDup's own contract says k scales with N so cluster size stays
+# constant; this variant REALIZES that contract with exact semantics:
+# after the (linear, fixed-k0) nearest-label-centroid assignment, each
+# cluster is split into nb_c = ceil(n_c / TARGET) sub-buckets by
+# md5(vec_id) — a pure function of the data, so sub-membership is stable
+# under retries/speculation and expressible in the DuckDB oracle.  The
+# effective cluster count k_eff = Σ nb_c grows ∝ N; per-sub-bucket pair
+# work is O(TARGET²) constant; total candidate work is O(N·TARGET) —
+# linear.  Pairs crossing a sub-bucket boundary are missed exactly the way
+# SemDeDup misses pairs crossing k-means cluster boundaries (the paper's
+# own approximation); the prune rule (drop the pair member FARTHER from
+# its coarse centroid, ties by id) is unchanged.
+
+_SD_TARGET = 16  # target sub-bucket size; per-bucket work is O(TARGET^2)
+
+_SEMDEDUP_SCALED_ORACLE = f"""
+WITH ex AS (
+  SELECT label, t.i AS i,
+         CAST(round(embedding[t.i]::DOUBLE * 10000000, 0) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cents AS (
+  SELECT label AS c_label, i, CAST(SUM(xq) AS BIGINT) AS sum_q, COUNT(*) AS cnt
+  FROM ex GROUP BY label, i
+),
+carr AS (
+  SELECT c_label,
+         list(CAST(sum_q AS DOUBLE) / 10000000.0 / cnt ORDER BY i) AS cvec
+  FROM cents GROUP BY c_label
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, c.c_label,
+         list_dot_product(ve, ve) - 2 * list_dot_product(ve, cvec)
+           + list_dot_product(cvec, cvec) AS d2
+  FROM v CROSS JOIN carr c
+),
+assigned AS (
+  SELECT vec_id, c_label AS cluster, d2 FROM (
+    SELECT vec_id, c_label, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+nb AS (
+  SELECT cluster, (COUNT(*) + {_SD_TARGET} - 1) // {_SD_TARGET} AS nb
+  FROM assigned GROUP BY cluster
+),
+sub AS (
+  SELECT a.vec_id, a.cluster, a.d2,
+         ('0x' || substr(md5('sd12:' || a.vec_id), 1, 15))::BIGINT % nb.nb AS sub
+  FROM assigned a JOIN nb USING (cluster)
+),
+pairs AS (
+  SELECT a.vec_id AS va_id, b.vec_id AS vb_id, a.d2 AS d2_a, b.d2 AS d2_b
+  FROM sub a
+  JOIN sub b ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
+  JOIN v x ON x.vec_id = a.vec_id
+  JOIN v y ON y.vec_id = b.vec_id
+  WHERE list_dot_product(x.ve, y.ve)
+        / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve)))
+        >= {_SEMDEDUP_TAU}
+),
+pruned AS (
+  SELECT DISTINCT CASE WHEN d2_a < d2_b OR (d2_a = d2_b AND va_id < vb_id)
+                       THEN vb_id ELSE va_id END AS prune_id
+  FROM pairs
+)
+SELECT s.cluster,
+       COUNT(DISTINCT s.sub) AS n_subclusters,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN p.prune_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN p.prune_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MIN(CASE WHEN p.prune_id IS NOT NULL THEN s.vec_id END) AS BIGINT) AS sample_pruned_id
+FROM sub s LEFT JOIN pruned p ON s.vec_id = p.prune_id
+GROUP BY s.cluster
+"""
+
+
+@query("q_semdedup_scaled", _SEMDEDUP_SCALED_ORACLE)
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the k ∝ N contract explicit: bounded md5 sub-buckets
+    inside each coarse cluster keep per-cluster candidate work O(TARGET²)
+    constant as data grows (see the module comment above).  Same prune
+    rule and τ as q_semdedup; rollup adds n_subclusters so the k-sweep
+    artifact can show k_eff growing with N while the per-bucket cost
+    stays flat."""
+    from ..operators.clustering import kmeans_assign, label_centroid_arrays
+    from ..operators.similarity import cosine_with_norms, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroid_arrays(emb)
+    assigned = kmeans_assign(emb, cents).select("vec_id", "cluster", "d2")
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    nb = sizes.select(
+        "cluster",
+        F.expr(f"CAST((n_c + {_SD_TARGET} - 1) DIV {_SD_TARGET} AS BIGINT)").alias(
+            "nb"
+        ),
+    )
+    sub_col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sd12:"), F.col("vec_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("nb")
+    )
+    withv = scoped_persist(
+        assigned.join(F.broadcast(nb), "cluster")
+        .withColumn("sub", sub_col)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("v_norm", norm(F.col("embedding")))
+    )
+    a = withv.select(
+        F.col("vec_id").alias("vec_a"), "cluster", "sub",
+        F.col("d2").alias("d2_a"), F.col("embedding").alias("va"),
+        F.col("v_norm").alias("na"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vec_b"), "cluster", "sub",
+        F.col("d2").alias("d2_b"), F.col("embedding").alias("vb"),
+        F.col("v_norm").alias("nb2"),
+    )
+    a_better = (F.col("d2_a") < F.col("d2_b")) | (
+        (F.col("d2_a") == F.col("d2_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    pruned = (
+        a.join(b, ["cluster", "sub"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb2"))
+            >= _SEMDEDUP_TAU
+        )
+        .select(
+            F.when(a_better, F.col("vec_b")).otherwise(F.col("vec_a")).alias("prune_id")
+        )
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        withv.select("vec_id", "cluster", "sub")
+        .join(pruned, withv.vec_id == pruned.prune_id, "left")
+        .groupBy("cluster")
+        .agg(
+            F.countDistinct("sub").alias("n_subclusters"),
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("is_pruned").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.sum(F.when(F.col("is_pruned").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.min(F.when(F.col("is_pruned").isNotNull(), F.col("vec_id")))
+            .cast("bigint")
+            .alias("sample_pruned_id"),
+        )
+    )
+
+
 # -- IVF-PQ search with ADC lookup tables -------------------------------------
 
 _IVFPQ_ORACLE = """
@@ -1100,7 +1288,7 @@ exact AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
     FROM embeddings q CROSS JOIN embeddings c
-    WHERE q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_N_ANCHORS} AND q.vec_id <> c.vec_id
   ) WHERE r <= {_K}
 )"""
     ]
@@ -1133,6 +1321,7 @@ ann{n} AS (
     FROM buckets{n} qb JOIN buckets{n} cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
     JOIN v qv ON qb.vec_id = qv.vec_id
     JOIN v cv ON cb.vec_id = cv.vec_id
+    WHERE qb.vec_id < {_N_ANCHORS}
   ) WHERE r <= {_K}
 )"""
         )
@@ -1159,16 +1348,24 @@ def q_ann_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact top-5 AND the ordered candidate-pair count the bucket join
     scores (sum over buckets of c*(c-1)) — recall falls and cost falls as
     planes are added; this query IS the tradeoff table an operator reads
-    before fixing n_planes.  The O(n^2) exact side is computed once behind
-    a scoped persist; each config adds only its map-only signature pass,
-    bucket-bounded join, and hit join against the cache."""
-    from ..operators.similarity import cosine_topk_self, hyperplane_signature, lsh_topk
+    before fixing n_planes.  Recall is measured over the fixed 64-query
+    anchor panel (O(anchors × N) ground truth — linear at any scale) while
+    candidate_pairs stays CORPUS-wide (the index workload being tuned).
+    The exact side is computed once behind a scoped persist; each config
+    adds only its map-only signature pass, anchor-broadcast bucket probe,
+    and hit join against the cache."""
+    from ..operators.similarity import cosine_topk, hyperplane_signature, lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    exact = scoped_persist(cosine_topk_self(e, _K).select("query_id", "neighbor_id"))
+    anchor = F.col("vec_id") < _N_ANCHORS
+    exact = scoped_persist(
+        cosine_topk(e.filter(anchor), e, _K).select("query_id", "neighbor_id")
+    )
     out = None
     for n in _SWEEP_PLANES:
-        ann = lsh_topk(e, k=_K, n_planes=n).select("query_id", "neighbor_id")
+        ann = lsh_topk(e, k=_K, n_planes=n, query_pred=anchor).select(
+            "query_id", "neighbor_id"
+        )
         cand = (
             hyperplane_signature(e, n)
             .groupBy("bucket")
@@ -1239,7 +1436,7 @@ exact AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
     FROM embeddings q CROSS JOIN embeddings c
-    WHERE q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_N_ANCHORS} AND q.vec_id <> c.vec_id
   ) WHERE r <= {_K}
 )"""
     ]
@@ -1254,7 +1451,7 @@ ann{P} AS (
            ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
     FROM probed{P} p JOIN embeddings c ON p.label = c.label
     JOIN embeddings q ON p.query_id = q.vec_id
-    WHERE c.vec_id <> p.query_id
+    WHERE c.vec_id <> p.query_id AND p.query_id < {_N_ANCHORS}
   ) WHERE r <= {_K}
 ),
 cand{P} AS (
@@ -1290,14 +1487,22 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits — and therefore the probe sets — are identical in any engine or
     partitioning); the 10-row centroid dimension broadcasts, the probe set
     rides a window over 10 rows per query, and candidates are one equi-join
-    against the probed partitions.  The O(n^2) exact side is computed once
-    behind a scoped persist, shared by every config's hit join."""
+    against the probed partitions.  Recall is measured over the fixed
+    64-query anchor panel (linear ground truth at any scale — only the
+    anchor rows' probes feed the ANN arm) while candidate_pairs stays
+    CORPUS-wide (the index workload being tuned); the exact side is
+    computed once behind a scoped persist, shared by every config's hit
+    join."""
     from pyspark.sql import Window as W
 
-    from ..operators.similarity import cosine, cosine_with_norms, cosine_topk_self, norm
+    from ..operators.similarity import cosine, cosine_with_norms, cosine_topk, norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    exact = scoped_persist(cosine_topk_self(e, _K).select("query_id", "neighbor_id"))
+    exact = scoped_persist(
+        cosine_topk(e.filter(F.col("vec_id") < _N_ANCHORS), e, _K).select(
+            "query_id", "neighbor_id"
+        )
+    )
     wn = scoped_persist(
         e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm"))
     )
@@ -1355,8 +1560,11 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for P in _NPROBES:
         pr = probed_all.filter(F.col("rnk") <= P).select("query_id", "label")
+        # ANN hit arm: anchors only (the recall panel); cand below keeps
+        # the full probe set — corpus-wide index workload
+        pr_anchor = pr.filter(F.col("query_id") < _N_ANCHORS)
         pairs = (
-            pr.join(c_side, "label")
+            pr_anchor.join(c_side, "label")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .join(F.broadcast(q_side), "query_id")
             .select(

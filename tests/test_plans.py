@@ -481,3 +481,34 @@ def test_sorted_neighborhood_no_theta_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # offsets join + (at test scale) the cell join both broadcast
     assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
+
+
+def test_semdedup_scaled_bounded_buckets(spark):
+    """q_semdedup_scaled (r12): the k ∝ N contract means the candidate
+    stage is an EQUI-join on (cluster, sub) — never an unbounded theta
+    join — and the tiny ceil(n_c/TARGET) bucket-count frame broadcasts
+    back onto the corpus.  Nested-loop joins appear ONLY as the fixed-k0
+    broadcast-centroid assignment (10-row build side, repeated wherever
+    the persisted assign subtree prints)."""
+    plan = _plan(spark, "q_semdedup_scaled")
+    assert "CartesianProduct" not in plan
+    # every BNLJ is the 10-row centroid broadcast: all BuildRight Cross
+    import re
+    bnlj = re.findall(r"BroadcastNestedLoopJoin \w+, \w+", plan)
+    assert all("BuildRight, Cross" in j for j in bnlj), bnlj
+    # the candidate stage is an equi-join carrying the sub-bucket key
+    joins = [l for l in plan.splitlines()
+             if ("SortMergeJoin" in l or "BroadcastHashJoin" in l)
+             and "cluster" in l and "sub" in l]
+    assert joins, "no (cluster, sub) equi-join found in plan"
+    # nb broadcast + vec join resolve as hash joins at test scale
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_topk_anchored_is_broadcast_probe(spark):
+    """The anchored LSH path (r12 recall harnesses): the 64-row anchor
+    frame must BROADCAST against the bucketed corpus — O(anchors × bucket)
+    probe, not the symmetric all-pairs-within-bucket join."""
+    plan = _plan(spark, "q_ann_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

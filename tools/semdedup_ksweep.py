@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""SemDeDup k-contract sweep (VERDICT r11 task #1).
+
+q_semdedup's contract says the cluster count k scales with N so per-cluster
+candidate work stays constant; r11 measured its sf1/sf0.1 bench ratio at
+12.2x because the committed query keeps k FIXED (the 10 label centroids)
+while N grows — the within-cluster pair stage is N²/k.  q_semdedup_scaled
+realizes the contract (md5 sub-buckets of target size ceil(n_c/TARGET), so
+k_eff ∝ N); this sweep produces the committed evidence:
+
+  for each scale: N, k_eff, candidate-pair counts for BOTH variants, and
+  pairs-per-vector — constant for the scaled variant (≲ (TARGET-1)/2),
+  growing ∝ N for the fixed-k one — plus wall-clock for the scaled query.
+
+    python tools/semdedup_ksweep.py --out KSWEEP_SEMDEDUP_r12.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def bucket_stats(spark, sf_dir: str, target: int) -> dict:
+    """Exact bucket-size histograms for both variants from the engine's own
+    assignment operators (no timing here — pure combinatorics)."""
+    from scalable_data_integration_with_llms_spark.operators.clustering import (
+        kmeans_assign,
+        label_centroid_arrays,
+    )
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, label_centroid_arrays(emb)).select(
+        "vec_id", "cluster"
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    nb = sizes.select(
+        "cluster",
+        F.expr(f"CAST((n_c + {target} - 1) DIV {target} AS BIGINT)").alias("nb"),
+    )
+    sub = assigned.join(F.broadcast(nb), "cluster").withColumn(
+        "sub",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sd12:"), F.col("vec_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("nb"),
+    )
+    sub_sizes = sub.groupBy("cluster", "sub").agg(F.count(F.lit(1)).alias("s"))
+    pairs_expr = F.sum(F.expr("s * (s - 1) DIV 2")).alias("pairs")
+    scaled = sub_sizes.agg(
+        pairs_expr,
+        F.count(F.lit(1)).alias("k_eff"),
+        F.max("s").alias("max_bucket"),
+        (F.sum("s") / F.count(F.lit(1))).alias("avg_bucket"),
+    ).collect()[0]
+    fixed = sizes.selectExpr("n_c AS s").agg(
+        pairs_expr, F.count(F.lit(1)).alias("k"), F.max("s").alias("max_cluster")
+    ).collect()[0]
+    n = assigned.count()
+    return {
+        "n_vectors": n,
+        "fixed_k": fixed["k"],
+        "fixed_cand_pairs": fixed["pairs"],
+        "fixed_pairs_per_vector": round(fixed["pairs"] / n, 2),
+        "fixed_max_cluster": fixed["max_cluster"],
+        "scaled_k_eff": scaled["k_eff"],
+        "scaled_cand_pairs": scaled["pairs"],
+        "scaled_pairs_per_vector": round(scaled["pairs"] / n, 2),
+        "scaled_max_bucket": scaled["max_bucket"],
+        "scaled_avg_bucket": round(float(scaled["avg_bucket"]), 2),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="KSWEEP_SEMDEDUP_r12.json")
+    ap.add_argument("--runs", type=int, default=3, help="timed runs (median)")
+    args = ap.parse_args()
+
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.queries.similarity_q import (
+        _SD_TARGET,
+    )
+    from scalable_data_integration_with_llms_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scales = [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1", os.path.join(repo, ".scale_sf1")),
+    ]
+    spark = get_spark("semdedup-ksweep")
+    rows = []
+    for name, sf_dir in scales:
+        if not os.path.isdir(sf_dir):
+            print(f"skip {name}: {sf_dir} missing", file=sys.stderr)
+            continue
+        stats = bucket_stats(spark, sf_dir, _SD_TARGET)
+        timings = {}
+        for qname in ("q_semdedup_scaled", "q_semdedup"):
+            QUERIES[qname](spark, sf_dir).collect()  # warm
+            runs = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                QUERIES[qname](spark, sf_dir).collect()
+                runs.append(round(time.perf_counter() - t0, 3))
+            timings[qname] = sorted(runs)[len(runs) // 2]
+        rows.append({"scale": name, **stats, "sec": timings})
+        print(json.dumps(rows[-1]))
+
+    doc = {
+        "target_bucket_size": _SD_TARGET,
+        "note": (
+            "scaled_pairs_per_vector flat across scales = constant per-cluster "
+            "work (k_eff grows with N); fixed_pairs_per_vector grows ~linearly "
+            "with N = the quadratic candidate stage at fixed k"
+        ),
+        "scales": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
