@@ -165,6 +165,12 @@ HEADLINE += [
     # round-11 addition: sorted-neighborhood blocking (two-level prefix-sum
     # global rank + width-w rank-cell equi-join)
     "q_er_sorted_neighborhood",
+    # round-12 additions: SemDeDup with the k ∝ N contract realized (bounded
+    # md5 sub-buckets; the sf1 row is the linearity proof next to
+    # q_semdedup's fixed-k quadratic), and the lossless prefix-filtered
+    # AllPairs/PPJoin similarity join
+    "q_semdedup_scaled",
+    "q_ppjoin_near_dup",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N
@@ -193,9 +199,10 @@ SF1_BATTERY = [
     # dedup family
     "q_dedup_exact", "q_dedup_clusters", "q_minhash_signatures",
     "q_lsh_verified_pairs", "q_simhash_near_dup", "q_duplicate_spans",
+    "q_ppjoin_near_dup",
     # similarity / retrieval
     "q_cosine_topk", "q_ann_ivf", "q_bm25_topk", "q_rrf_fusion",
-    "q_semdedup", "q_knn_classify",
+    "q_semdedup", "q_semdedup_scaled", "q_knn_classify",
     # text analysis
     "q_bpe_token_stats", "q_tfidf_top_terms", "q_langid",
     "q_pmi_collocations", "q_contamination", "q_pack_sequences",

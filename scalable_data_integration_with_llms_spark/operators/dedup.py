@@ -520,3 +520,96 @@ def duplicate_spans(
         )
         .drop("grp")
     )
+
+
+def ppjoin_pairs(
+    elements: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    doc_col: str = "doc",
+    elem_col: str = "shingle",
+) -> DataFrame:
+    """All-pairs set-similarity self-join with PREFIX FILTERING (AllPairs /
+    PPJoin, Bayardo et al. WWW'07) over a distinct (doc, element) frame —
+    the same input shape as :func:`jaccard_pairs`: every unordered document
+    pair whose element-set Jaccard ≥ t_num/t_den, found WITHOUT an
+    all-pairs comparison and WITHOUT the LOSSY ``max_df`` heavy-hitter drop.
+
+    The losslessness argument (property-tested against brute force in
+    tests/test_ppjoin_properties.py): order every document's elements by
+    the global total order (document frequency asc, element asc).  If
+    J(a,b) ≥ t the pair shares ≥ ceil(t·max(|a|,|b|)) elements, so each
+    side must contain a shared element among its first
+    |x| − ceil(t·|x|) + 1 elements — the PREFIX.  Candidates are exactly
+    the pairs meeting in the prefix-element inverted index; everything
+    else is pruned with zero false negatives.  The length filter
+    (t·|a| ≤ |b| ≤ |a|/t, as integer cross-multiplications) prunes further
+    inside the join.
+
+    Thresholds are RATIONAL (t_num/t_den) so every predicate is integer
+    arithmetic: prefix length uses ceil(t·sz) = (t_num·sz + t_den − 1) DIV
+    t_den and the final test is t_den·|∩| ≥ t_num·|∪| — bit-identical in
+    any engine.
+
+    Scale shape (100 TB): element df is one hash agg; per-doc ranks are a
+    doc-partitioned window (bounded partitions — a doc has |elements|
+    rows); the candidate join is an equi-join on PREFIX elements only — by
+    construction the globally RAREST elements of each document — so
+    inverted-index skew is structurally bounded (a frequent element enters
+    a prefix only for documents where nothing rarer exists); verification
+    joins the distinct candidate set back to per-doc element arrays and
+    evaluates one array_intersect per pair, O(|a|+|b|).
+    """
+    from pyspark.sql import Window as W
+
+    toks = elements.select(
+        F.col(doc_col).alias("doc"), F.col(elem_col).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "pos", F.row_number().over(W.partitionBy("doc").orderBy("df", "tok"))
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
+    )
+    prefix = scoped_persist(
+        ranked.filter(
+            F.col("pos")
+            <= F.col("sz")
+            - F.expr(f"CAST(({t_num}*sz + {t_den} - 1) DIV {t_den} AS BIGINT)")
+            + 1
+        ).select("doc", "tok", "sz")
+    )
+    a = prefix.select(F.col("doc").alias("doc_a"), "tok", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc").alias("doc_b"), "tok", F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(t_num) * F.col("sz_a") <= F.lit(t_den) * F.col("sz_b"))
+            & (F.lit(t_num) * F.col("sz_b") <= F.lit(t_den) * F.col("sz_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = toks.groupBy("doc").agg(F.collect_list("tok").alias("ta"))
+    n_int = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    n_union = F.size(F.col("ta")) + F.size(F.col("tb")) - n_int
+    return (
+        cand.join(arrs.select(F.col("doc").alias("doc_a"), "ta"), "doc_a")
+        .join(
+            arrs.select(F.col("doc").alias("doc_b"), F.col("ta").alias("tb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            n_int.alias("n_int"),
+            n_union.alias("n_union"),
+        )
+        .filter(F.lit(t_den) * F.col("n_int") >= F.lit(t_num) * F.col("n_union"))
+        .withColumn(
+            "jaccard", F.col("n_int") * F.lit(1.0) / F.col("n_union")
+        )
+    )

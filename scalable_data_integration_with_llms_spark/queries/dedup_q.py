@@ -610,3 +610,59 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_jaccard_milli"),
     )
+
+
+# -- PPJoin: prefix-filtered all-pairs similarity join (round 12) --------------
+# The LOSSLESS counterpart to the max_df-guarded shingle join above:
+# AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07) prunes the
+# candidate space with zero false negatives — if J(a,b) >= t the pair MUST
+# meet in the (df-asc, element-asc)-ordered prefixes of length
+# |x| - ceil(t*|x|) + 1.  Same shingle universe as q_dedup_ngram_jaccard,
+# same threshold 1/2, but NO max_df drop: where the guarded join trades
+# exactness for bounded fan-out, prefix filtering gets bounded fan-out
+# (each doc's RAREST shingles only) for free.  Threshold 1/2 keeps every
+# predicate integer-exact (2*|∩| >= |∪|; prefix ceil via (sz+1) DIV 2).
+# The oracle replays the identical algorithm; losslessness itself is
+# property-tested against brute force in tests/test_ppjoin_properties.py.
+
+_PPJOIN_ORACLE = _SHINGLE_CTE + """,
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM s GROUP BY shingle),
+ranked AS (
+  SELECT s.doc, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.doc ORDER BY d.df, s.shingle) AS pos,
+         COUNT(*) OVER (PARTITION BY s.doc) AS sz
+  FROM s JOIN dfreq d USING (shingle)
+),
+prefix AS (
+  SELECT doc, shingle, sz FROM ranked
+  WHERE pos <= sz - ((sz + 1) // 2) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc < b.doc
+  WHERE a.sz <= 2*b.sz AND b.sz <= 2*a.sz
+),
+arrs AS (SELECT doc, list(shingle) AS ta FROM s GROUP BY doc)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.ta, y.ta)) AS INT) AS n_int,
+       CAST(len(x.ta) + len(y.ta) - len(list_intersect(x.ta, y.ta)) AS INT) AS n_union,
+       len(list_intersect(x.ta, y.ta)) * 1.0
+         / (len(x.ta) + len(y.ta) - len(list_intersect(x.ta, y.ta))) AS jaccard
+FROM cand c JOIN arrs x ON c.doc_a = x.doc JOIN arrs y ON c.doc_b = y.doc
+WHERE 2 * len(list_intersect(x.ta, y.ta))
+      >= (len(x.ta) + len(y.ta) - len(list_intersect(x.ta, y.ta)))
+"""
+
+
+@query("q_ppjoin_near_dup", _PPJOIN_ORACLE)
+def q_ppjoin_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard >= 1/2 document pairs via prefix-filtered
+    AllPairs/PPJoin (see module comment): exact, LOSSLESS, and never
+    materializes an all-pairs set — the candidate join touches only each
+    document's rarest shingles.  The lossless twin of
+    q_dedup_ngram_jaccard's max_df-guarded join on the same universe."""
+    from ..operators.dedup import ppjoin_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    return ppjoin_pairs(sh, t_num=1, t_den=2)

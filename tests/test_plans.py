@@ -512,3 +512,12 @@ def test_lsh_topk_anchored_is_broadcast_probe(spark):
     plan = _plan(spark, "q_ann_recall")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ppjoin_no_cartesian(spark):
+    """PPJoin (r12): the candidate stage must be an EQUI-join on the prefix
+    element — never an all-pairs product — and the df/rank stages are hash
+    aggs + doc-partitioned windows."""
+    plan = _plan(spark, "q_ppjoin_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

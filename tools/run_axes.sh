@@ -59,6 +59,21 @@ for axis in "$@"; do
     ARROW)  run ARROW SDI_EXTRA_CONF='spark.sql.execution.arrow.maxRecordsPerBatch=7' ;;
     CLUSTER) run CLUSTER SDI_MASTER='local-cluster[2,4,4096]' \
                   SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT" ;;
+    # cluster master at 10x the adversarial scale (VERDICT r11 task #3):
+    # real shuffle sizes through the block manager, not sf0.01 toys
+    CLUSTER_SF01) run CLUSTER_SF01 SDI_MASTER='local-cluster[2,4,4096]' \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT" \
+                  -- --sf-dir /root/testdata/sf0.1 ;;
+    CLUSTER_SF1) run CLUSTER_SF1 SDI_MASTER='local-cluster[2,4,4096]' \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT" \
+                  -- --sf-dir "$ROOT/.scale_sf1" --oracle-budget 900 ;;
+    # every adversary at once (VERDICT r11 task #2): multi-JVM master +
+    # speculation + flaky first-attempt sources + 7-row Arrow chunks +
+    # non-UTC DST timezone + ANSI off + tiny shuffle parallelism — the
+    # pairwise-interaction sweep fifteen independent axes cannot replace
+    MAXADV) run MAXADV SDI_FLAKY_SOURCES=1 SDI_MASTER='local-cluster[2,4,4096]' \
+                  SDI_SESSION_TZ=Asia/Kolkata SDI_ANSI=false SDI_SHUFFLE_PARTITIONS=7 \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4;spark.sql.execution.arrow.maxRecordsPerBatch=7' ;;
     *) echo "unknown axis $axis" >&2; exit 2 ;;
   esac
 done
