@@ -19,7 +19,12 @@ sf1 (CORRECTNESS_SF1); this probe is rows-only by design — it measures the
 SHAPE of the scaling curve, recording wall(sf10)/wall(sf1) with the same
 <=12 linear-ok gate as scale_curve.py.
 
-    python tools/scale_probe_sf10.py --out SCALE_CURVE_SF10_r12.json
+    SDI_DRIVER_MEM=48g python tools/scale_probe_sf10.py --out SCALE_CURVE_SF10_r12.json
+
+(SDI_DRIVER_MEM matters: under local[32] all executor threads share ONE
+driver JVM heap, and q_dedup_clusters' shingle join at 500k docs OOMs the
+8g default — a single-JVM test-rig limit; on a real cluster this memory
+is per-executor.)
 """
 
 from __future__ import annotations
@@ -94,40 +99,63 @@ def build_sf10() -> None:
     open(os.path.join(DST, "_DONE"), "w").write("ok\n")
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALE_CURVE_SF10_r12.json")
-    args = ap.parse_args()
-
-    print("building sf10 derivative ...")
-    build_sf10()
-
+def probe_one(name: str) -> dict:
     from scalable_data_integration_with_llms_spark.caching import release_scoped
     from scalable_data_integration_with_llms_spark.queries import QUERIES
     from scalable_data_integration_with_llms_spark.session import get_spark
 
-    spark = get_spark("sdi-scale-probe-sf10")
+    spark = get_spark(f"sdi-scale-probe-{name}")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["q_dedup_clusters"](spark, "/root/testdata/sf0.001").collect()  # warm
+    QUERIES[name](spark, "/root/testdata/sf0.001").collect()  # warm
+    row = {}
+    for label, sf_dir in (("sf1", SRC), ("sf10", DST)):
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            release_scoped()
+        row[label] = round(min(runs), 3)
+        row[f"runs_{label}"] = runs
+        row[f"rows_{label}"] = n
+    row["ratio"] = round(row["sf10"] / row["sf1"], 2)
+    row["verdict"] = "linear-ok" if row["ratio"] <= 12 else "INVESTIGATE"
+    return row
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALE_CURVE_SF10_r12.json")
+    ap.add_argument("--only", help="run ONE probe in-process, print its JSON")
+    args = ap.parse_args()
+
+    if args.only:
+        print(json.dumps(probe_one(args.only)))
+        return 0
+
+    print("building sf10 derivative ...")
+    build_sf10()
+
+    # One fresh PROCESS per probe.  Two weaker isolations were tried and
+    # rejected with measurements: (a) one shared session billed
+    # q_bpe_train 21.6s (ratio 22.9, false INVESTIGATE) for GC stalls on
+    # a heap still full of q_dedup_clusters garbage (fresh process: 5.4s,
+    # ratio 2.6); (b) spark.stop() + a new session does NOT help, because
+    # the py4j gateway JVM — and its bloated heap — persists across
+    # sessions (q_bpe_train still read 16.2s / 20.9x).  Only a new JVM
+    # gives each probe a clean heap.
+    import subprocess
 
     results = {}
     for name in PROBES:
-        row = {}
-        for label, sf_dir in (("sf1", SRC), ("sf10", DST)):
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = QUERIES[name](spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
-                release_scoped()
-            row[label] = round(min(runs), 3)
-            row[f"rows_{label}"] = n
-        row["ratio"] = round(row["sf10"] / row["sf1"], 2)
-        row["verdict"] = "linear-ok" if row["ratio"] <= 12 else "INVESTIGATE"
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        )
+        row = json.loads(out.stdout.strip().splitlines()[-1])
         results[name] = row
         print(f"{name:28s} sf1={row['sf1']:7.2f}s sf10={row['sf10']:8.2f}s "
               f"ratio={row['ratio']:6.2f}  {row['verdict']}")
-    spark.catalog.clearCache()
 
     with open(os.path.join(ROOT, args.out), "w") as fh:
         json.dump({"copies": COPIES, "base": "sf1 derivative (so 100x sf0.1)",
