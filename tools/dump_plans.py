@@ -68,6 +68,26 @@ SHOWCASE = [
         "an intersection join; the exact arms ride the same scan.",
     ),
     (
+        "q_semdedup_scaled",
+        "SemDeDup with k ∝ N (round 12): the ceil(n_c/16) bucket-count "
+        "frame broadcasts back onto the corpus and the candidate stage is "
+        "an equi-join on (cluster, md5 sub-bucket) — per-bucket work "
+        "O(16²) constant, so total candidate work is linear where "
+        "q_semdedup's fixed-k stage is N²/k (KSWEEP_SEMDEDUP_r12.json is "
+        "the measured proof).  The only nested-loop joins are the 10-row "
+        "centroid-broadcast assignment.",
+    ),
+    (
+        "q_ppjoin_near_dup",
+        "Lossless prefix-filtered similarity join (round 12): element df "
+        "is one hash agg, per-doc ranks ride a doc-partitioned window, "
+        "and the candidate stage is an equi-join on PREFIX elements only "
+        "— each document's globally rarest, so inverted-index skew is "
+        "structurally bounded; verification is one array_intersect per "
+        "distinct candidate pair.  No CartesianProduct, no max_df recall "
+        "loss.",
+    ),
+    (
         "q6_forecast_revenue",
         "Pure pushdown scan: every filter reaches the parquet reader "
         "(PushedFilters), ReadSchema is exactly the 4 needed columns, one "
