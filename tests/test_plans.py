@@ -508,10 +508,23 @@ def test_semdedup_scaled_bounded_buckets(spark):
 def test_lsh_topk_anchored_is_broadcast_probe(spark):
     """The anchored LSH path (r12 recall harnesses): the 64-row anchor
     frame must BROADCAST against the bucketed corpus — O(anchors × bucket)
-    probe, not the symmetric all-pairs-within-bucket join."""
+    probe, not the symmetric all-pairs-within-bucket join.  Pinned to the
+    JOIN LINE CARRYING THE BUCKET KEY, with the anchor frame as its build
+    side — a mere any-BroadcastHashJoin-exists check would pass on other
+    small broadcasts even after the probe regressed to a shuffle join
+    (ADVICE r12).  lsh_topk builds `F.broadcast(q).join(c, "bucket")`, so
+    the anchor frame is the LEFT side and the build side must be
+    BuildLeft."""
     plan = _plan(spark, "q_ann_recall")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    bucket_joins = [
+        l for l in plan.splitlines()
+        if "Join" in l and "bucket#" in l and "Cross" not in l
+    ]
+    assert bucket_joins, "no join on the bucket key found in the plan"
+    assert all(
+        "BroadcastHashJoin" in l and "BuildLeft" in l for l in bucket_joins
+    ), bucket_joins
 
 
 def test_ppjoin_no_cartesian(spark):

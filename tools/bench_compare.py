@@ -46,9 +46,23 @@ def drift_ratio(base_doc: dict, now_doc: dict) -> float | None:
     """Host-drift ratio from the two batteries' fixed-work calibration rows
     (bench.py `calibration.sec`), or None when either side lacks one —
     callers then fall back to raw ratios.  A zero/absent sec is treated as
-    missing, never as a divide-by-zero."""
-    base_cal = ((base_doc.get("calibration") or {}).get("sec")) or None
-    now_cal = ((now_doc.get("calibration") or {}).get("sec")) or None
+    missing, never as a divide-by-zero.  The two calibrations must describe
+    the SAME fixed work (bench.py's `calibration.work` string): dividing
+    seconds measured over different anchor loads would silently normalize
+    every ratio by a bogus ~Nx drift (ADVICE r12), so a mismatch also
+    returns None, with a warning."""
+    base = base_doc.get("calibration") or {}
+    now = now_doc.get("calibration") or {}
+    base_cal = base.get("sec") or None
+    now_cal = now.get("sec") or None
+    if base_cal and now_cal and base.get("work") != now.get("work"):
+        print(
+            f"WARNING: calibration work mismatch (baseline {base.get('work')!r}"
+            f" vs now {now.get('work')!r}) — drift anchor unusable, falling"
+            " back to raw ratios",
+            file=sys.stderr,
+        )
+        return None
     return (now_cal / base_cal) if (base_cal and now_cal) else None
 
 

@@ -29,6 +29,10 @@ run() { # name, then env pairs, then optional extra check_correctness args after
   local rc=$?
   echo "=== axis $name exit=$rc"
   [ "$rc" -ne 0 ] && RC=1
+  # explicit success status: without this, run() returns nonzero exactly
+  # when the axis SUCCEEDS (the && short-circuit) — a latent trap under a
+  # future `set -e` (ADVICE r12); failures accumulate via RC above
+  return 0
 }
 
 for axis in "$@"; do
