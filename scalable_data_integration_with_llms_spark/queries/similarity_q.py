@@ -736,6 +736,18 @@ GROUP BY cluster
 
 @query("q_semdedup", _SEMDEDUP_ORACLE)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, FAITHFUL FIXED-k TWIN — NOT FOR SCALE.  Kept as the
+    paper-faithful variant (Abbas et al. 2023: k-means clusters, prune the
+    vector farther from its centroid in every within-cluster pair with
+    cosine ≥ τ): the within-cluster candidate stage is N²/k pairs, which
+    at FIXED k (the 10 label centroids here) grows quadratically with the
+    corpus — 11 s at sf1 vs 1.25 s for the scaled twin, and the k-sweep
+    artifact (KSWEEP_SEMDEDUP) shows its per-vector pair work growing
+    ~linearly with N.  Any 100 TB caller must use :func:`q_semdedup_scaled`
+    — SemDeDup's own contract is k ∝ N (constant cluster SIZE, not
+    constant cluster COUNT), which the scaled twin realizes with bounded
+    md5 sub-buckets; this one exists so the exact paper semantics stay
+    value-oracled."""
     from ..operators.clustering import kmeans_assign, label_centroid_arrays
     from ..operators.similarity import cosine_with_norms, norm
 

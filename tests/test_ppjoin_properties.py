@@ -49,6 +49,54 @@ def test_ppjoin_matches_brute_force(spark, inst):
     assert got == brute_force(sets, t_num, t_den)
 
 
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(inst=instances())
+def test_ppjoin_duplicate_input_rows_are_contract_safe(spark, inst):
+    """Duplicate (doc, element) rows must not corrupt df counts, prefix
+    lengths, or the intersection arrays: ppjoin_pairs distincts its input
+    up front (ADVICE r12), so a frame with every row tripled produces the
+    same pairs as the clean frame — i.e. brute force over the SETS."""
+    sets, (t_num, t_den) = inst
+    rows = [(doc, e) for doc, s in enumerate(sets) for e in sorted(s)] * 3
+    df = spark.createDataFrame(rows, "doc bigint, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_int, r.n_union)
+        for r in ppjoin_pairs(df, t_num=t_num, t_den=t_den).collect()
+    }
+    assert got == brute_force(sets, t_num, t_den)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(inst=instances())
+def test_positional_bound_is_lossless_at_first_meeting_element(inst):
+    """Pure-Python pin of the positional filter's losslessness argument
+    (no Spark): order both docs' elements by the global (df asc, element
+    asc) total order; for every pair with Jaccard ≥ t, at the pair's FIRST
+    shared element the bound 1 + min(|a|−p_a, |b|−p_b) must reach the
+    minimum overlap α = ceil(t·(|a|+|b|)/(1+t)) — the row the Spark filter
+    must keep.  (Non-first rows may be pruned; the distinct only needs
+    one survivor per pair.)"""
+    sets, (t_num, t_den) = inst
+    df = {}
+    for s in sets:
+        for e in s:
+            df[e] = df.get(e, 0) + 1
+    order = {e: i for i, e in enumerate(sorted(df, key=lambda e: (df[e], e)))}
+    for a, b in combinations(range(len(sets)), 2):
+        inter = sets[a] & sets[b]
+        union = len(sets[a] | sets[b])
+        if not inter or t_den * len(inter) < t_num * union:
+            continue
+        la = sorted(sets[a], key=order.get)
+        lb = sorted(sets[b], key=order.get)
+        first = min(inter, key=order.get)
+        p_a, p_b = la.index(first) + 1, lb.index(first) + 1
+        ub = 1 + min(len(la) - p_a, len(lb) - p_b)
+        # (t_num+t_den)·ub ≥ t_num·(|a|+|b|)  ⟺  ub ≥ α
+        assert (t_num + t_den) * ub >= t_num * (len(la) + len(lb)), (
+            sets[a], sets[b], first, p_a, p_b, ub)
+
+
 def test_ppjoin_jaccard_is_exact_ratio(spark):
     """The reported jaccard is the plain double division of the integer
     counts — the same two ints any engine would divide."""

@@ -28,9 +28,13 @@ SHOWCASE = [
     ),
     (
         "q_semdedup",
-        "Cluster-scoped semantic dedup: candidate join keyed on the "
+        "Cluster-scoped semantic dedup, FAITHFUL FIXED-k TWIN — kept for "
+        "paper parity, NOT the scale path: candidate join keyed on the "
         "cluster id (equi-join, not cross join); the assignment frame is "
-        "an InMemoryTableScan reused by both sides and the rollup.",
+        "an InMemoryTableScan reused by both sides and the rollup.  At "
+        "fixed k the candidate stage is N²/k — any corpus-scale caller "
+        "must use q_semdedup_scaled below (the k ∝ N contract, linear; "
+        "KSWEEP_SEMDEDUP is the measured divergence).",
     ),
     (
         "q_ivfpq_adc",
@@ -69,23 +73,28 @@ SHOWCASE = [
     ),
     (
         "q_semdedup_scaled",
-        "SemDeDup with k ∝ N (round 12): the ceil(n_c/16) bucket-count "
-        "frame broadcasts back onto the corpus and the candidate stage is "
-        "an equi-join on (cluster, md5 sub-bucket) — per-bucket work "
-        "O(16²) constant, so total candidate work is linear where "
-        "q_semdedup's fixed-k stage is N²/k (KSWEEP_SEMDEDUP_r12.json is "
-        "the measured proof).  The only nested-loop joins are the 10-row "
-        "centroid-broadcast assignment.",
+        "SemDeDup with k ∝ N — THE 100 TB SemDeDup path (round 12, made "
+        "the default recommendation in round 13): the ceil(n_c/16) "
+        "bucket-count frame broadcasts back onto the corpus and the "
+        "candidate stage is an equi-join on (cluster, md5 sub-bucket) — "
+        "per-bucket work O(16²) constant, so total candidate work is "
+        "linear where q_semdedup's fixed-k stage is N²/k "
+        "(KSWEEP_SEMDEDUP is the measured proof: per-vector pair work "
+        "flat across 40× data, ~9× faster at sf1).  The only nested-loop "
+        "joins are the 10-row centroid-broadcast assignment.",
     ),
     (
         "q_ppjoin_near_dup",
-        "Lossless prefix-filtered similarity join (round 12): element df "
-        "is one hash agg, per-doc ranks ride a doc-partitioned window, "
-        "and the candidate stage is an equi-join on PREFIX elements only "
-        "— each document's globally rarest, so inverted-index skew is "
-        "structurally bounded; verification is one array_intersect per "
-        "distinct candidate pair.  No CartesianProduct, no max_df recall "
-        "loss.",
+        "Lossless prefix+positional-filtered similarity join (round 12; "
+        "positional filter round 13): element df is one hash agg, per-doc "
+        "ranks ride a doc-partitioned window, and the candidate stage is "
+        "an equi-join on PREFIX elements only — each document's globally "
+        "rarest, so inverted-index skew is structurally bounded; the "
+        "positional overlap bound 1+min(|a|−p_a,|b|−p_b) ≥ ceil(t·(|a|+|b|)"
+        "/(1+t)) then prunes ~2.5× of candidates row-locally inside that "
+        "join, before the distinct shuffle and the (dominant) "
+        "array_intersect verification.  No CartesianProduct, no max_df "
+        "recall loss.",
     ),
     (
         "q6_forecast_revenue",

@@ -8,6 +8,12 @@ O(k)-state math that only larger N can exercise:
   q_kmv_set_ops           — KMV sketch fold vs exact distinct
   q_bpe_train             — iterative corpus-wide merge training
 
+r13 additions (VERDICT r12 task #4 — the remaining expensive sf1 rows):
+
+  q_ppjoin_near_dup       — prefix+positional-filtered similarity self-join
+  q_duplicate_spans       — windowed hashes -> df>=2 -> gaps-and-islands
+  q_sessionization        — per-user session windows over events
+
 Derives ``.scale_sf10/`` (gitignored) — a 10x key-shifted, namespace-
 renamed copy of the sf1 derivative's documents/embeddings/events, i.e.
 100x the sf0.1 data the driver benches — using the same isomorphic-
@@ -48,6 +54,9 @@ PROBES = [
     "q_er_sorted_neighborhood",
     "q_kmv_set_ops",
     "q_bpe_train",
+    "q_ppjoin_near_dup",
+    "q_duplicate_spans",
+    "q_sessionization",
 ]
 
 

@@ -12,7 +12,15 @@ k_eff ∝ N); this sweep produces the committed evidence:
   pairs-per-vector — constant for the scaled variant (≲ (TARGET-1)/2),
   growing ∝ N for the fixed-k one — plus wall-clock for the scaled query.
 
-    python tools/semdedup_ksweep.py --out KSWEEP_SEMDEDUP_r12.json
+    python tools/semdedup_ksweep.py --out KSWEEP_SEMDEDUP_r13.json
+
+Timing isolation (ADVICE r12): every (query, scale) wall-clock runs in a
+FRESH SUBPROCESS (`--only query:sf_dir`), the same methodology
+tools/scale_probe_sf10.py established with measurements — a shared
+session's JVM heap carries the previous query's garbage and
+spark.stop() does not reset it, inflating later timings 3–20×.  The
+pair-count combinatorics stay in the parent process: exact integer
+counts are unaffected by heap state.
 """
 
 from __future__ import annotations
@@ -83,13 +91,40 @@ def bucket_stats(spark, sf_dir: str, target: int) -> dict:
     }
 
 
+def time_one(qname: str, sf_dir: str, n_runs: int) -> dict:
+    """Timed runs of one query at one scale — meant to be the ONLY Spark
+    work this process does, so the JVM heap is clean."""
+    from scalable_data_integration_with_llms_spark.caching import release_scoped
+    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    from scalable_data_integration_with_llms_spark.session import get_spark
+
+    spark = get_spark(f"semdedup-ksweep-{qname}")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES[qname](spark, sf_dir).collect()  # warm
+    release_scoped()
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        QUERIES[qname](spark, sf_dir).collect()
+        runs.append(round(time.perf_counter() - t0, 3))
+        release_scoped()
+    return {"runs": runs, "median": sorted(runs)[len(runs) // 2]}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="KSWEEP_SEMDEDUP_r12.json")
+    ap.add_argument("--out", default="KSWEEP_SEMDEDUP_r13.json")
     ap.add_argument("--runs", type=int, default=3, help="timed runs (median)")
+    ap.add_argument("--only", help="time ONE query in-process: 'qname:sf_dir'")
     args = ap.parse_args()
 
-    from scalable_data_integration_with_llms_spark.queries import QUERIES
+    if args.only:
+        qname, sf_dir = args.only.split(":", 1)
+        print(json.dumps(time_one(qname, sf_dir, args.runs)))
+        return 0
+
+    import subprocess
+
     from scalable_data_integration_with_llms_spark.queries.similarity_q import (
         _SD_TARGET,
     )
@@ -108,15 +143,15 @@ def main() -> int:
             print(f"skip {name}: {sf_dir} missing", file=sys.stderr)
             continue
         stats = bucket_stats(spark, sf_dir, _SD_TARGET)
+        # one fresh PROCESS per (query, scale) timing — see module docstring
         timings = {}
         for qname in ("q_semdedup_scaled", "q_semdedup"):
-            QUERIES[qname](spark, sf_dir).collect()  # warm
-            runs = []
-            for _ in range(args.runs):
-                t0 = time.perf_counter()
-                QUERIES[qname](spark, sf_dir).collect()
-                runs.append(round(time.perf_counter() - t0, 3))
-            timings[qname] = sorted(runs)[len(runs) // 2]
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--only", f"{qname}:{sf_dir}", "--runs", str(args.runs)],
+                capture_output=True, text=True, cwd=repo, check=True,
+            )
+            timings[qname] = json.loads(out.stdout.strip().splitlines()[-1])["median"]
         rows.append({"scale": name, **stats, "sec": timings})
         print(json.dumps(rows[-1]))
 
@@ -125,7 +160,10 @@ def main() -> int:
         "note": (
             "scaled_pairs_per_vector flat across scales = constant per-cluster "
             "work (k_eff grows with N); fixed_pairs_per_vector grows ~linearly "
-            "with N = the quadratic candidate stage at fixed k"
+            "with N = the quadratic candidate stage at fixed k; each sec value "
+            "is the median of fresh-subprocess runs (one process per query x "
+            "scale — shared-JVM heap pollution invalidated in-process timings, "
+            "ADVICE r12)"
         ),
         "scales": rows,
     }
