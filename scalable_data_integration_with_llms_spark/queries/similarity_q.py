@@ -352,6 +352,97 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- ANN recall, md5-derived anchor panel (rank-stability probe) --------------
+# q_ann_recall's panel is the id-prefix `vec_id < 64`; this twin draws the
+# SAME-SIZE panel by a pure hash of the id (the 64 smallest
+# md5('anchor13:'||vec_id) values — a deterministic pseudo-random sample,
+# computable identically in any engine) so the recall measurement is shown
+# not to be an artifact of the id-ordered prefix (VERDICT r12 task #7).
+# Ground truth stays O(anchors × N): the panel is a fixed-size TakeOrdered.
+
+_ANN_RECALL_HASHED_ORACLE = _LSH_PLANE_CTE + f""",
+panel AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5('anchor13:' || vec_id), vec_id LIMIT {_N_ANCHORS}
+),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qb.vec_id ORDER BY
+             list_dot_product(qv.ve, cv.ve)
+               / (sqrt(list_dot_product(qv.ve, qv.ve)) * sqrt(list_dot_product(cv.ve, cv.ve))) DESC,
+             cb.vec_id ASC) AS r
+    FROM buckets qb JOIN buckets cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+    JOIN v qv ON qb.vec_id = qv.vec_id
+    JOIN v cv ON cb.vec_id = cv.vec_id
+    WHERE qb.vec_id IN (SELECT vec_id FROM panel)
+  ) WHERE r <= {_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_EXPR} DESC, c.vec_id ASC) AS r
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id IN (SELECT vec_id FROM panel) AND q.vec_id <> c.vec_id
+  ) WHERE r <= {_K}
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       (SUM(hits) * 1.0) / (COUNT(*) * {_K}) AS recall_at_k
+FROM (
+  SELECT e.query_id, COUNT(a.neighbor_id) AS hits
+  FROM exact e LEFT JOIN ann a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+"""
+
+
+@query("q_ann_recall_hashed", _ANN_RECALL_HASHED_ORACLE)
+def q_ann_recall_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_recall's rank-stability twin: identical measurement, but the
+    64-query anchor panel is the 64 ids with the smallest
+    md5('anchor13:'||vec_id) — a deterministic hash-random sample instead
+    of the id-ordered prefix, proving the recall number is a property of
+    the index, not of which rows happen to carry low ids.  The panel is a
+    bounded TakeOrdered (64 rows collected — the same bounded-collect
+    class as the centroid frames); everything downstream is the
+    anchor-broadcast probe, O(anchors × N) at any scale."""
+    from ..operators.similarity import cosine_topk, lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = [
+        r[0]
+        for r in e.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("anchor13:"), F.col("vec_id").cast("string"))),
+            F.col("vec_id"),
+        )
+        .limit(_N_ANCHORS)
+        .collect()
+    ]
+    anchor = F.col("vec_id").isin(panel)
+    ann = lsh_topk(e, k=_K, n_planes=6, query_pred=anchor).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(e.filter(anchor), e, _K).select("query_id", "neighbor_id")
+    joined = exact.alias("e").join(
+        ann.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    per_query = joined.groupBy(F.col("e.query_id")).agg(
+        F.count(F.col("a.neighbor_id")).alias("hits")
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").alias("total_hits"),
+        ((F.sum("hits") * F.lit(1.0)) / (F.count(F.lit(1)) * F.lit(_K))).alias("recall_at_k"),
+    )
+
+
 # -- IVF quality: recall@k of the coarse-partition path vs exact --------------
 
 _IVF_RECALL_ORACLE = f"""

@@ -35,6 +35,7 @@ NAMES = [
     "q_dedup_containment",
     "q_dedup_keepers",
     "q_ann_recall",
+    "q_ann_recall_hashed",
     "q_minhash_est_jaccard",
     "q_ivf_recall",
     "q_udtf_tokens",

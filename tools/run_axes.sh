@@ -74,10 +74,13 @@ for axis in "$@"; do
     # every adversary at once (VERDICT r11 task #2): multi-JVM master +
     # speculation + flaky first-attempt sources + 7-row Arrow chunks +
     # non-UTC DST timezone + ANSI off + tiny shuffle parallelism — the
-    # pairwise-interaction sweep fifteen independent axes cannot replace
+    # pairwise-interaction sweep fifteen independent axes cannot replace.
+    # r13 (VERDICT r12 task #2): runs at sf0.1 so the composed adversaries
+    # stress real shuffle sizes, not sf0.01 toys
     MAXADV) run MAXADV SDI_FLAKY_SOURCES=1 SDI_MASTER='local-cluster[2,4,4096]' \
                   SDI_SESSION_TZ=Asia/Kolkata SDI_ANSI=false SDI_SHUFFLE_PARTITIONS=7 \
-                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4;spark.sql.execution.arrow.maxRecordsPerBatch=7' ;;
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4;spark.sql.execution.arrow.maxRecordsPerBatch=7' \
+                  -- --sf-dir /root/testdata/sf0.1 ;;
     *) echo "unknown axis $axis" >&2; exit 2 ;;
   esac
 done
