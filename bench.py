@@ -293,6 +293,34 @@ def main() -> None:
 
     calibration = _calibrate()
 
+    # Multi-core drift anchor (round 13): the single-slice anchor tracks
+    # ONE core's speed, but the battery's queries saturate all of them —
+    # r13 observed the two drift independently on this shared VM (single-
+    # core 0.65x while multi-core query times ran 1.15x), which made
+    # single-anchor normalization AMPLIFY noise instead of removing it.
+    # Same per-row work, 32 independent 450M slices (id%450M keeps the
+    # multiply inside bigint at any slice count).  The constant is as
+    # load-bearing as the single-core one; bench_compare prefers this
+    # anchor when both batteries carry it and falls back to the
+    # single-core row otherwise.
+    def _calibrate_mt() -> dict:
+        def spin() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 450_000_000 * 32, 1, 32).selectExpr(
+                "sum(id % 450000000 * 2654435761 % 1000003) AS s"
+            ).collect()
+            return time.perf_counter() - t0
+
+        spin()  # warm (JIT on this exact plan)
+        runs = sorted(round(spin(), 4) for _ in range(3))
+        return {
+            "sec": runs[1],
+            "runs": runs,
+            "work": "range(32x450e6,slices=32) sum(id%450e6*2654435761%1000003)",
+        }
+
+    calibration_mt = _calibrate_mt()
+
     # Two timed runs per query; BOTH columns are reported so round-over-
     # round comparisons stay apples-to-apples:
     #   queries      — best-of-2, same semantics as BENCH_r02 (the min damps
@@ -362,6 +390,7 @@ def main() -> None:
         "n_queries": len(battery),
         "bench_set": bench_set or "headline",
         "calibration": calibration,
+        "calibration_mt": calibration_mt,
         "runs": {
             "n": n_batteries,
             "totals": totals,

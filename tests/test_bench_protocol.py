@@ -104,6 +104,27 @@ def test_drift_ratio_both_anchors():
     assert drift_ratio(base, now) == 1.25
 
 
+def test_drift_ratio_prefers_multicore_anchor():
+    """When both batteries carry the r13 multi-core anchor, it wins over
+    the single-core row (single-core and multi-core speed drift
+    independently on a shared VM); mismatched mt work strings fall back
+    to the single-core anchor, and mismatched single-core work strings
+    yield None (ADVICE r12)."""
+    from bench_compare import drift_ratio
+
+    base = {"calibration": {"sec": 1.0, "work": "w1"},
+            "calibration_mt": {"sec": 2.0, "work": "wmt"}}
+    now = {"calibration": {"sec": 1.5, "work": "w1"},
+           "calibration_mt": {"sec": 4.0, "work": "wmt"}}
+    assert drift_ratio(base, now) == 2.0  # mt 4.0/2.0, not 1.5
+    now_badmt = {"calibration": {"sec": 1.5, "work": "w1"},
+                 "calibration_mt": {"sec": 4.0, "work": "OTHER"}}
+    assert drift_ratio(base, now_badmt) == 1.5  # falls back to single-core
+    now_badboth = {"calibration": {"sec": 1.5, "work": "OTHER"},
+                   "calibration_mt": {"sec": 4.0, "work": "OTHER"}}
+    assert drift_ratio(base, now_badboth) is None
+
+
 def test_drift_ratio_missing_or_zero_anchor_is_none():
     from bench_compare import drift_ratio
 

@@ -43,27 +43,35 @@ def load_baseline(path: str) -> dict:
 
 
 def drift_ratio(base_doc: dict, now_doc: dict) -> float | None:
-    """Host-drift ratio from the two batteries' fixed-work calibration rows
-    (bench.py `calibration.sec`), or None when either side lacks one —
-    callers then fall back to raw ratios.  A zero/absent sec is treated as
-    missing, never as a divide-by-zero.  The two calibrations must describe
-    the SAME fixed work (bench.py's `calibration.work` string): dividing
-    seconds measured over different anchor loads would silently normalize
-    every ratio by a bogus ~Nx drift (ADVICE r12), so a mismatch also
-    returns None, with a warning."""
-    base = base_doc.get("calibration") or {}
-    now = now_doc.get("calibration") or {}
-    base_cal = base.get("sec") or None
-    now_cal = now.get("sec") or None
-    if base_cal and now_cal and base.get("work") != now.get("work"):
-        print(
-            f"WARNING: calibration work mismatch (baseline {base.get('work')!r}"
-            f" vs now {now.get('work')!r}) — drift anchor unusable, falling"
-            " back to raw ratios",
-            file=sys.stderr,
-        )
-        return None
-    return (now_cal / base_cal) if (base_cal and now_cal) else None
+    """Host-drift ratio from the two batteries' fixed-work calibration rows,
+    or None when no usable anchor exists — callers then fall back to raw
+    ratios.  Prefers the MULTI-core anchor (`calibration_mt`, round 13)
+    when both batteries carry it: the battery's queries saturate every
+    core, and r13 measured single-core and multi-core speed drifting
+    independently on this shared VM (0.65x vs ~1.15x the same hour), so
+    the single-slice anchor can amplify rather than remove host noise.
+    Falls back to the single-core `calibration` row for pre-r13 baselines.
+    A zero/absent sec is treated as missing, never as a divide-by-zero.
+    The two calibrations must describe the SAME fixed work (the `work`
+    string): dividing seconds measured over different anchor loads would
+    silently normalize every ratio by a bogus ~Nx drift (ADVICE r12), so a
+    mismatch also returns None, with a warning."""
+    for key in ("calibration_mt", "calibration"):
+        base = base_doc.get(key) or {}
+        now = now_doc.get(key) or {}
+        base_cal = base.get("sec") or None
+        now_cal = now.get("sec") or None
+        if not (base_cal and now_cal):
+            continue
+        if base.get("work") != now.get("work"):
+            print(
+                f"WARNING: {key} work mismatch (baseline {base.get('work')!r}"
+                f" vs now {now.get('work')!r}) — this anchor unusable",
+                file=sys.stderr,
+            )
+            continue
+        return now_cal / base_cal
+    return None
 
 
 def effective_threshold(
@@ -135,8 +143,15 @@ def main() -> int:
     # drifted host.  Flagging uses the NORMALIZED ratio when the anchor
     # exists, the raw ratio otherwise.
     drift = drift_ratio(doc, now_doc)
-    base_cal = ((doc.get("calibration") or {}).get("sec")) or None
-    now_cal = ((now_doc.get("calibration") or {}).get("sec")) or None
+    # footer detail: report whichever anchor drift_ratio used (mt preferred)
+    anchor_key = next(
+        (k for k in ("calibration_mt", "calibration")
+         if (doc.get(k) or {}).get("sec") and (now_doc.get(k) or {}).get("sec")
+         and (doc.get(k) or {}).get("work") == (now_doc.get(k) or {}).get("work")),
+        "calibration",
+    )
+    base_cal = ((doc.get(anchor_key) or {}).get("sec")) or None
+    now_cal = ((now_doc.get(anchor_key) or {}).get("sec")) or None
 
     regressed = []
     hdr_norm = f"{'norm':>8}" if drift else ""
@@ -159,7 +174,7 @@ def main() -> int:
         norm_col = f"{norm:>8.2f}" if drift else ""
         print(f"{name:<28}{b if b else 0:>8.2f}{t:>8.2f}{ratio:>8.2f}{norm_col}{gate:>7.2f}{flag}")
     if drift:
-        print(f"\nhost drift anchor: calibration {base_cal:.2f}s -> {now_cal:.2f}s "
+        print(f"\nhost drift anchor ({anchor_key}): {base_cal:.2f}s -> {now_cal:.2f}s "
               f"= {drift:.3f}x (per-query 'norm' = ratio / drift; gates apply to norm)")
     # both totals over the SHARED key set — summing all current queries
     # would inflate the ratio whenever new queries exist
