@@ -81,7 +81,10 @@ for axis in "$@"; do
     # pairwise-interaction sweep fifteen independent axes cannot replace.
     # r13 (VERDICT r12 task #2): runs at sf0.1 so the composed adversaries
     # stress real shuffle sizes, not sf0.01 toys
-    MAXADV) run MAXADV SDI_FLAKY_SOURCES=1 SDI_MASTER='local-cluster[2,4,4096]' \
+    # the 4x8x6g topology (not 2x4x4g) for the same reason as CLUSTER_SF1:
+    # at sf0.1 the composed adversaries over 8 cores measure ~5h; 32 cores
+    # keep the same multi-JVM + speculation semantics at ~4x the rate (r13)
+    MAXADV) run MAXADV SDI_FLAKY_SOURCES=1 SDI_MASTER='local-cluster[4,8,6144]' \
                   SDI_SESSION_TZ=Asia/Kolkata SDI_ANSI=false SDI_SHUFFLE_PARTITIONS=7 \
                   SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4;spark.sql.execution.arrow.maxRecordsPerBatch=7' \
                   -- --sf-dir /root/testdata/sf0.1 ;;
