@@ -39,7 +39,16 @@ def salted_join(
     salt = F.pmod(F.xxhash64(F.lit("salt"), *key_cols), F.lit(salt_factor)).cast("int")
     left = skewed.withColumn("__salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("__salt")
-    right = small.select("*", salts)
+    # The replicated side must take the SHUFFLE path: if it were broadcast,
+    # the salt would be pointless (a broadcast join has no shuffle to skew)
+    # and the executor would build a hashed relation ``salt_factor`` times
+    # the un-replicated size — at sf1 under realistic executor sizing that
+    # deserialization is exactly what OOMs (BytesToBytesMap growth in
+    # UnsafeHashedRelation.read).  The shuffle_hash hint pins the intended
+    # physical strategy: partition both sides by (key, salt), hash-build
+    # the replicated side per-partition where each partition holds only
+    # 1/(parallelism) of it.
+    right = small.select("*", salts).hint("shuffle_hash")
     joined = left.join(right, [on, "__salt"], how)
     return joined.drop("__salt")
 

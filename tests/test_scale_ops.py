@@ -21,6 +21,30 @@ def test_salted_join_parity(spark):
     assert sorted(map(str, plain.collect())) == sorted(map(str, salted.collect()))
 
 
+def test_salted_join_never_broadcasts(spark):
+    """The replicated side of a salted join must take the shuffle path:
+    Catalyst left to its own devices broadcasts it (the plan r13's
+    CLUSTER_SF1 axis caught OOMing real-sized executors deserializing the
+    ×salt_factor hashed relation), and a broadcast join has no shuffle for
+    the salt to de-skew in the first place.  Pin ShuffledHashJoin in, and
+    BroadcastHashJoin out of, the physical plan."""
+    from scalable_data_integration_with_llms_spark.operators.skew import salted_join
+    from scalable_data_integration_with_llms_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    sup = load_table(spark, "/root/testdata/sf0.001", "supplier")
+    salted = salted_join(
+        li.withColumnRenamed("l_suppkey", "k"),
+        sup.withColumnRenamed("s_suppkey", "k"),
+        on="k",
+        salt_factor=4,
+        salt_key_cols=["l_orderkey", "l_linenumber"],
+    ).select("l_orderkey", "s_name")
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_key_histogram(spark):
     from scalable_data_integration_with_llms_spark.operators.skew import key_histogram
 
@@ -148,15 +172,20 @@ def test_ann_recall_is_panel_stable(spark):
     smallest md5('anchor13:'||vec_id)) must report recall within a tight
     band of each other — the recall number is a property of the LSH index,
     not an artifact of which rows carry low ids.  Both panels have 64
-    queries x k=5 = 320 hit slots; observed gap at sf0.01 is 0.016, the
-    band is 5x that."""
+    queries x k=5 = 320 hit slots; the band is derived from that slot
+    count — 25 slots (~0.078) of disagreement between two equally-valid
+    64-anchor panels — rather than pinned to one observed gap (0.016 on
+    the 2026-08 sf0.01 fixture), so the INTENT survives a test-data
+    regeneration or an n_planes change (ADVICE r13): only a panel-choice
+    sensitivity large enough to question the measurement flags."""
     from scalable_data_integration_with_llms_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.01"
     prefix = QUERIES["q_ann_recall"](spark, sf).collect()[0]
     hashed = QUERIES["q_ann_recall_hashed"](spark, sf).collect()[0]
     assert prefix.n_queries == hashed.n_queries == 64
-    assert abs(prefix.recall_at_k - hashed.recall_at_k) <= 0.08, (
+    band = 25 / (64 * 5)  # hit-slot budget, not an observed-gap multiple
+    assert abs(prefix.recall_at_k - hashed.recall_at_k) <= band, (
         prefix.recall_at_k, hashed.recall_at_k)
 
 

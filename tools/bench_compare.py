@@ -55,7 +55,12 @@ def drift_ratio(base_doc: dict, now_doc: dict) -> float | None:
     The two calibrations must describe the SAME fixed work (the `work`
     string): dividing seconds measured over different anchor loads would
     silently normalize every ratio by a bogus ~Nx drift (ADVICE r12), so a
-    mismatch also returns None, with a warning."""
+    mismatch also returns None, with a warning.
+
+    Returns ``(ratio, anchor_key)`` — the key names which anchor produced
+    the ratio, so the caller's footer can never disagree with the ratio it
+    describes (ADVICE r13: the selection logic used to be duplicated
+    between here and the footer)."""
     for key in ("calibration_mt", "calibration"):
         base = base_doc.get(key) or {}
         now = now_doc.get(key) or {}
@@ -70,8 +75,8 @@ def drift_ratio(base_doc: dict, now_doc: dict) -> float | None:
                 file=sys.stderr,
             )
             continue
-        return now_cal / base_cal
-    return None
+        return now_cal / base_cal, key
+    return None, None
 
 
 def effective_threshold(
@@ -101,6 +106,11 @@ def main() -> int:
     ap.add_argument("--no-run", action="store_true",
                     help="compare an existing BENCH_FULL_last_run.json "
                          "instead of re-running bench.py")
+    ap.add_argument("--no-recheck", action="store_true",
+                    help="skip the fresh-process re-measurement of flagged "
+                         "rows (the default recheck exists because two "
+                         "consecutive rounds of flags were shared-JVM heap "
+                         "carryover, not code regressions)")
     args = ap.parse_args()
 
     baseline_path = args.baseline
@@ -142,16 +152,9 @@ def main() -> int:
     # reads as regression, and a real regression still shows through on a
     # drifted host.  Flagging uses the NORMALIZED ratio when the anchor
     # exists, the raw ratio otherwise.
-    drift = drift_ratio(doc, now_doc)
-    # footer detail: report whichever anchor drift_ratio used (mt preferred)
-    anchor_key = next(
-        (k for k in ("calibration_mt", "calibration")
-         if (doc.get(k) or {}).get("sec") and (now_doc.get(k) or {}).get("sec")
-         and (doc.get(k) or {}).get("work") == (now_doc.get(k) or {}).get("work")),
-        "calibration",
-    )
-    base_cal = ((doc.get(anchor_key) or {}).get("sec")) or None
-    now_cal = ((now_doc.get(anchor_key) or {}).get("sec")) or None
+    drift, anchor_key = drift_ratio(doc, now_doc)
+    base_cal = ((doc.get(anchor_key) or {}).get("sec")) if anchor_key else None
+    now_cal = ((now_doc.get(anchor_key) or {}).get("sec")) if anchor_key else None
 
     regressed = []
     hdr_norm = f"{'norm':>8}" if drift else ""
@@ -189,6 +192,50 @@ def main() -> int:
           + (f"  baseline battery spread {host_spread}x over "
              f"{(doc.get('runs') or {}).get('n')} runs" if host_spread else
              "  (baseline has no run metadata; flat threshold)"))
+    # Fresh-process recheck (VERDICT r13 task #3): a flag from the shared-
+    # JVM battery is only a HYPOTHESIS of regression — r12 and r13 both
+    # produced flags that a one-JVM-per-query A/B then cleared (heap
+    # carryover; spark.stop() does not reset the heap).  Re-measure every
+    # flagged query in its own process (tools/bench_one.py, median of 3)
+    # and downgrade flags whose fresh drift-normalized ratio clears the
+    # gate.  A query that is genuinely slower stays flagged: the fresh
+    # number can only remove battery-ordering noise, not code cost.
+    if regressed and not args.no_recheck:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        print(f"\nre-measuring {len(regressed)} flagged row(s) in fresh processes …")
+        still = []
+        for name, b, t, gate in regressed:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "tools", "bench_one.py"),
+                 name, "--sf-dir", sf_dir, "--runs", "3"],
+                capture_output=True, text=True, cwd=ROOT,
+            )
+            fresh = None
+            for ln in (proc.stdout or "").splitlines():
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                if rec.get("query") == name:
+                    fresh = rec["median"]
+            if fresh is None:
+                print(f"  {name}: fresh-process recheck FAILED "
+                      f"(rc={proc.returncode}) — flag stands; stderr tail: "
+                      f"{(proc.stderr or '')[-300:]!r}")
+                still.append((name, b, t, gate))
+                continue
+            fresh_norm = fresh / b / (drift or 1.0)
+            if fresh_norm <= gate:
+                print(f"  {name}: battery {t:.2f}s but fresh-process median "
+                      f"{fresh:.2f}s = {fresh_norm:.2f}x norm (gate {gate:.2f}x)"
+                      f" — heap-carryover artifact, flag cleared")
+            else:
+                print(f"  {name}: fresh-process median {fresh:.2f}s = "
+                      f"{fresh_norm:.2f}x norm still beyond gate {gate:.2f}x"
+                      f" — REGRESSION confirmed")
+                still.append((name, b, fresh, gate))
+        regressed = still
+
     if regressed:
         print(f"\n{len(regressed)} regression(s) beyond their gates:")
         for name, b, t, gate in regressed:

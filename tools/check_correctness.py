@@ -258,6 +258,17 @@ def main() -> int:
             else:
                 entry["status"] = "ERROR"
                 entry["err"] = f"{type(e).__name__}: {e}"[:400]
+                # A Py4J stack buries the real failure under awaitResult
+                # wrappers — the r13 CLUSTER_SF1 ERRORs truncated away the
+                # `Caused by: ... BytesToBytesMap` line that named the root
+                # cause.  Record every distinct Caused-by line verbatim.
+                causes = [
+                    ln.strip()
+                    for ln in str(e).splitlines()
+                    if ln.strip().startswith("Caused by:")
+                ]
+                if causes:
+                    entry["err_causes"] = sorted(set(causes))[:5]
             n_err += 1
         entry["sec"] = round(time.time() - t0, 2)
         # query-scoped persists are released here, after the consuming

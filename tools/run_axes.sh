@@ -54,26 +54,32 @@ for axis in "$@"; do
                   SDI_SESSION_TZ=Asia/Kolkata \
                   SDI_EXTRA_CONF='spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN;spark.sql.adaptive.enabled=false' ;;
     RETRY)  run RETRY SDI_FLAKY_SOURCES=1 SDI_TASK_MAX_FAILURES=4 ;;
+    # Every local-cluster axis pins spark.executor.memory near the worker
+    # capacity from the master string: local-cluster[N,C,M] makes M the
+    # WORKER's capacity only — executors still launch at the 1g default,
+    # which is what produced the r13 CLUSTER_SF1 ERRORs (BytesToBytesMap
+    # growth failure deserializing a large hashed relation in a 1g heap,
+    # surfaced through SocketAuthServer.getResult).  r14 root cause.
     # speculation is a NO-OP under any local[N] master (the task scheduler
     # disables it when isLocal), so the speculative-duplicate adversary
     # needs the multi-JVM master; flaky sources ride along so retries AND
     # speculative copies interleave in one sweep
     SPECULATION) run SPECULATION SDI_FLAKY_SOURCES=1 SDI_MASTER='local-cluster[2,4,4096]' \
-                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4' ;;
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.executor.memory=3g;spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4' ;;
     ARROW)  run ARROW SDI_EXTRA_CONF='spark.sql.execution.arrow.maxRecordsPerBatch=7' ;;
     CLUSTER) run CLUSTER SDI_MASTER='local-cluster[2,4,4096]' \
-                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT" ;;
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.executor.memory=3g' ;;
     # cluster master at 10x the adversarial scale (VERDICT r11 task #3):
     # real shuffle sizes through the block manager, not sf0.01 toys
     CLUSTER_SF01) run CLUSTER_SF01 SDI_MASTER='local-cluster[2,4,4096]' \
-                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT" \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.executor.memory=3g' \
                   -- --sf-dir /root/testdata/sf0.1 ;;
     # sf1 needs the full 32 cores: the 2x4 topology used for the sf0.01/
     # sf0.1 cluster axes measures ~10h at sf1 (8 cores vs local[32]'s 32),
     # so this axis runs 4 executors x 8 cores x 8 GiB — same multi-JVM
     # block-manager/serialization paths, realistic executor sizing (r13)
     CLUSTER_SF1) run CLUSTER_SF1 SDI_MASTER='local-cluster[4,8,8192]' \
-                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT" \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.executor.memory=7g' \
                   -- --sf-dir "$ROOT/.scale_sf1" --oracle-budget 900 ;;
     # every adversary at once (VERDICT r11 task #2): multi-JVM master +
     # speculation + flaky first-attempt sources + 7-row Arrow chunks +
@@ -86,7 +92,7 @@ for axis in "$@"; do
     # keep the same multi-JVM + speculation semantics at ~4x the rate (r13)
     MAXADV) run MAXADV SDI_FLAKY_SOURCES=1 SDI_MASTER='local-cluster[4,8,6144]' \
                   SDI_SESSION_TZ=Asia/Kolkata SDI_ANSI=false SDI_SHUFFLE_PARTITIONS=7 \
-                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4;spark.sql.execution.arrow.maxRecordsPerBatch=7' \
+                  SDI_EXTRA_CONF='spark.executorEnv.PYTHONPATH='"$ROOT"';spark.executor.memory=5g;spark.task.maxFailures=4;spark.speculation=true;spark.speculation.multiplier=1.1;spark.speculation.quantile=0.4;spark.sql.execution.arrow.maxRecordsPerBatch=7' \
                   -- --sf-dir /root/testdata/sf0.1 ;;
     *) echo "unknown axis $axis" >&2; exit 2 ;;
   esac

@@ -146,11 +146,19 @@ def main() -> int:
         # one fresh PROCESS per (query, scale) timing — see module docstring
         timings = {}
         for qname in ("q_semdedup_scaled", "q_semdedup"):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--only", f"{qname}:{sf_dir}", "--runs", str(args.runs)],
-                capture_output=True, text=True, cwd=repo, check=True,
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--only", f"{qname}:{sf_dir}", "--runs", str(args.runs)],
+                    capture_output=True, text=True, cwd=repo, check=True,
+                )
+            except subprocess.CalledProcessError as e:
+                # check=True alone would discard the child's captured
+                # stderr — surface it before re-raising so a failed sweep
+                # names its cause (ADVICE r13)
+                print(f"child {qname} failed rc={e.returncode}; stderr:\n"
+                      f"{e.stderr}", file=sys.stderr)
+                raise
             timings[qname] = json.loads(out.stdout.strip().splitlines()[-1])["median"]
         rows.append({"scale": name, **stats, "sec": timings})
         print(json.dumps(rows[-1]))
