@@ -171,6 +171,10 @@ HEADLINE += [
     # AllPairs/PPJoin similarity join
     "q_semdedup_scaled",
     "q_ppjoin_near_dup",
+    # round-14 addition: the exactly-once transactional sink (4 committed
+    # micro-batches + a replayed batch + a torn-write probe, then the
+    # single-agg upsert view) — durable output joins the battery
+    "q_exactly_once_sink",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

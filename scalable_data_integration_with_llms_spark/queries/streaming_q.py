@@ -760,6 +760,72 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exactly-once transactional sink (r14: the WRITE side of CDC/ingest) -----
+# q_stream_cdc_apply proves replayed INPUT batches fold to the same state;
+# this query proves replayed OUTPUT batches land exactly once: events are
+# split into 4 deterministic micro-batches (md5 of event_id — the same
+# batches on every run and engine), applied through the TxnParquetSink
+# commit protocol, then batch 2 is REPLAYED (must be a marker-check no-op)
+# and a TORN write is simulated (a 5th data partition with no commit
+# marker — the crash window between data write and commit).  The returned
+# upsert view must equal plain SQL over `events` — i.e. the replay added
+# nothing and the torn partition is invisible, or the hashes diverge.
+# The unit tests drive the same sink from a real Structured Streaming
+# foreachBatch to pin the callback contract (tests/test_txn_sink.py).
+
+_EXACTLY_ONCE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_op,
+       CAST(round(value * 1000, 0) AS BIGINT) AS last_value_milli,
+       ts AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("q_exactly_once_sink", _EXACTLY_ONCE_ORACLE)
+def q_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.txn_sink import TxnParquetSink
+
+    sink = TxnParquetSink(tempfile.mkdtemp(prefix="sdi_txn_sink_"))
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(4),
+    )
+    batched = events.withColumn("__b", bucket)
+    for b in range(4):
+        did_write = sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
+        assert did_write, f"batch {b} unexpectedly already committed"
+    # replay: at-least-once delivery hands batch 2 over again — the marker
+    # makes it a no-op, not a duplicate append
+    replay_wrote = sink.apply(batched.filter(F.col("__b") == 2).drop("__b"), 2)
+    assert not replay_wrote, "replayed batch was written twice"
+    # torn write: data lands, the writer dies before the commit marker —
+    # readers must never see this partition
+    events.limit(50).write.mode("overwrite").parquet(
+        f"{sink.data_dir}/batch_id=9999"
+    )
+    assert sink.committed_ids() == [0, 1, 2, 3]
+    return sink.latest_by_key(
+        spark, "user_id", order=["ts", "event_id"], payload=["event_type", "value"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.round(F.col("value") * 1000, 0).cast("bigint").alias("last_value_milli"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 # Registered last: _register_tws references _NEAR_DUP_GATE_ORACLE and
 # _CLOSED_SESSIONS_ORACLE, which must both be bound before the call.
 if _has_tws_runtime():  # pragma: no cover - environment-dependent

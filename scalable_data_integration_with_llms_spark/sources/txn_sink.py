@@ -1,0 +1,114 @@
+"""Exactly-once batch parquet sink (K-family stretch, VERDICT r13 task #7).
+
+The streaming gates (`streaming/near_dup_gate.py`, `q_stream_cdc_apply`)
+prove the READ side of the pipeline is replay-safe; this module is the
+missing WRITE side: a ``foreachBatch``-shaped parquet upsert that stays
+correct when a batch is delivered twice (Structured Streaming's contract is
+at-least-once delivery into ``foreachBatch`` — exactly-once is the sink's
+job) and when a writer dies between the data write and the commit.
+
+Protocol (a deliberately minimal Delta-style commit log, stdlib-only):
+
+* data for batch *b* lands under ``<table>/data/batch_id=<b>/`` — a plain
+  distributed parquet write, append-only at the directory level, so at
+  100 TB it is N executors writing their own files with no coordination;
+* the batch becomes VISIBLE only when ``<table>/_commits/<b>.json``
+  exists.  The marker is written tmp-then-``os.rename`` — atomic on POSIX
+  — and is O(bytes) driver-side work per batch;
+* replay of a committed batch is a no-op (``apply`` returns ``False``
+  without touching storage): idempotence comes from the marker check, not
+  from the writer remembering anything, so a NEW driver process replaying
+  the last un-acked batch after a crash is also safe;
+* a torn write (data files present, no marker — the crash window) is
+  invisible to every reader: ``snapshot`` filters the partition column to
+  the committed id set.  Re-running the batch overwrites the orphan
+  partition and then commits it.
+
+Readers get ``snapshot()`` — the committed union — and
+``latest_by_key()``, the upsert view: last writer wins per key, ordered by
+``(batch_id, ts)``, computed with one ``max(struct(...))`` aggregation (no
+window sort; the same associative-merge shape as the streaming CDC gate).
+
+The reference's closest surface is the pickle experiment cache
+(``ExperimentCollection.py:7-28``), which is last-writer-wins with no
+crash story; this is what that becomes when the "experiment" is a 100 TB
+table and the writer is preemptible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TxnParquetSink:
+    """Transactional parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.commit_dir = os.path.join(path, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    # -- write side ----------------------------------------------------------
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{int(batch_id)}.json")
+
+    def committed_ids(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.commit_dir)
+            if f.endswith(".json") and f[: -len(".json")].isdigit()
+        )
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """Write one micro-batch exactly once.  Returns True when this call
+        performed the write, False when ``batch_id`` was already committed
+        (the replay path).  Safe to call from ``foreachBatch`` directly."""
+        marker = self._marker(batch_id)
+        if os.path.exists(marker):
+            return False
+        part_dir = os.path.join(self.data_dir, f"batch_id={int(batch_id)}")
+        # overwrite, not append: a torn previous attempt may have left
+        # orphan files in this partition; the retry must replace them, or
+        # the eventual commit would expose duplicates
+        n_rows = batch_df.count()
+        batch_df.write.mode("overwrite").parquet(part_dir)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": int(batch_id), "n_rows": n_rows}, fh)
+        os.rename(tmp, marker)  # the commit point — atomic
+        return True
+
+    # -- read side -----------------------------------------------------------
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Union of COMMITTED batches only.  ``basePath`` keeps ``batch_id``
+        as a partition column; uncommitted/torn partitions are pruned by the
+        isin filter — partition pruning makes the exclusion a metadata
+        operation, no orphan file is ever opened."""
+        ids = self.committed_ids()
+        df = (
+            spark.read.option("basePath", self.data_dir)
+            .parquet(self.data_dir)
+        )
+        return df.filter(F.col("batch_id").isin(ids) if ids else F.lit(False))
+
+    def latest_by_key(
+        self, spark: SparkSession, key: str, order: list[str], payload: list[str]
+    ) -> DataFrame:
+        """Upsert view: one row per ``key``, the payload of the greatest
+        ``(*order, batch_id)`` row — data-level ordering first (so the view
+        is expressible as plain SQL over the union, independent of how rows
+        were batched), delivery order as the final tiebreak — computed with
+        one hash aggregation, no global sort."""
+        snap = self.snapshot(spark)
+        pick = F.max(F.struct(*order, "batch_id", *payload)).alias("w")
+        return snap.groupBy(key).agg(pick).select(
+            key, *[F.col(f"w.{c}").alias(c) for c in order + payload]
+        )
