@@ -173,8 +173,10 @@ HEADLINE += [
     "q_ppjoin_near_dup",
     # round-14 addition: the exactly-once transactional sink (4 committed
     # micro-batches + a replayed batch + a torn-write probe, then the
-    # single-agg upsert view) — durable output joins the battery
+    # single-agg upsert view) and its compaction twin (4 partitions
+    # rewritten as one superseding generation, torn-compaction probe)
     "q_exactly_once_sink",
+    "q_sink_compaction",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N

@@ -826,6 +826,52 @@ def q_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The compaction twin: same events, same oracle — after the 4 batches
+# commit, compact() rewrites them as ONE superseding partition (the
+# small-files remedy at scale), and a TORN compaction is simulated first
+# (compacted data written under an uncommitted id — readers must keep
+# serving the old generation).  Identical hashes to plain SQL over
+# `events` prove compaction is a pure storage-layout change.
+
+
+@query("q_sink_compaction", _EXACTLY_ONCE_ORACLE)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.txn_sink import TxnParquetSink
+
+    sink = TxnParquetSink(tempfile.mkdtemp(prefix="sdi_txn_compact_"))
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(4),
+    )
+    batched = events.withColumn("__b", bucket)
+    for b in range(4):
+        sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
+    # torn compaction: the rewrite landed but the writer died before the
+    # superseding marker — the old generation must still serve reads
+    sink.snapshot(spark).drop("batch_id").write.mode("overwrite").parquet(
+        f"{sink.data_dir}/batch_id=50"
+    )
+    assert sink.committed_ids() == [0, 1, 2, 3]
+    new_id = sink.compact(spark, target_partitions=4)
+    assert new_id is not None and sink.committed_ids() == [new_id]
+    # idempotence carries over: a second compact sees one active batch
+    assert sink.compact(spark) is None
+    return sink.latest_by_key(
+        spark, "user_id", order=["ts", "event_id"], payload=["event_type", "value"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.round(F.col("value") * 1000, 0).cast("bigint").alias("last_value_milli"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 # Registered last: _register_tws references _NEAR_DUP_GATE_ORACLE and
 # _CLOSED_SESSIONS_ORACLE, which must both be bound before the call.
 if _has_tws_runtime():  # pragma: no cover - environment-dependent

@@ -59,12 +59,25 @@ class TxnParquetSink:
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.commit_dir, f"{int(batch_id)}.json")
 
+    def _markers(self) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        for f in os.listdir(self.commit_dir):
+            if f.endswith(".json") and f[: -len(".json")].isdigit():
+                with open(os.path.join(self.commit_dir, f)) as fh:
+                    out[int(f[: -len(".json")])] = json.load(fh)
+        return out
+
     def committed_ids(self) -> list[int]:
-        return sorted(
-            int(f[: -len(".json")])
-            for f in os.listdir(self.commit_dir)
-            if f.endswith(".json") and f[: -len(".json")].isdigit()
-        )
+        """ACTIVE committed batch ids: every committed id minus those a
+        committed compaction supersedes.  A compaction whose data landed
+        but whose marker didn't (torn) supersedes nothing — readers keep
+        using the original partitions, which is the crash-safety of
+        compaction falling out of the same marker rule as ingest."""
+        markers = self._markers()
+        superseded = {
+            int(b) for m in markers.values() for b in m.get("supersedes", [])
+        }
+        return sorted(b for b in markers if b not in superseded)
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> bool:
         """Write one micro-batch exactly once.  Returns True when this call
@@ -84,6 +97,46 @@ class TxnParquetSink:
             json.dump({"batch_id": int(batch_id), "n_rows": n_rows}, fh)
         os.rename(tmp, marker)  # the commit point — atomic
         return True
+
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> int | None:
+        """Small-files compaction (the real 100 TB operational problem with
+        one-partition-per-batch layouts): rewrite the ACTIVE committed
+        batches as ONE new partition whose marker supersedes them.  The
+        same commit rule gives crash safety for free — a compaction that
+        dies after writing data but before its marker leaves the table
+        exactly as it was — and replaying a committed compaction id is the
+        same marker-check no-op as any batch.  Superseded data files
+        become garbage, unreferenced but present, collectable out-of-band
+        (never deleted inline: a reader that listed partitions just before
+        the commit may still be streaming them).
+
+        Ordering caveat: rewritten rows all carry the NEW batch id, so the
+        delivery-order tiebreak in ``latest_by_key`` collapses for rows
+        whose ``order`` columns tie.  The view is exactly preserved
+        whenever ``order`` is decisive per key (the usual CDC shape — a
+        (ts, seq) changelog); a table that relies on delivery order for
+        correctness should materialize the view before compacting.
+
+        Returns the new batch id, or None when fewer than two active
+        batches exist (nothing to merge)."""
+        ids = self.committed_ids()
+        if len(ids) < 2:
+            return None
+        new_id = max(self._markers()) + 1
+        snap = self.snapshot(spark).drop("batch_id")
+        if target_partitions:
+            snap = snap.repartition(target_partitions)
+        part_dir = os.path.join(self.data_dir, f"batch_id={new_id}")
+        n_rows = snap.count()
+        snap.write.mode("overwrite").parquet(part_dir)
+        marker = self._marker(new_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"batch_id": new_id, "n_rows": n_rows, "supersedes": ids}, fh
+            )
+        os.rename(tmp, marker)  # atomic: old generation visible until here
+        return new_id
 
     # -- read side -----------------------------------------------------------
 

@@ -65,6 +65,37 @@ def test_latest_by_key_upsert_view(spark, tmp_path):
     assert rows == {(1, 20, "new"), (2, 10, "rewritten")}
 
 
+def test_compaction_preserves_data_and_supersedes(spark, tmp_path):
+    sink = TxnParquetSink(str(tmp_path / "t"))
+    sink.apply(_mk(spark, [(1, "a"), (2, "b")]), 0)
+    sink.apply(_mk(spark, [(3, "c")]), 1)
+    before = {(r.k, r.v) for r in sink.snapshot(spark).select("k", "v").collect()}
+    new_id = sink.compact(spark)
+    assert new_id == 2
+    # one active partition, same data columns (batch_id is rewritten)
+    assert sink.committed_ids() == [2]
+    after = {(r.k, r.v) for r in sink.snapshot(spark).select("k", "v").collect()}
+    assert after == before == {(1, "a"), (2, "b"), (3, "c")}
+    # nothing left to merge; replay-compaction is a no-op
+    assert sink.compact(spark) is None
+    # new ingest after compaction composes: ids continue past the marker max
+    sink.apply(_mk(spark, [(4, "d")]), 3)
+    assert sink.committed_ids() == [2, 3]
+    assert sink.snapshot(spark).count() == 4
+
+
+def test_torn_compaction_keeps_old_generation(spark, tmp_path):
+    sink = TxnParquetSink(str(tmp_path / "t"))
+    sink.apply(_mk(spark, [(1, "a")]), 0)
+    sink.apply(_mk(spark, [(2, "b")]), 1)
+    # compacted data landed under an uncommitted id — the crash window
+    sink.snapshot(spark).drop("batch_id").write.mode("overwrite").parquet(
+        os.path.join(sink.data_dir, "batch_id=9")
+    )
+    assert sink.committed_ids() == [0, 1]
+    assert sink.snapshot(spark).count() == 2
+
+
 def test_foreach_batch_integration(spark, tmp_path):
     """The sink's apply IS a foreachBatch callback: drain the sf0.001 event
     stream through a real Structured Streaming query writing via the sink,
