@@ -138,6 +138,31 @@ class TxnParquetSink:
         os.rename(tmp, marker)  # atomic: old generation visible until here
         return new_id
 
+    def vacuum(self) -> list[int]:
+        """Delete the data partitions of SUPERSEDED batches — the garbage a
+        compaction leaves behind.  Only superseded partitions are touched:
+        they were committed and then atomically replaced, so no reader that
+        started after the compaction commit can reference them (a reader
+        that listed before it may still stream them — at scale you gate
+        this behind a retention window, the same rule as any MVCC vacuum;
+        here the caller decides when it is safe).  Torn/uncommitted
+        partitions are NEVER vacuumed: an id with data but no marker is
+        indistinguishable from a write in flight.  Returns the batch ids
+        whose data was removed."""
+        import shutil
+
+        markers = self._markers()
+        superseded = {
+            int(b) for m in markers.values() for b in m.get("supersedes", [])
+        }
+        removed = []
+        for b in sorted(superseded):
+            part_dir = os.path.join(self.data_dir, f"batch_id={b}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+                removed.append(b)
+        return removed
+
     # -- read side -----------------------------------------------------------
 
     def snapshot(self, spark: SparkSession) -> DataFrame:

@@ -96,6 +96,24 @@ def test_torn_compaction_keeps_old_generation(spark, tmp_path):
     assert sink.snapshot(spark).count() == 2
 
 
+def test_vacuum_removes_only_superseded(spark, tmp_path):
+    sink = TxnParquetSink(str(tmp_path / "t"))
+    sink.apply(_mk(spark, [(1, "a")]), 0)
+    sink.apply(_mk(spark, [(2, "b")]), 1)
+    # a torn/in-flight partition must survive vacuum (no marker = maybe
+    # a writer mid-flight)
+    _mk(spark, [(9, "j")]).write.mode("overwrite").parquet(
+        os.path.join(sink.data_dir, "batch_id=8")
+    )
+    assert sink.vacuum() == []  # nothing superseded yet
+    sink.compact(spark)
+    assert sink.vacuum() == [0, 1]
+    assert sink.vacuum() == []  # idempotent
+    assert os.path.isdir(os.path.join(sink.data_dir, "batch_id=8"))
+    rows = {(r.k, r.v) for r in sink.snapshot(spark).select("k", "v").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
 def test_foreach_batch_integration(spark, tmp_path):
     """The sink's apply IS a foreachBatch callback: drain the sf0.001 event
     stream through a real Structured Streaming query writing via the sink,
