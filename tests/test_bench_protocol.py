@@ -101,7 +101,7 @@ def test_drift_ratio_both_anchors():
 
     base = {"calibration": {"sec": 1.0}}
     now = {"calibration": {"sec": 1.25}}
-    assert drift_ratio(base, now) == 1.25
+    assert drift_ratio(base, now) == (1.25, "calibration")
 
 
 def test_drift_ratio_prefers_multicore_anchor():
@@ -116,23 +116,24 @@ def test_drift_ratio_prefers_multicore_anchor():
             "calibration_mt": {"sec": 2.0, "work": "wmt"}}
     now = {"calibration": {"sec": 1.5, "work": "w1"},
            "calibration_mt": {"sec": 4.0, "work": "wmt"}}
-    assert drift_ratio(base, now) == 2.0  # mt 4.0/2.0, not 1.5
+    assert drift_ratio(base, now) == (2.0, "calibration_mt")  # mt 4.0/2.0, not 1.5
     now_badmt = {"calibration": {"sec": 1.5, "work": "w1"},
                  "calibration_mt": {"sec": 4.0, "work": "OTHER"}}
-    assert drift_ratio(base, now_badmt) == 1.5  # falls back to single-core
+    # falls back to single-core, and says so
+    assert drift_ratio(base, now_badmt) == (1.5, "calibration")
     now_badboth = {"calibration": {"sec": 1.5, "work": "OTHER"},
                    "calibration_mt": {"sec": 4.0, "work": "OTHER"}}
-    assert drift_ratio(base, now_badboth) is None
+    assert drift_ratio(base, now_badboth) == (None, None)
 
 
 def test_drift_ratio_missing_or_zero_anchor_is_none():
     from bench_compare import drift_ratio
 
-    assert drift_ratio({}, {"calibration": {"sec": 1.2}}) is None
-    assert drift_ratio({"calibration": {"sec": 1.2}}, {}) is None
+    assert drift_ratio({}, {"calibration": {"sec": 1.2}}) == (None, None)
+    assert drift_ratio({"calibration": {"sec": 1.2}}, {}) == (None, None)
     # zero sec (degenerate timing) must read as missing, not divide
     assert drift_ratio({"calibration": {"sec": 0.0}},
-                       {"calibration": {"sec": 1.2}}) is None
+                       {"calibration": {"sec": 1.2}}) == (None, None)
 
 
 def test_committed_battery_carries_calibration_anchor():
