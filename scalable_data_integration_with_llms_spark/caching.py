@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 _SCOPED: list[DataFrame] = []
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
+def scoped_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     """Persist ``df`` and register it for later ``release_scoped()``.
 
     Use for intra-query frames that multiple plan branches read.  The
@@ -51,8 +51,21 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     functions directly (outside the shipped harnesses) should wrap the
     consuming action in :func:`scoped_caches` instead of tracking the
     release themselves.
+
+    ``eager=True`` materializes the cache NOW (one extra count job) instead
+    of on first read.  A lazy persist dedups work only across *sequential*
+    jobs — under AQE the independent exchange subtrees of one query
+    materialize as CONCURRENT jobs, and every branch that starts before the
+    cache is populated recomputes the shared frame from scratch (measured
+    on q_lsh_verified_pairs at sf0.1: the persisted shingle frame's
+    scan+explode ran in 4 parallel stages on a cold run — the cache only
+    deduped the *second* invocation).  Use eager when the frame is
+    expensive to build and feeds 2+ branches of the same action; leave
+    lazy when the frame is cheap or feeds a single consumer chain.
     """
     df.persist()
+    if eager:
+        df.count()
     _SCOPED.append(df)
     return df
 

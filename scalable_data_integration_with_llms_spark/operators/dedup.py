@@ -115,7 +115,7 @@ def jaccard_pairs(
 
     sized = shingles.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc")))
     if materialize:
-        sized = scoped_persist(sized)
+        sized = scoped_persist(sized, eager=True)
     a = sized.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
     b = sized.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
     return (
@@ -262,12 +262,35 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Docs sharing any band signature: (doc_a, doc_b, n_shared_bands)."""
-    a = signatures.select(F.col("doc").alias("doc_a"), "band", "signature")
-    b = signatures.select(F.col("doc").alias("doc_b"), "band", "signature")
+    """Docs sharing any band signature: (doc_a, doc_b, n_shared_bands).
+
+    Grouped-bucket formulation (r14): collect each (band, signature)
+    bucket's sorted doc list in ONE groupBy and emit the in-bucket pairs
+    with array expressions, instead of self-joining the signature frame.
+    The self-join evaluated the upstream signature pipeline (the
+    12-permutation md5 min-aggregation) once per side — two identical
+    ~20 s-of-executor-time aggregation instances at sf0.1 — and paid a
+    two-sided join exchange; the grouped form computes signatures once and
+    shuffles them once.  Per-bucket pair fan-out is unchanged (LSH buckets
+    are small by construction; a hot bucket was quadratic under the join
+    too), so the 100 TB story is identical with half the signature compute.
+    """
+    buckets = signatures.groupBy("band", "signature").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "signature"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -388,9 +411,19 @@ def connected_components(
     # otherwise run once per branch
     pairs = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
     pairs.count()
+    # Cache the edge list PRE-PARTITIONED on dst — the key every round's
+    # neighbor join probes — so the per-round join shuffles only the (tiny,
+    # changing) label frame; the cached edge side's hash partitioning is
+    # reused round after round (one Exchange per round instead of two).
+    # The former `.distinct()` is dropped: callers emit unique undirected
+    # pairs (every producer ends in a pair-keyed aggregate or distinct), and
+    # even if a duplicate slipped through, min-label propagation is
+    # idempotent — duplicates cost rows, never correctness — while the
+    # distinct cost a full extra shuffle+dedup of the edge list every run.
+    n_part = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     edges = (
         pairs.union(pairs.select(F.col("dst"), F.col("src")))
-        .distinct()
+        .repartition(int(n_part), "dst")
         .persist()
     )
     # fused round 0: with labels initialized to node ids, a neighbor's label
@@ -585,9 +618,16 @@ def ppjoin_pairs(
     """
     from pyspark.sql import Window as W
 
-    toks = elements.select(
-        F.col(doc_col).alias("doc"), F.col(elem_col).alias("tok")
-    ).distinct()
+    # persist (eager): the distinct element frame feeds THREE branches —
+    # the df table, the ranked join-back, and the verification arrays —
+    # which AQE materializes concurrently on a cold run; unpersisted, each
+    # re-ran the upstream scan+explode+distinct
+    toks = scoped_persist(
+        elements.select(
+            F.col(doc_col).alias("doc"), F.col(elem_col).alias("tok")
+        ).distinct(),
+        eager=True,
+    )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         toks.join(dfreq, "tok")
@@ -602,7 +642,8 @@ def ppjoin_pairs(
             <= F.col("sz")
             - F.expr(f"CAST(({t_num}*sz + {t_den} - 1) DIV {t_den} AS BIGINT)")
             + 1
-        ).select("doc", "tok", "pos", "sz")
+        ).select("doc", "tok", "pos", "sz"),
+        eager=True,  # both inverted-index sides read it concurrently
     )
     a = prefix.select(
         F.col("doc").alias("doc_a"),

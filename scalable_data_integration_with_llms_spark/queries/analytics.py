@@ -1110,7 +1110,7 @@ def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
         # the self-join reads this twice; one shuffle+agg, then cache
     )
-    spans = scoped_persist(spans)
+    spans = scoped_persist(spans, eager=True)
     bucket_of = lambda c: (F.unix_seconds(c) / _BUCKET_S).cast("bigint")  # noqa: E731
     with_buckets = spans.withColumn(
         "bks", F.sequence(bucket_of(F.col("s")), bucket_of(F.col("e")))

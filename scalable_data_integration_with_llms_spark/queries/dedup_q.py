@@ -321,7 +321,10 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only.  At corpus scale the verify join touches just the candidate set,
     not the corpus square."""
     d = load_table(spark, sf_dir, "documents")
-    sh = scoped_persist(word_shingles(d, "doc_id", "text", n=3))
+    # eager: the shingle frame feeds 4 plan branches (signatures, sizes,
+    # both verify sides) that AQE materializes as CONCURRENT jobs — a lazy
+    # persist left every branch recomputing the scan+explode on a cold run
+    sh = scoped_persist(word_shingles(d, "doc_id", "text", n=3), eager=True)
     sigs = minhash_signatures(sh, n_perm=12, n_bands=4)
     from ..operators.dedup import lsh_candidate_pairs
 
@@ -515,18 +518,23 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _hash60, jaccard_pairs, word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = scoped_persist(word_shingles(d, "doc_id", "text", n=3))
+    sh = scoped_persist(word_shingles(d, "doc_id", "text", n=3), eager=True)
     pairs = jaccard_pairs(sh, threshold=0.5, max_df=MAX_DF, materialize=True).select(
         "doc_a", "doc_b", F.col("jaccard").alias("true_jaccard")
     )
     # wide minhash layout (one agg, 12 min columns — same shape as
     # minhash_signatures): the per-pair estimate is then a column
-    # expression over two co-keyed joins, not a 12-way (doc, p) join + agg
-    mins = sh.groupBy("doc").agg(
-        *[
-            F.min(_hash60(F.lit(p), F.col("shingle"))).alias(f"m{p}")
-            for p in range(12)
-        ]
+    # expression over two co-keyed joins, not a 12-way (doc, p) join + agg.
+    # Persisted: ma and mb below both read it — without the cache the
+    # 12-permutation md5 aggregation (the dominant compute) runs per side.
+    mins = scoped_persist(
+        sh.groupBy("doc").agg(
+            *[
+                F.min(_hash60(F.lit(p), F.col("shingle"))).alias(f"m{p}")
+                for p in range(12)
+            ]
+        ),
+        eager=True,
     )
     ma = mins.select(
         F.col("doc").alias("doc_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(12)]

@@ -1245,7 +1245,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # two aggregations (per-source and corpus) read this frame
     )
-    ex = scoped_persist(ex)
+    ex = scoped_persist(ex, eager=True)
     src = ex.groupBy("source", "i").agg(
         (F.sum("xq").cast("double") / F.lit(1e7) / F.count(F.lit(1))).alias("c")
     )
@@ -1330,7 +1330,8 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode (the expensive Python stage) runs once, not once per side
     hashed = scoped_persist(
         spark.range(2 * _DHASH_N_PAIRS)
-        .mapInPandas(hash_batches, "doc_id bigint, dhash bigint")
+        .mapInPandas(hash_batches, "doc_id bigint, dhash bigint"),
+        eager=True,
     )
     banded = hashed.select(
         "doc_id",
@@ -1462,7 +1463,8 @@ def q_ann_plane_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     anchor = F.col("vec_id") < _N_ANCHORS
     exact = scoped_persist(
-        cosine_topk(e.filter(anchor), e, _K).select("query_id", "neighbor_id")
+        cosine_topk(e.filter(anchor), e, _K).select("query_id", "neighbor_id"),
+        eager=True,
     )
     out = None
     for n in _SWEEP_PLANES:
@@ -1604,10 +1606,12 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = scoped_persist(
         cosine_topk(e.filter(F.col("vec_id") < _N_ANCHORS), e, _K).select(
             "query_id", "neighbor_id"
-        )
+        ),
+        eager=True,
     )
     wn = scoped_persist(
-        e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm"))
+        e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("vnorm")),
+        eager=True,
     )
 
     # centroids: quantized dim-wise sums -> per-label double array
@@ -1646,7 +1650,8 @@ def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probed_all = scoped_persist(
-        ranked.filter(F.col("rnk") <= max(_NPROBES)).select("query_id", "label", "rnk")
+        ranked.filter(F.col("rnk") <= max(_NPROBES)).select("query_id", "label", "rnk"),
+        eager=True,
     )
 
     lbl_sz = e.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..sources.readers import load_table
 from ..streaming.events import hourly_rollup, read_event_stream, run_to_memory
 from .registry import query
@@ -802,7 +803,11 @@ def q_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
         F.lit(4),
     )
-    batched = events.withColumn("__b", bucket)
+    # persist (lazy): the 4 per-batch apply() writes + the replay/torn
+    # probes each re-filter this frame in SEQUENTIAL actions — unpersisted,
+    # every action re-scanned events and re-computed the md5 bucket (5
+    # scans per query); the first apply populates the cache for the rest
+    batched = scoped_persist(events.withColumn("__b", bucket))
     for b in range(4):
         did_write = sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
         assert did_write, f"batch {b} unexpectedly already committed"
@@ -849,7 +854,11 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
         F.lit(4),
     )
-    batched = events.withColumn("__b", bucket)
+    # persist (lazy): the 4 per-batch apply() writes + the replay/torn
+    # probes each re-filter this frame in SEQUENTIAL actions — unpersisted,
+    # every action re-scanned events and re-computed the md5 bucket (5
+    # scans per query); the first apply populates the cache for the rest
+    batched = scoped_persist(events.withColumn("__b", bucket))
     for b in range(4):
         sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
     # torn compaction: the rewrite landed but the writer died before the
