@@ -13,6 +13,7 @@ engine.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from ..functions.localframe import local_df
 
 # case_id -> (source_cols [(name, type)], target_cols [(name, type)],
 #             gold pairs [(src, tgt)])
@@ -85,12 +86,12 @@ def _gold_rows() -> list[tuple[str, str, str]]:
 def case_catalog_df(spark: SparkSession) -> DataFrame:
     """Long-form column catalog of all matching cases (FIXTURES B2-lite):
     ``(case_id, side, col_name, col_type)``."""
-    return spark.createDataFrame(_catalog_rows(), _CATALOG_SCHEMA)
+    return local_df(spark, _catalog_rows(), _CATALOG_SCHEMA)
 
 
 def gold_alignments_df(spark: SparkSession) -> DataFrame:
     """Gold alignment pairs ``(case_id, src, tgt)`` (FIXTURES B4)."""
-    return spark.createDataFrame(_gold_rows(), _GOLD_SCHEMA)
+    return local_df(spark, _gold_rows(), _GOLD_SCHEMA)
 
 
 def _values_sql(rows: list[tuple], cols: list[str]) -> str:

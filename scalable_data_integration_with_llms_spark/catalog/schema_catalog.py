@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from ..functions.localframe import local_df
 
 # Free-form declared type string -> normalized Spark type (SURVEY §1.2).
 # The reference keeps type strings descriptive (used verbatim in prompts,
@@ -158,7 +159,7 @@ class SchemaCatalog:
             "case_id string, side string, table_name string, col_name string, "
             "col_type string, col_desc string, is_pk string, nullable boolean"
         )
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
 
 
 # Catalog of the driver test tables, with constraints used by the audit and

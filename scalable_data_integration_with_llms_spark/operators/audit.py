@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog.schema_catalog import Relation
+from ..functions.localframe import local_df
 
 _INT_RE = "^[0-9]+$"  # DatabaseManager.py:188-189 integer-parsability test
 
@@ -48,7 +49,7 @@ def audit_relation(spark: SparkSession, df: DataFrame, rel: Relation) -> DataFra
             (rel.name, check, col, int(vals[i] or 0))
             for i, (check, col) in enumerate(labels)
         ]
-    scalar = spark.createDataFrame(
+    scalar = local_df(spark, 
         rows or [], "table_name string, check_name string, col_name string, violations bigint"
     )
     pk = [c for c in rel.pk if c in present]

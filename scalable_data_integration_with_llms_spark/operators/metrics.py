@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.localframe import local_df
 
 _PAIR = ["case_id", "src", "tgt"]
 
@@ -187,7 +188,7 @@ def mean_ci95_t(
     distributed and oracle-exact."""
     base = mean_ci95(df, metric, group_cols, z=1.0, scale=scale)
     spark = df.sparkSession
-    tdf = spark.createDataFrame(
+    tdf = local_df(spark, 
         [(n + 1, t_quantile_95(n)) for n in range(1, 201)], "n_runs int, t_crit double"
     )
     joined = base.join(F.broadcast(tdf), "n_runs", "left")

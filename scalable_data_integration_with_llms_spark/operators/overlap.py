@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.timeout import OK, ExecResult, run_with_timeout
+from ..functions.localframe import local_df
 
 INF_FP = float("inf")
 
@@ -100,7 +101,7 @@ def overlap_counts_df(spark: SparkSession, counts: list[OverlapCounts]) -> DataF
     """Counts + the Schema-Mapping P/R/F1 (all-zero ⇒ 1.0) as a DataFrame."""
     from .metrics import prf1_columns
 
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(c.table, c.tp, c.fp, c.fn) for c in counts],
         "table_name string, tp bigint, fp double, fn bigint",
     )

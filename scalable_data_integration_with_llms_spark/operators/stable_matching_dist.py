@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .candidates import NO_MATCH
+from ..functions.localframe import local_df
 
 _M_SCHEMA = "case_id string, a string, b string"
 
@@ -87,7 +88,7 @@ def stable_match_distributed(preferences: DataFrame, top_k: int = 10) -> DataFra
     )
     a_lists = a_lists.localCheckpoint()
 
-    M = spark.createDataFrame([], _M_SCHEMA)
+    M = local_df(spark, [], _M_SCHEMA)
     out_frames: list[DataFrame] = []
     active = None  # None = all cases active
 
@@ -114,7 +115,7 @@ def stable_match_distributed(preferences: DataFrame, top_k: int = 10) -> DataFra
         seasoned = M.select("case_id", "b").distinct().withColumn("szn", F.lit(1))
 
         state = work.withColumn("ptr", F.lit(0)).localCheckpoint()
-        holders = spark.createDataFrame(
+        holders = local_df(spark, 
             [], "case_id string, b string, a string, a_pos int, score_b double, arrival int"
         )
         it = 0
@@ -181,7 +182,7 @@ def stable_match_distributed(preferences: DataFrame, top_k: int = 10) -> DataFra
         )
 
     if not out_frames:
-        return spark.createDataFrame([], "case_id string, round int, src string, tgt string")
+        return local_df(spark, [], "case_id string, round int, src string, tgt string")
     out = out_frames[0]
     for f in out_frames[1:]:
         out = out.unionByName(f)

@@ -41,6 +41,7 @@ _FIXTURE_DIR = os.path.join(
 
 
 from ..functions.sql_text import sql_quote as _sq
+from ..functions.localframe import local_df
 
 
 def _values(rows: list[tuple[str, str, str]], alias: str) -> str:
@@ -394,7 +395,7 @@ def q_ehr_topk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merged = bidirectional_merge(_preferences(spark, "ehr"), agg="avg")
     topk = top_k_per_query(merged, 5)
-    ks = spark.createDataFrame([(k,) for k in range(1, 6)], "k int")
+    ks = local_df(spark, [(k,) for k in range(1, 6)], "k int")
     pred = (
         topk.crossJoin(F.broadcast(ks))
         .filter(F.col("rank") <= F.col("k"))
@@ -510,7 +511,7 @@ def q_ehr_ensemble_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefs = _preferences(spark, "ehr").filter(
         (F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH)
     )
-    seeds = spark.createDataFrame([(s,) for s in ENSEMBLE_SEEDS], "seed int")
+    seeds = local_df(spark, [(s,) for s in ENSEMBLE_SEEDS], "seed int")
     from pyspark.sql import Window as W
 
     perturbed = prefs.crossJoin(F.broadcast(seeds)).filter(

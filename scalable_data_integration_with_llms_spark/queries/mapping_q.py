@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..plans.mapping_engine import MappingEngine, MappingScenario
 from ..sources.readers import load_table
 from .registry import query
+from ..functions.localframe import local_df
 
 _GOLD_SQL = """
 INSERT INTO cust_orders
@@ -159,7 +160,7 @@ def q_subsumed_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict superset, or by an equal-set rule with a greater id."""
     from pyspark.sql import functions as F
 
-    rules = spark.createDataFrame(
+    rules = local_df(spark, 
         _RULES, "rule_id string, src_rels array<string>, tgt_rels array<string>"
     )
     a = rules.alias("a")
@@ -477,7 +478,7 @@ def q_mapping_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows += [
             (rule.rule_id, c.table, c.tp, float(c.fp), c.fn) for c in result.counts
         ]
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         rows, "rule_id string, table_name string, tp bigint, fp double, fn bigint"
     )
     # metrics are computed from the raw counts (0/∞ = 0.0 exactly as the
@@ -629,7 +630,7 @@ def q_mapping_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=len(_PR_VARIANTS)) as pool:
         rows = [r for cell_rows in pool.map(run_cell, _PR_VARIANTS.items()) for r in cell_rows]
     prf = prf1_columns(
-        spark.createDataFrame(
+        local_df(spark, 
             rows,
             "config string, seed int, table_name string, tp bigint, fp double, fn bigint",
         ),

@@ -28,6 +28,7 @@ from ..operators.candidates import (
 from ..operators.ensembles import ensemble_intersection, ensemble_majority, ensemble_union
 from ..operators.stable_matching import stable_match
 from .registry import query
+from ..functions.localframe import local_df
 
 # The reference's full 4-seed ensemble list (ask_StableMatcher.py:254:
 # seeds = [7564, 268799, 87849, 333]; sample_nums=[4] uses all four).
@@ -219,7 +220,7 @@ _RUNS_MEMO = SessionMemo()
 def _spark_runs(spark: SparkSession) -> DataFrame:
     def build() -> DataFrame:
         prefs = _spark_preferences(spark)
-        seeds = spark.createDataFrame([(s,) for s in ENSEMBLE_SEEDS], "seed int")
+        seeds = local_df(spark, [(s,) for s in ENSEMBLE_SEEDS], "seed int")
         perturbed = (
             prefs.filter(
                 (F.col("side") == "n_to_one") & (F.col("candidate_attr") != NO_MATCH)

@@ -65,6 +65,7 @@ MM2_RESPONSES = [
 
 # MCQ_Formatter inputs: reuse the refined-list parser fixtures
 from .reference_ops import REFINED_RESPONSES  # noqa: E402
+from ..functions.localframe import local_df
 
 _EVAL_TOP_N = 3  # Evaluator's predicted_mapping depth (top-k ranked candidates)
 
@@ -532,7 +533,7 @@ def q_mm_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- MCQ_Formatter: refined-list responses with the marker ------------
-    refined = spark.createDataFrame(
+    refined = local_df(spark, 
         REFINED_RESPONSES_IDX, "case_id string, query_attr string, resp_idx int, response string"
     )
     fmt_user = F.concat(
@@ -546,7 +547,7 @@ def q_mm_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- MMConfidence: options = prior output from its first "(A)" --------
-    scores = spark.createDataFrame(
+    scores = local_df(spark, 
         MM_SCORE_RESPONSES, "case_id string, query_attr string, resp_idx int, response string"
     ).join(tgt, ["case_id", "query_attr"])
     conf_user = F.concat(
@@ -564,7 +565,7 @@ def q_mm_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- MMConfidence2: validate refined list vs formatted option universe,
     #    letter the survivors, append "No Match." -------------------------
-    mm2 = spark.createDataFrame(
+    mm2 = local_df(spark, 
         MM2_RESPONSES, "case_id string, query_attr string, resp_idx int, response string"
     )
     universe = (
@@ -668,7 +669,7 @@ def q_icl_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     system = PR.MM_REFINER_SYSTEM_TMPL.format(schema_name=PR.MM_SCHEMA_NAME[_DATASET])
 
     # demo pool (small dimension -> broadcast); same rows as _demo_pool()
-    pool = spark.createDataFrame(
+    pool = local_df(spark, 
         _demo_pool(), "demo_case string, demo_attr string, ex_user string, ex_answer string"
     )
     # target users: the refiner user message per (case, attr), built
@@ -871,7 +872,7 @@ def q_example_selector_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage")
         )
     )
-    idx = spark.createDataFrame(
+    idx = local_df(spark, 
         list(_CASE_IDX.items()), "case_id string, case_idx int"
     )
     t = cov.select(F.col("case_id"), F.col("coverage").alias("t_cov"))
@@ -1088,7 +1089,7 @@ def q_mapping_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     (side, rel["name"], name, typ, desc, bool(is_pk), bool(nullable), idx, fk_json)
                 )
-    attrs = spark.createDataFrame(
+    attrs = local_df(spark, 
         rows,
         "side string, rel string, attr string, col_type string, col_desc string, "
         "is_pk boolean, nullable boolean, col_idx int, fk_json string",
@@ -1174,7 +1175,7 @@ def q_mapping_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("side") == "source", F.col("ns_json"))).alias("src"),
         F.max(F.when(F.col("side") == "target", F.col("ns_json"))).alias("tgt"),
     )
-    templates = spark.createDataFrame(
+    templates = local_df(spark, 
         [(t, s, u) for t, (s, u) in MP.MAPPING_TEMPLATES.items()],
         "template string, system_prompt string, user_tmpl string",
     )

@@ -29,6 +29,7 @@ from ..operators.validation import (
 from ..sources.readers import load_table
 from .matching import ENSEMBLE_SEEDS, _base_cte, _spark_preferences
 from .registry import query
+from ..functions.localframe import local_df
 
 _CASE1 = "tpch:CUSTOMER|tpch:SUPPLIER"
 
@@ -102,7 +103,7 @@ FROM flags
 
 @query("q_parse_matches_json", _PARSE_ORACLE)
 def q_parse_matches_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    resp = spark.createDataFrame(JSON_RESPONSES, "case_id string, attr string, response string")
+    resp = local_df(spark, JSON_RESPONSES, "case_id string, attr string, response string")
     parsed = resp.withColumn("matches", extract_matches_json("response")).filter(
         F.col("matches").isNotNull()
     )
@@ -126,7 +127,7 @@ FROM resp
 
 @query("q_mcq_scores", _MCQ_ORACLE)
 def q_mcq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    resp = spark.createDataFrame(MCQ_RESPONSES, "case_id string, attr string, response string")
+    resp = local_df(spark, MCQ_RESPONSES, "case_id string, attr string, response string")
     return parse_mcq_scores(resp).select("case_id", "attr", "option_letter", "mcq_score")
 
 
@@ -161,7 +162,7 @@ FROM parsed p LEFT JOIN opts o ON p.case_id = o.case_id
 
 @query("q_mcq_validation", _REFINED_ORACLE)
 def q_mcq_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    resp = spark.createDataFrame(REFINED_RESPONSES, "case_id string, attr string, response string")
+    resp = local_df(spark, REFINED_RESPONSES, "case_id string, attr string, response string")
     options = (
         case_catalog_df(spark)
         .filter((F.col("side") == "source") & (F.col("case_id") == _CASE1))
@@ -598,7 +599,7 @@ def q_parse_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas parser; oracle = hand-derived golden rows."""
     from ..operators.view_parse import parse_views
 
-    resp = spark.createDataFrame(VIEW_RESPONSES, "case_id string, attr string, response string")
+    resp = local_df(spark, VIEW_RESPONSES, "case_id string, attr string, response string")
     return parse_views(resp)
 
 
@@ -632,7 +633,7 @@ def q_parse_tada_yes(spark: SparkSession, sf_dir: str) -> DataFrame:
     {'yes': ...} block, quote-fix, keep the yes alignments."""
     from pyspark.sql import types as T
 
-    resp = spark.createDataFrame(TADA_RESPONSES, "case_id string, attr string, response string")
+    resp = local_df(spark, TADA_RESPONSES, "case_id string, attr string, response string")
     block = F.regexp_extract("response", r"(\{[^}]*yes[^}]*no[^}]*\})", 1)
     schema = T.StructType([T.StructField("yes", T.ArrayType(T.StringType()))])
     parsed = resp.withColumn(
@@ -826,7 +827,7 @@ def q_demo_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 demo ranking (eval_MatchMaker.py:188-208): last-character rating
     extraction (empty/non-digit evaluations dropped), keep rating >= 4,
     deterministic per-seed demo order by (idx, attr)."""
-    resp = spark.createDataFrame(
+    resp = local_df(spark, 
         DEMO_EVALS, "idx int, case_id string, attr string, seed int, resp_text string"
     )
     last = F.substring("resp_text", -1, 1)

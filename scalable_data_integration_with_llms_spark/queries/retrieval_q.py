@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..caching import scoped_persist
 from ..sources.readers import load_table
 from .registry import query
+from ..functions.localframe import local_df
 
 # -- substring-level duplicate spans ------------------------------------------
 # W chosen at 12 tokens for the synthetic corpus (docs average ~54 tokens);
@@ -808,6 +809,6 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = cur.filter(F.col("vec_id") != top.vec_id).withColumn(
                 "mind2", F.least(F.col("mind2"), d2_to(top.qv))
             )
-    return spark.createDataFrame(
+    return local_df(spark, 
         picked, "sel_rank int, vec_id bigint, mind2_q bigint"
     )

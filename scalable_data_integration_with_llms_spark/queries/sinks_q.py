@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from ..sources.readers import load_table
 from .registry import query
+from ..functions.localframe import local_df
 
 # -- K1/K2/K3: sink roundtrip -------------------------------------------------
 
@@ -117,7 +118,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     jdf = spark.read.schema(schema).json(os.path.join(tmp, "json"))
-    xdf = spark.createDataFrame(
+    xdf = local_df(spark, 
         _xlsx_rows(os.path.join(tmp, "report.xlsx")),
         "o_orderstatus string, xlsx_n_orders bigint",
     )

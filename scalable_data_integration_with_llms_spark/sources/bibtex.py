@@ -30,6 +30,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from ..functions.localframe import local_df
 
 
 def parse_bib_text(text: str) -> list[dict]:
@@ -148,7 +149,7 @@ def bib_entries_df(spark: SparkSession, text: str) -> DataFrame:
         (i, e["entry_type"], e["key"], e["fields"])
         for i, e in enumerate(parse_bib_text(text))
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "entry_idx int, entry_type string, key string, fields map<string,string>"
     )
 

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog.schema_catalog import Attribute, Relation, SchemaCatalog
+from ..functions.localframe import local_df
 
 
 def _bool(v: str | None, default: bool) -> bool:
@@ -126,7 +127,7 @@ def remove_subsumed_rules(rules: list[MappingRule]) -> list[MappingRule]:
 
 
 def rules_df(spark: SparkSession, rules: list[MappingRule]) -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.rule_id, r.source_relations, r.target_relations, r.gold_sql, r.join_overlap_sql)
             for r in rules
