@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
-from ..functions.text import gram_indices
+from ..functions.text import ngram_strings
 
 
 def content_key(text: Column | str) -> Column:
@@ -52,8 +52,8 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built from ``split`` + index ``transform`` — JVM-side, no UDF: shingle i
-    joins words[i .. i+n-1] for i in 0 .. len-n.
+    Built from ``split`` + zipped shifted slices (``ngram_strings``) —
+    JVM-side, no UDF: shingle i joins words[i .. i+n-1] for i in 0 .. len-n.
 
     ``spread`` controls a pre-explode ``repartition`` that spreads doc rows
     across cores when the source arrives in fewer partitions than the
@@ -70,11 +70,7 @@ def word_shingles(
     if spread:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     words = F.split(F.col(text_col), " ")
-    idx = gram_indices(words, n)
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    shingles = ngram_strings(words, n)
     # distinct-per-doc happens map-side (array_distinct before the explode):
     # (doc, shingle) uniqueness needs no shingle-level shuffle, unlike
     # explode + DISTINCT

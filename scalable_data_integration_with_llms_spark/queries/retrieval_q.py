@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
+from ..functions.text import ngram_structs
 from ..sources.readers import load_table
 from .registry import query
 from ..functions.localframe import local_df
@@ -414,18 +415,18 @@ def q_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10).cast("bigint")
         % _AFF_BUCKETS
     )
-    bg = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("w", i), F.element_at("w", i + 1)
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", "lang", bucket.alias("bucket"))
+    # zipped-slice bigrams (functions/text.ngram_structs): explode the
+    # structs and concat row-level so the scan→explode→md5-bucket pipeline
+    # stays in whole-stage codegen (no interpreted HOF per doc)
+    bg = (
+        d.select("doc_id", "lang", F.explode(ngram_structs(F.col("w"), 2)).alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.col("p")["0"], F.col("p")["1"]).alias("bg"),
+        )
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
     counts = bg.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum(

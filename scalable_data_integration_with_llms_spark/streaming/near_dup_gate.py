@@ -59,6 +59,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.text import ngram_strings
+
 N_PERM = 12
 N_BANDS = 4
 
@@ -87,22 +89,22 @@ def stream_minhash_bands(
     index instead of the salt.
     """
     ws = F.split("text", " ", -1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("ws", i + 1),
-            F.element_at("ws", i + 2),
-            F.element_at("ws", i + 3),
-        ),
-    )
 
     def perm_min(p: int):
-        return F.array_min(F.transform(grams, lambda s: _hash60(p, s)))
+        return F.array_min(F.transform(F.col("grams"), lambda s: _hash60(p, s)))
 
+    # Build the gram array ONCE in its own projection: inlining it into the
+    # n_perm hash expressions re-ran the gram construction once per
+    # permutation (CollapseProject keeps the projection because "grams" is
+    # referenced n_perm times and is not a cheap expression).  array_distinct
+    # is free correctness headroom: min over a multiset equals min over its
+    # support, and the batch twin's shingle frame is distinct per doc
+    # already, so hashing each gram once per permutation matches the batch
+    # operator's work exactly.
     mins = (
         docs.select(F.col("doc_id").alias("doc"), ws.alias("ws"))
         .filter(F.size("ws") >= 3)  # < 3 tokens -> no shingles (oracle drops them too)
+        .select("doc", F.array_distinct(ngram_strings(F.col("ws"), 3)).alias("grams"))
         .select("doc", *[perm_min(p).alias(f"m{p}") for p in range(n_perm)])
     )
     rpb = n_perm // n_bands
