@@ -48,9 +48,14 @@ def build_bloom_words(
 ) -> list[int]:
     """Collect the build side's Bloom bitmap as m/64 bigint words.
 
-    Runs one Spark job: distinct keys → k positions → per-word BIT_OR
-    aggregation — so the driver collects at most m/64 rows (2048 at the
-    default m), never the positions and never the key set.
+    Runs one Spark job: keys → k positions → per-word BIT_OR aggregation —
+    so the driver collects at most m/64 rows (2048 at the default m), never
+    the positions and never the key set.  Duplicate build keys need no
+    pre-``distinct``: BIT_OR is idempotent and the partial (map-side)
+    aggregation collapses every partition to ≤ m/64 rows before the
+    exchange, so skipping the distinct removes a whole key-sized shuffle
+    (guide §2.4 — a ``distinct`` whose consumer is duplicate-insensitive)
+    while the one remaining shuffle stays bounded by m at any scale.
     """
     pow2 = F.lit(
         [b - (1 << 64) if (b := 1 << i) >= (1 << 63) else b for i in range(64)]
@@ -60,7 +65,6 @@ def build_bloom_words(
     )
     word_rows = (
         build.select(F.col(key_col).alias("key"))
-        .distinct()
         .select(F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"), "key")
         .select(
             (pos / 64).cast("int").alias("w"),
