@@ -157,7 +157,18 @@ class SessionMemo:
     ) -> DataFrame:
         self._evict_stopped()
         if spark not in self._entries:
-            self._entries[spark] = build().persist()
+            df = build().persist()
+            # Eager materialization (same reasoning as scoped_persist
+            # eager=True): every memoized frame here is an expensive
+            # multi-consumer pipeline (mapInPandas scorer / run matrix),
+            # and a LAZY persist does not dedup under AQE's concurrent
+            # stage materialization — a cold consumer with two plan
+            # branches runs the whole scorer once per branch before the
+            # cache populates (profiled on q_ehr_effort_report: two
+            # concurrent full scorer stages).  One count job pins the
+            # cache before any consumer fans out.
+            df.count()
+            self._entries[spark] = df
         return self._entries[spark]
 
     def clear(self) -> int:

@@ -84,13 +84,19 @@ def dataset_gold_df(spark: SparkSession, dataset: str) -> DataFrame:
 
 _PREFS_MEMOS = {"ehr": SessionMemo(), "synthea": SessionMemo()}
 
-# Fixture-scale parallelism defaults: ≤52 cases / ≤~29k candidate rows fit
-# one Arrow batch through one Python scorer worker, and a handful of
-# post-shuffle partitions keeps every downstream task count small.  At
-# corpus scale pass scorer_partitions/output_partitions sized to the case
-# count (or None to leave Spark's partitioning untouched) — the pipeline
-# shape is identical, only the parallelism knob moves.
-_FIXTURE_SCORER_PARTITIONS = 1
+# Fixture-scale parallelism defaults.  The scorer is the pipeline's
+# dominant compute (per-pair Python levenshtein through mapInPandas:
+# ~5.7 s for the ~29k EHR candidate rows on ONE task — profiled r14), and
+# the score is per-row deterministic, so spreading it over 8 tasks is
+# result-identical and cuts the cold build ~6×.  Eight, not 32: each task
+# pays Python-worker spin-up, and with a REAL inference backend each
+# partition is a concurrent request stream — 8 keeps fixture-scale load
+# bounded.  A handful of post-shuffle output partitions keeps every
+# downstream task count small.  At corpus scale pass
+# scorer_partitions/output_partitions sized to the case count (or None to
+# leave Spark's partitioning untouched) — the pipeline shape is identical,
+# only the parallelism knob moves.
+_FIXTURE_SCORER_PARTITIONS = 8
 _FIXTURE_OUTPUT_PARTITIONS = 4
 
 
