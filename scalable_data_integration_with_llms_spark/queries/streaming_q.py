@@ -572,7 +572,12 @@ SELECT window_start, event_type, n_events, type_rank FROM (
 
 @query("q_stream_topk_types", _STREAM_TOPK_ORACLE)
 def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_event_stream(spark, sf_dir)
+    # the file stream source yields ONE input partition per file, so a
+    # single-file feed runs the whole bucket-projection map side on one
+    # core (profiled: 2.3 s single-task stage) — same fix as the near-dup
+    # gate: spread the raw feed before the map work, which a many-file
+    # production feed gets for free
+    stream = read_event_stream(spark, sf_dir).repartition(32)
     # 6-hour buckets on the WALL time, by calendar math (the oracle's
     # floor(epoch(naive)/21600)).  F.window("6 hours") epoch-aligns the LTZ
     # instants instead, which matches the wall bucketing only when the
