@@ -514,6 +514,14 @@ def duplicate_spans(
     """
     from pyspark.sql import Window as W
 
+    # spread doc rows pre-explode (word_shingles' auto-detect): a
+    # single-file scan is ONE input partition, so the window-hash stream
+    # (explode + per-position md5 over the slice) otherwise runs on one
+    # core — and it runs once per plan branch (the df-filter build side and
+    # the semi-join probe both read it)
+    from ..sources.readers import spread_scan
+
+    df = spread_scan(df)
     words = F.split(F.col(text_col), " ", -1)
     base = df.select(F.col(id_col).alias("doc"), words.alias("w")).filter(
         F.size("w") >= w

@@ -64,6 +64,24 @@ def _flaky_retry_wrap(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, schema=df.schema)
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan across the cluster's task slots when it
+    arrives in fewer partitions than HALF the default parallelism — the
+    single-file-scan fix (one local parquet file = ONE input partition, so
+    any explode/md5-heavy map side otherwise runs on one core; profiled on
+    q_duplicate_spans, q_tfidf_top_terms, q_bloom_contamination at sf0.1).
+
+    The guard keeps this a no-op at cluster scale, where a real input
+    already has enough splits — the shuffle is only paid when the scan is
+    provably under-parallel, and it moves each doc row once, which the
+    map-side work it unlocks more than repays.  Same auto-detect contract
+    as ``operators.dedup.word_shingles(spread=None)``."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one test table. Column pruning + predicate pushdown
     happen at this scan when the caller selects/filters downstream.
