@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -220,21 +221,65 @@ SF1_BATTERY = [
 ]
 assert not set(SF1_BATTERY) - set(HEADLINE), "sf1 battery must be a HEADLINE subset"
 def _infer_round() -> int:
-    """SPARK_GRAFT_ROUND if set, else one past the newest committed
-    BENCH_r{N}.json — the driver writes that file at each round's end, so
+    """SPARK_GRAFT_ROUND if set, else one past the newest GIT-COMMITTED
+    BENCH_r{N}.json — the driver commits that file at each round's end, so
     the rotation self-advances without anyone remembering to bump a
-    constant."""
+    constant.  Committed state only (VERDICT r14 item 3): the driver writes
+    its own BENCH_r{N}.json to the working dir BEFORE the low-core scaling
+    re-run, so counting on-disk files made the two same-round invocations
+    disagree on the round and print disjoint subsets — r14's scaling block
+    came back empty.  Falls back to the on-disk listing when git is
+    unavailable (e.g. an exported tree)."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return int(env)
     here = os.path.dirname(os.path.abspath(__file__))
+    names: list[str] = []
+    try:
+        proc = subprocess.run(
+            ["git", "-C", here, "ls-files", "BENCH_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            names = proc.stdout.split()
+    except Exception:
+        names = []
+    if not names:
+        names = os.listdir(here)
     rounds = [
         int(m.group(1))
-        for f in os.listdir(here)
+        for f in names
         for m in [re.match(r"BENCH_r(\d+)\.json$", f)]
         if m
     ]
     return (max(rounds) + 1) if rounds else 1
+
+
+# Fixed cross-subsystem CORE for the driver line (VERDICT r14 item 1): these
+# rows ride the one-line JSON EVERY round regardless of the parity rotation,
+# so consecutive rounds always share per-query timings (n_common >= 10) and
+# the driver's round-over-round and scaling comparisons are never blinded by
+# the rotation again.  5 per rotation half — the heaviest / most
+# shape-revealing row per subsystem.  `value` still totals the ROTATING
+# subset only (unchanged semantics, comparable to the earlier same-metric
+# lines); the core rows are extra `queries` entries.
+LINE_CORE = [
+    # r02-half members
+    "q1_pricing_summary",
+    "q7_volume_shipping",
+    "q_dedup_clusters",
+    "q_stream_stream_join",
+    "q_bloom_contamination",
+    # r3+-half members
+    "q_lsh_verified_pairs",
+    "q_stream_near_dup_gate",
+    "q_ppjoin_near_dup",
+    "q_ehr_effort_report",
+    "q_session_overlap_join",
+]
+assert not set(LINE_CORE) - set(HEADLINE), "LINE_CORE must be a HEADLINE subset"
 
 
 ROUND = _infer_round()
@@ -427,7 +472,11 @@ def main() -> None:
         subset, metric = HEADLINE[:_R02_HEADLINE_N], "headline_r02_subset_wall"
     else:
         subset, metric = HEADLINE[_R02_HEADLINE_N:], "headline_r3plus_subset_wall"
-    line_queries = {n: round(timings[n], 2) for n in subset if n in timings}
+    # `value` totals the rotating subset only (same semantics as every
+    # earlier line with this metric name); the LINE_CORE rows are appended
+    # as extra per-query entries so consecutive rounds always overlap.
+    reported = subset + [n for n in LINE_CORE if n not in subset]
+    line_queries = {n: round(timings[n], 2) for n in reported if n in timings}
     line = json.dumps(
         {
             "metric": metric,
@@ -437,7 +486,8 @@ def main() -> None:
             "sf": sf,
             "total_all": total,
             "n_all": len(timings),
-        }
+        },
+        separators=(",", ":"),
     )
     assert len(line) < 1900, f"driver line too long ({len(line)} chars)"
     print(line)
