@@ -267,26 +267,34 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     12-permutation md5 min-aggregation) once per side — two identical
     ~20 s-of-executor-time aggregation instances at sf0.1 — and paid a
     two-sided join exchange; the grouped form computes signatures once and
-    shuffles them once.  Per-bucket pair fan-out is unchanged (LSH buckets
-    are small by construction; a hot bucket was quadratic under the join
-    too), so the 100 TB story is identical with half the signature compute.
+    shuffles them once.
+
+    Hot-bucket skew (r15): pairs are expanded in TWO generator stages —
+    posexplode the bucket's doc list into (position, doc_a) ROWS, then
+    explode each row's remaining-docs slice — so a bucket of k docs only
+    ever holds O(k) per row (the doc list itself), and the O(k²) pair set
+    streams as rows through codegen and spills like any other row stream.
+    The r14 single-stage form built the entire flatten/transform pair array
+    inside ONE row before the explode, which hits the 2 GB single-value /
+    array-element limits and per-task memory on a degenerate bucket
+    (millions of near-empty or boilerplate docs sharing a band signature).
+    A truly adversarial corpus can still make the collect_list row itself
+    large (O(k) strings); that is the same bound the verify join downstream
+    pays per doc, and callers with such corpora should pre-guard buckets
+    the way the Jaccard pipeline's max_df drops heavy shingles.
     """
     buckets = signatures.groupBy("band", "signature").agg(
         F.sort_array(F.collect_list("doc")).alias("docs")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size("docs")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
         buckets.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+            ).alias("doc_b"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -425,13 +433,21 @@ def connected_components(
     # fused round 0: with labels initialized to node ids, a neighbor's label
     # IS the neighbor — so the first min-label hop is a plain groupBy over
     # the edge list, no label join (saves one full join+checkpoint round)
+    # LAZY local checkpoint (r15, guide §2.6/§1): an eager checkpoint is its
+    # own job, and the convergence probe right after it is another — at the
+    # battery's ~0.1–0.2 s per-job floor the probe doubled every round's
+    # latency for a scan of already-cached labels.  localCheckpoint rides
+    # the caching layer (partitions are stored as the FIRST action computes
+    # them, no re-run), so letting the sum/diff probe be that first action
+    # folds materialization + convergence check into ONE job per round.
+    # The fused round-0 action below also populates the `edges` persist (it
+    # scans edges), so the former explicit edges.count() job is gone too.
     labels = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("nbr0"))
         .select("node", F.least(F.col("node"), F.col("nbr0")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    edges.count()
     converged = False
     # labels only ever decrease, so for NUMERIC ids the labeling is stable
     # iff sum(label) is unchanged — a one-column agg over the cached frame.
@@ -478,7 +494,9 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence probe below is the materializing action
+            # (one job per round, not checkpoint-job + probe-job)
+            .localCheckpoint(eager=False)
         )
         if numeric_ids:
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
