@@ -44,6 +44,67 @@ def count_min_cells(
     )
 
 
+def _pow2_literal():
+    """Array literal of the 64 single-bit words (two's-complement for the
+    sign bit) — one object, indexed per row with ``element_at``."""
+    return F.lit(
+        [b - (1 << 64) if (b := 1 << i) >= (1 << 63) else b for i in range(64)]
+    )
+
+
+def bloom_bitmap(build: DataFrame, key_col: str, n_hashes: int = 3, m: int = 4096) -> DataFrame:
+    """The Bloom filter itself, as ONE row holding ``words``: an array of
+    m/64 bigint words with the build keys' md5-derived positions set.
+
+    One bounded aggregation: keys → k positions → per-word BIT_OR (the
+    map-side partial agg collapses every partition to ≤ m/64 rows before
+    the exchange, and BIT_OR is idempotent so duplicate build keys need no
+    pre-``distinct`` — the runtime_filter/F9 discipline), then the ≤ m/64
+    (word, bits) rows fold into a dense array in a single final row.  The
+    row is m/64·8 bytes regardless of corpus size — broadcast it.
+    """
+    pow2 = _pow2_literal()
+    pos = _cms_col(F.col("j"), F.col("key"), m)
+    word_rows = (
+        build.select(F.col(key_col).alias("key"))
+        .select(
+            "key", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+        )
+        .select(
+            (pos / 64).cast("int").alias("w"),
+            F.element_at(pow2, F.pmod(pos, F.lit(64)).cast("int") + 1).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    return word_rows.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m // 64 - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("wm"), i), F.lit(0)),
+        ).alias("words")
+    )
+
+
+def bloom_bits_predicate(key, n_hashes: int = 3, m: int = 4096):
+    """Membership test of ``key`` against a ``words`` bitmap column (from
+    :func:`bloom_bitmap`, attached by a 1-row broadcast cross join): true
+    iff all ``n_hashes`` md5-derived positions are set.  Pure column
+    expression — ``element_at`` + bitwise AND per hash inside whole-stage
+    codegen, no explode, no join, no re-aggregation."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    pow2 = _pow2_literal()
+    pred = None
+    for j in range(n_hashes):
+        pos = _cms_col(F.lit(j), key_col, m)
+        word = F.element_at("words", (pos / 64).cast("int") + 1)
+        bit = F.element_at(pow2, F.pmod(pos, F.lit(64)).cast("int") + 1)
+        term = word.bitwiseAND(bit) != 0
+        pred = term if pred is None else pred & term
+    return pred
+
+
 def bloom_membership(
     build: DataFrame,
     probe: DataFrame,
@@ -54,43 +115,24 @@ def bloom_membership(
     """Bloom-filter membership: ``probe`` keys tested against the filter
     built from ``build`` keys.  Returns (key, in_filter).
 
-    Formulated as joins, not a driver-side bitset: the set-bit table is the
-    DISTINCT (pos) frame of the build side — at most min(m, k·|build|) rows
-    regardless of corpus size — broadcast into a semi-join against the probe
-    side's positions; a probe key is "in" iff all ``n_hashes`` of its
-    positions are set.  This is the sketch to keep when the exact distinct
-    key set is too large to broadcast but m bits are not: the membership
-    table is bounded by m, and the one corpus-sized pass is the probe scan.
+    r15 form — bitmap + map-only probe: the build side aggregates into a
+    single m/64-word row (:func:`bloom_bitmap`, bounded by m regardless of
+    corpus size), broadcast onto the distinct probe keys with a 1-row
+    nested-loop join; each key then evaluates all ``n_hashes`` positions as
+    a codegen column predicate (:func:`bloom_bits_predicate`).  The former
+    explode(k)/semi-join/re-aggregate form paid TWO probe-key-sized
+    shuffles (the per-key hit-count groupBy and the join-back onto the
+    distinct keys) that the bitmap removes at any scale; the one remaining
+    probe-side exchange is the ``distinct`` itself.
     """
-    bits = (
-        build.select(F.col(key_col).alias("key"))
-        .distinct()
-        .select(
-            "key", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
-        )
-        .select(_cms_col(F.col("j"), F.col("key"), m).alias("pos"))
-        .distinct()
-    )
-    probes = (
-        probe.select(F.col(key_col).alias("key"))
-        .distinct()
-        .select(
-            "key", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
-        )
-        .select("key", _cms_col(F.col("j"), F.col("key"), m).alias("pos"))
-    )
-    hit_counts = (
-        probes.join(F.broadcast(bits), "pos", "left_semi")
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-    )
+    bitmap = bloom_bitmap(build, key_col, n_hashes=n_hashes, m=m)
     return (
         probe.select(F.col(key_col).alias("key"))
         .distinct()
-        .join(hit_counts, "key", "left")
+        .join(F.broadcast(bitmap))
         .select(
             "key",
-            (F.coalesce(F.col("n_set"), F.lit(0)) == n_hashes).alias("in_filter"),
+            bloom_bits_predicate("key", n_hashes=n_hashes, m=m).alias("in_filter"),
         )
     )
 

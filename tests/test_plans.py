@@ -194,11 +194,15 @@ def test_scd2_single_shuffle(spark):
 
 
 def test_bloom_probe_broadcasts_bits(spark):
-    """The Bloom set-bit table (bounded by m) must broadcast into the probe
-    semi-join — the corpus side never shuffles on the bit position."""
+    """r15 bitmap form: the filter is ONE m/64-word row built with a
+    map-side partial bit_or, attached to the corpus by a 1-row broadcast
+    nested-loop join; membership is a codegen column predicate — no
+    semi-join, no probe-key-sized exchange on bit positions."""
     plan = _plan(spark, "q_bloom_contamination")
-    assert "BroadcastHashJoin" in plan
-    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap attach
+    assert "partial_bit_or" in plan  # bounded map-side word agg
+    assert "LeftSemi" not in plan  # old per-position semi-join gone
+    assert "BroadcastHashJoin" in plan  # truth join stays broadcast
 
 
 def test_kmeans_assign_broadcasts_centroids(spark):
