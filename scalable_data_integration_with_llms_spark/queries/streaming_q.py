@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
 from ..sources.readers import load_table
-from ..streaming.events import hourly_rollup, read_event_stream, run_to_memory
+from ..streaming.events import (
+    hourly_rollup,
+    read_event_stream,
+    run_to_memory,
+    spread_stream,
+)
 from .registry import query
 
 _STREAM_HOURLY_ORACLE = """
@@ -158,10 +163,10 @@ def q_stream_near_dup_gate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful API, RocksDB store) — same banding, same first-wins
     semantics, same batch-twin oracle as q_stream_near_dup_gate; see
     streaming/near_dup_gate.py:make_gate_processor."""
-    from ..streaming.events import read_document_stream, run_to_memory
+    from ..streaming.events import read_document_stream, run_to_memory, spread_stream
     from ..streaming.near_dup_gate import near_dup_gate_tws, stream_minhash_bands
 
-    stream = read_document_stream(spark, sf_dir).repartition(32)
+    stream = spread_stream(read_document_stream(spark, sf_dir))
     gated = near_dup_gate_tws(stream_minhash_bands(stream))
     drained = run_to_memory(
         spark,
@@ -577,7 +582,7 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core (profiled: 2.3 s single-task stage) — same fix as the near-dup
     # gate: spread the raw feed before the map work, which a many-file
     # production feed gets for free
-    stream = read_event_stream(spark, sf_dir).repartition(32)
+    stream = spread_stream(read_event_stream(spark, sf_dir))
     # 6-hour buckets on the WALL time, by calendar math (the oracle's
     # floor(epoch(naive)/21600)).  F.window("6 hours") epoch-aligns the LTZ
     # instants instead, which matches the wall bucketing only when the
@@ -652,12 +657,9 @@ def q_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The file stream source yields ONE input partition per file, so a
     # single-file feed would run the whole 12-permutation md5 banding on one
-    # core (measured 5.4s of the 8.5s wall at sf0.1).  Repartition the raw
-    # feed first: the shuffle moves each arriving micro-batch's text once,
-    # which is far cheaper than the banding compute it parallelizes; on a
-    # production many-file feed the same repartition is what balances
-    # skewed file sizes.  8.5s -> 3.8s at sf0.1.
-    stream = read_document_stream(spark, sf_dir).repartition(32)
+    # core (measured 5.4s of the 8.5s wall at sf0.1; spread_stream note).
+    # 8.5s -> 3.8s at sf0.1.
+    stream = spread_stream(read_document_stream(spark, sf_dir))
     gated = near_dup_gate(stream_minhash_bands(stream))
     # many tiny keyed groups -> the Python state pass, not store setup,
     # bounds this query: use the full local parallelism (events.py note)
@@ -808,14 +810,25 @@ def q_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
         F.lit(4),
     )
-    # persist (lazy): the 4 per-batch apply() writes + the replay/torn
-    # probes each re-filter this frame in SEQUENTIAL actions — unpersisted,
-    # every action re-scanned events and re-computed the md5 bucket (5
-    # scans per query); the first apply populates the cache for the rest
-    batched = scoped_persist(events.withColumn("__b", bucket))
-    for b in range(4):
-        did_write = sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
-        assert did_write, f"batch {b} unexpectedly already committed"
+    # persist EAGERLY, then OVERLAP the 4 applies (guide §2.6): each batch
+    # writes its own partition dir and commits its own marker, so the
+    # commit protocol is batch-independent by construction and the 4
+    # count+write action pairs can run as concurrent jobs — the scheduler
+    # back-fills each job's straggler tail with the next job's tasks,
+    # collapsing 8 sequential ~0.1–0.3 s actions (the job-latency floor)
+    # into ~2 concurrent waves.  Eager matters here: 4 threads taking
+    # their FIRST action on a lazily-persisted frame would each recompute
+    # the scan+md5 bucket (caching.scoped_persist note).
+    from concurrent.futures import ThreadPoolExecutor
+
+    batched = scoped_persist(events.withColumn("__b", bucket), eager=True)
+
+    def _apply(b: int) -> bool:
+        return sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        wrote = list(pool.map(_apply, range(4)))
+    assert all(wrote), f"some batch unexpectedly already committed: {wrote}"
     # replay: at-least-once delivery hands batch 2 over again — the marker
     # makes it a no-op, not a duplicate append
     replay_wrote = sink.apply(batched.filter(F.col("__b") == 2).drop("__b"), 2)
@@ -859,13 +872,19 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
         F.lit(4),
     )
-    # persist (lazy): the 4 per-batch apply() writes + the replay/torn
-    # probes each re-filter this frame in SEQUENTIAL actions — unpersisted,
-    # every action re-scanned events and re-computed the md5 bucket (5
-    # scans per query); the first apply populates the cache for the rest
-    batched = scoped_persist(events.withColumn("__b", bucket))
-    for b in range(4):
-        sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
+    # eager persist + thread-pool applies — same rationale as
+    # q_exactly_once_sink: batches are commit-independent, so their
+    # count+write actions overlap instead of paying 8 sequential job
+    # latencies (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    batched = scoped_persist(events.withColumn("__b", bucket), eager=True)
+
+    def _apply(b: int) -> bool:
+        return sink.apply(batched.filter(F.col("__b") == b).drop("__b"), b)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_apply, range(4)))
     # torn compaction: the rewrite landed but the writer died before the
     # superseding marker — the old generation must still serve reads
     sink.snapshot(spark).drop("batch_id").write.mode("overwrite").parquet(
