@@ -21,6 +21,13 @@ no pandas numeric coercion (int → float NaN) can touch the values before
 the declared Spark schema is applied.  Falls back to the plain path for
 inputs pandas/Arrow cannot stage (exotic nested types) — correctness first.
 
+Known coercion (deliberate): the NaN→None normalization below treats EVERY
+``pd.notnull``-false cell as missing, so a caller passing a literal
+``float('nan')`` into a double column gets SQL NULL, where the legacy tuple
+path would keep NaN.  No call site passes NaN today (fixture values are
+ints/strings/None); a future caller that needs a true NaN payload must use
+``spark.createDataFrame`` directly, not this helper.
+
 At cluster scale the same discipline holds: fixture/constant frames belong
 in the plan (LocalRelation), not in an RDD that every executor must fetch
 and every scan must re-deserialize through Python workers.
