@@ -178,6 +178,10 @@ HEADLINE += [
     # rewritten as one superseding generation, torn-compaction probe)
     "q_exactly_once_sink",
     "q_sink_compaction",
+    # round-15 addition (VERDICT r14 item 5): the MinHash quality harness —
+    # the heaviest off-battery row (12-permutation md5 min-agg + verified
+    # jaccard pairs); on the battery so its cost stays visible
+    "q_minhash_est_jaccard",
 ]
 _R02_HEADLINE_N = HEADLINE.index("q_corpus_pipeline_e2e") + 1
 assert _R02_HEADLINE_N == 51, _R02_HEADLINE_N
@@ -477,18 +481,36 @@ def main() -> None:
     # as extra per-query entries so consecutive rounds always overlap.
     reported = subset + [n for n in LINE_CORE if n not in subset]
     line_queries = {n: round(timings[n], 2) for n in reported if n in timings}
-    line = json.dumps(
-        {
-            "metric": metric,
-            "value": round(sum(timings[n] for n in subset if n in timings), 4),
-            "unit": "sec",
-            "queries": line_queries,
-            "sf": sf,
-            "total_all": total,
-            "n_all": len(timings),
-        },
-        separators=(",", ":"),
-    )
+
+    def _render() -> str:
+        return json.dumps(
+            {
+                "metric": metric,
+                "value": round(sum(timings[n] for n in subset if n in timings), 4),
+                "unit": "sec",
+                "queries": line_queries,
+                "sf": sf,
+                "total_all": total,
+                "n_all": len(timings),
+            },
+            separators=(",", ":"),
+        )
+
+    # The driver's stdout tail captures ~2 KB; a line that outgrows it (a
+    # slow host adds a digit to every timing) would come back `parsed:
+    # null` and lose the whole round's numbers.  Degrade gracefully
+    # instead: drop rotating per-query entries from the END (newest
+    # additions first, never the LINE_CORE continuity rows) until the line
+    # fits — `value`/`total_all` are computed from the full subset either
+    # way.
+    line = _render()
+    core = set(LINE_CORE)
+    for name in reversed(subset):
+        if len(line) < 1900:
+            break
+        if name in line_queries and name not in core:
+            del line_queries[name]
+            line = _render()
     assert len(line) < 1900, f"driver line too long ({len(line)} chars)"
     print(line)
 

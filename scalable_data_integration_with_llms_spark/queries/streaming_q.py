@@ -316,7 +316,17 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale: the join shuffles both streams on user_id; state per key is
     bounded by watermark + interval, so total state is O(rate × 30 min),
-    independent of stream length."""
+    independent of stream length.
+
+    r15 sweep (VERDICT r14 item 3; fresh-process, best of 3, sf0.1):
+    state-store provider × state shuffle partitions — HDFS/8 (this query)
+    2.52 s, HDFS/4 2.21, HDFS/16 4.30, HDFS/32 6.80, RocksDB/8 3.42,
+    RocksDB/16 4.34.  Cost scales ~linearly with partition count
+    (~0.13 s/partition of per-micro-batch store setup+commit — the
+    irreducible floor at this SF), RocksDB adds native-store overhead the
+    workload never amortizes, and the only "win" (4 partitions, −12%,
+    under the 20% bar) would cap cluster join parallelism at 4 — local
+    tuning, rejected.  Kept: HDFS provider, partitions=8."""
     from ..streaming.events import read_event_stream, run_to_memory
 
     clicks = (
