@@ -142,3 +142,67 @@ def test_committed_battery_carries_calibration_anchor():
     doc = load_baseline(os.path.join(ROOT, "BENCH_FULL.json"))
     cal = doc.get("calibration") or {}
     assert cal.get("sec", 0) > 0 and len(cal.get("runs", [])) == 3
+
+
+def test_infer_round_ignores_uncommitted_bench_files(tmp_path):
+    """The r14 blind spot: the driver writes its own BENCH_r{N}.json to the
+    working dir BEFORE the low-core scaling re-run, and round inference that
+    lists the directory then flips parity mid-round.  Round must come from
+    git-tracked files only; the listing is the no-git fallback."""
+    import subprocess
+
+    # a git repo whose COMMITTED state says round 7...
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    (repo / "BENCH_r07.json").write_text("{}")
+    subprocess.run(["git", "add", "BENCH_r07.json"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit", "-qm", "x"],
+        cwd=repo,
+        check=True,
+    )
+    # ...and an UNCOMMITTED same-round artifact the driver just wrote
+    (repo / "BENCH_r08.json").write_text("{}")
+
+    # run the real module from inside that repo (bench derives `here` from
+    # its own __file__, so copy it in) in a clean subprocess
+    import shutil
+
+    shutil.copyfile(os.path.join(ROOT, "bench.py"), repo / "bench.py")
+    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_ROUND"}
+    out = subprocess.run(
+        [sys.executable, "-c", "import bench; print(bench._infer_round())"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert out.stdout.strip() == "8", out  # 7 + 1, NOT 8 + 1
+
+    # and without git metadata the listing fallback still works
+    shutil.rmtree(repo / ".git")
+    out = subprocess.run(
+        [sys.executable, "-c", "import bench; print(bench._infer_round())"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert out.stdout.strip() == "9", out  # listdir sees r08
+
+
+def test_line_core_rides_both_parities():
+    """Consecutive rounds must always share per-query timings on the driver
+    line: every LINE_CORE row is reported in BOTH parity subsets."""
+    import bench
+
+    r02 = bench.HEADLINE[: bench._R02_HEADLINE_N]
+    r3p = bench.HEADLINE[bench._R02_HEADLINE_N :]
+    for subset in (r02, r3p):
+        reported = subset + [n for n in bench.LINE_CORE if n not in subset]
+        assert set(bench.LINE_CORE) <= set(reported)
+    # and the two halves of LINE_CORE straddle the rotation as designed
+    assert set(bench.LINE_CORE) & set(r02) and set(bench.LINE_CORE) & set(r3p)
